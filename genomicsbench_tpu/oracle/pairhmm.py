@@ -1,0 +1,122 @@
+"""Oracle for the GATK/GKL pair-HMM forward likelihood.
+
+The reference driver (benchmarks/phmm/PairHMMUnitTest.cpp:86,245) calls GKL's
+`computelikelihoodsboth`, which runs the standard GATK "logless caching"
+forward algorithm in float32 and falls back to float64 for any pair whose
+scaled float result underflows below MIN_ACCEPTED = 1e-28
+(benchmarks/phmm/pairhmm_common.h:16).  The GKL kernel itself lives in an
+empty submodule, so the semantics here are the published GATK PairHMM model:
+
+* ph2pr[q] = 10^(-q/10)
+* transitions per read base (qual strings i=ins-open, d=del-open, c=cont):
+    mm  = 1 - min(1, ph2pr[i] + ph2pr[d])   (match->match)
+    gapm= 1 - ph2pr[c]                       (gap->match)
+    mx  = ph2pr[i], xx = ph2pr[c]            (match->ins, ins->ins)
+    my  = ph2pr[d], yy = ph2pr[c]            (match->del, del->del)
+* prior(i,j) = 1 - ph2pr[q_i] on a base match (or either base ambiguous),
+  else ph2pr[q_i] / 3 (the tristate correction)
+* scaled initial deletion row: Y[0][j] = 2^E / haplen (E = 120 for float32,
+  1020 for float64); result = log10(sum_j M[R][j] + X[R][j]) - E*log10(2).
+
+Bases are integer-coded via {A:0, C:1, T:2, G:3, N:4} with 4 = ambiguous
+(pairhmm_common.h:26-44).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+AMBIG = 4
+TRISTATE_CORRECTION = 3.0
+
+_BASE_CODE = np.full(256, AMBIG, dtype=np.uint8)
+for _b, _c in zip(b"ACTG", range(4)):
+    _BASE_CODE[_b] = _c
+    _BASE_CODE[ord(chr(_b).lower())] = _c
+
+
+def encode_bases(s: bytes | str) -> np.ndarray:
+    if isinstance(s, str):
+        s = s.encode()
+    return _BASE_CODE[np.frombuffer(s, dtype=np.uint8)].copy()
+
+
+def _ph2pr(dtype):
+    q = np.arange(128, dtype=np.float64)
+    return (10.0 ** (-q / 10.0)).astype(dtype)
+
+
+_PH2PR_F32 = _ph2pr(np.float32)
+_PH2PR_F64 = _ph2pr(np.float64)
+
+
+def pairhmm_forward_scaled(
+    read: np.ndarray,
+    hap: np.ndarray,
+    q: np.ndarray,
+    ins: np.ndarray,
+    dele: np.ndarray,
+    cont: np.ndarray,
+    dtype=np.float64,
+    initial_exponent: int | None = None,
+) -> float:
+    """One forward pass; returns the scaled probability (not log)."""
+    dtype = np.dtype(dtype)
+    ph2pr = _PH2PR_F32 if dtype == np.float32 else _PH2PR_F64
+    if initial_exponent is None:
+        initial_exponent = 120 if dtype == np.float32 else 1020
+    R, H = len(read), len(hap)
+    one = dtype.type(1.0)
+
+    mm = one - np.minimum(one, ph2pr[ins] + ph2pr[dele])
+    gapm = one - ph2pr[cont]
+    mx = ph2pr[ins]
+    xx = ph2pr[cont]
+    my = ph2pr[dele]
+    yy = ph2pr[cont]
+
+    qprob = ph2pr[q]
+    is_match = (read[:, None] == hap[None, :]) | (read[:, None] == AMBIG) | (
+        hap[None, :] == AMBIG
+    )
+    prior = np.where(
+        is_match, one - qprob[:, None], (qprob / dtype.type(TRISTATE_CORRECTION))[:, None]
+    ).astype(dtype)
+
+    init_y = dtype.type(np.ldexp(1.0, initial_exponent)) / dtype.type(H)
+
+    M_prev = np.zeros(H + 1, dtype=dtype)
+    X_prev = np.zeros(H + 1, dtype=dtype)
+    Y_prev = np.full(H + 1, init_y, dtype=dtype)
+    Y_prev[0] = init_y  # uniform over all columns including 0
+
+    final = dtype.type(0.0)
+    for i in range(1, R + 1):
+        M_cur = np.zeros(H + 1, dtype=dtype)
+        X_cur = np.zeros(H + 1, dtype=dtype)
+        Y_cur = np.zeros(H + 1, dtype=dtype)
+        t_mm, t_gapm = mm[i - 1], gapm[i - 1]
+        t_mx, t_xx = mx[i - 1], xx[i - 1]
+        t_my, t_yy = my[i - 1], yy[i - 1]
+        M_cur[1:] = prior[i - 1] * (
+            t_mm * M_prev[:-1] + t_gapm * (X_prev[:-1] + Y_prev[:-1])
+        )
+        X_cur[1:] = t_mx * M_prev[1:] + t_xx * X_prev[1:]
+        for j in range(1, H + 1):
+            Y_cur[j] = t_my * M_cur[j - 1] + t_yy * Y_cur[j - 1]
+        M_prev, X_prev, Y_prev = M_cur, X_cur, Y_cur
+
+    final = dtype.type(np.sum(M_prev[1:]) + np.sum(X_prev[1:]))
+    return float(final)
+
+
+def pairhmm_forward_oracle(
+    read, hap, q, ins, dele, cont, min_accepted: float = 1e-28
+) -> float:
+    """log10 likelihood with the float32-then-float64 fallback policy of
+    computelikelihoodsboth."""
+    f32 = pairhmm_forward_scaled(read, hap, q, ins, dele, cont, dtype=np.float32)
+    if f32 >= min_accepted:
+        return float(np.log10(f32) - 120 * np.log10(2.0))
+    f64 = pairhmm_forward_scaled(read, hap, q, ins, dele, cont, dtype=np.float64)
+    return float(np.log10(f64) - 1020 * np.log10(2.0))

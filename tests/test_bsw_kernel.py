@@ -1,0 +1,77 @@
+"""bsw TPU kernel parity vs golden reference outputs (bit-exact)."""
+
+import numpy as np
+import pytest
+
+from genomicsbench_tpu.config import BswParams
+from genomicsbench_tpu.ops.bsw import banded_sw_batch
+
+from conftest import load_bsw_golden
+
+
+def _pad_batch(cases, max_t, max_q):
+    n = len(cases)
+    target = np.zeros((n, max_t), dtype=np.uint8)
+    query = np.zeros((n, max_q), dtype=np.uint8)
+    tlen = np.zeros(n, dtype=np.int32)
+    qlen = np.zeros(n, dtype=np.int32)
+    h0 = np.zeros(n, dtype=np.int32)
+    for k, (h, t, q) in enumerate(cases):
+        target[k, : len(t)] = t
+        query[k, : len(q)] = q
+        tlen[k], qlen[k], h0[k] = len(t), len(q), h
+    return query, target, qlen, tlen, h0
+
+
+def _run_and_check(cases, exp, params):
+    max_t = max(len(t) for _, t, _ in cases)
+    max_q = max(len(q) for _, _, q in cases)
+    # pad to VPU-friendly shapes
+    max_t = -(-max_t // 128) * 128
+    max_q = -(-max_q // 128) * 128
+    query, target, qlen, tlen, h0 = _pad_batch(cases, max_t, max_q)
+    res = banded_sw_batch(query, target, qlen, tlen, h0, params)
+    got = np.stack([res.score, res.qle, res.tle, res.gtle, res.gscore, res.max_off], 1)
+    mism = np.nonzero((got != exp).any(axis=1))[0]
+    assert mism.size == 0, (
+        f"{mism.size} mismatches; first at case {mism[0]}: "
+        f"got {got[mism[0]]}, want {exp[mism[0]]}"
+    )
+
+
+class TestBswKernelGolden:
+    def test_default_params(self):
+        cases, exp = load_bsw_golden("default")
+        _run_and_check(cases, exp, BswParams())
+
+    def test_alt_params(self):
+        cases, exp = load_bsw_golden("altparams")
+        p = BswParams(match=2, mismatch=3, ambig=-2, o_del=4, e_del=2,
+                      o_ins=4, e_ins=2, zdrop=50, w=40)
+        _run_and_check(cases, exp, p)
+
+
+class TestBswKernelEdges:
+    def test_padded_slots_are_inert(self):
+        """Zero-length padding slots must not perturb real pairs."""
+        rng = np.random.default_rng(11)
+        q = rng.integers(0, 4, 64).astype(np.uint8)
+        t = np.concatenate([q, rng.integers(0, 4, 64).astype(np.uint8)])
+        query = np.zeros((8, 128), dtype=np.uint8)
+        target = np.zeros((8, 128), dtype=np.uint8)
+        query[0, :64] = q
+        target[0, :128] = t
+        qlen = np.array([64, 0, 0, 0, 0, 0, 0, 0], dtype=np.int32)
+        tlen = np.array([128, 0, 0, 0, 0, 0, 0, 0], dtype=np.int32)
+        h0 = np.array([20, 0, 0, 0, 0, 0, 0, 0], dtype=np.int32)
+        res = banded_sw_batch(query, target, qlen, tlen, h0)
+
+        from genomicsbench_tpu.oracle.bsw import banded_sw_oracle
+        want = banded_sw_oracle(q, t, BswParams().score_matrix(), h0=20)
+        assert res.row(0) == want.as_tuple()
+
+    def test_batch_order_invariance(self):
+        cases, exp = load_bsw_golden("default")
+        cases, exp = cases[:32], exp[:32]
+        perm = np.random.default_rng(0).permutation(32)
+        _run_and_check([cases[i] for i in perm], exp[perm], BswParams())

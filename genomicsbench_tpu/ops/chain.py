@@ -1,0 +1,369 @@
+"""minimap2 anchor chaining DP — TPU-native batched kernel.
+
+Semantics: benchmarks/chain/src/host_kernel.cpp:30-94 (chain_dp), validated
+bit-exactly against golden outputs of the compiled reference kernel.
+
+TPU-first design:
+
+* Many reads (anchor sets) are processed in parallel across the batch
+  dimension R; one `lax.scan` step per anchor index i.  Each step does
+  (R, W) vector work over a fixed-width predecessor window — the TPU
+  replacement for the reference's per-anchor backward j-loop.
+* The sliding window start (max_dist_x condition + max_iter cap,
+  host_kernel.cpp:56-57) is precomputed exactly on the host.
+* The reference's `targets[]`-driven max_skip heuristic looks stateful, but
+  a target written during iteration i is only ever compared against i inside
+  the same iteration — so it reduces to a pure within-window computation:
+    - a "hit" at window position p means some valid later-visited anchor's
+      parent points there; computed scatter-free as a W-bit bitset built
+      from masked OR-reductions (XLA scatter is serial on TPU),
+    - n_skip is a floored +1/-1 walk over visit-ordered events, evaluated
+      in closed form with suffix sums: n = S - min(0, suffix_min(S)),
+    - the break is the first visit-order position where a skip event pushes
+      the walk past max_skip; positions after the break are masked.
+* The C gap cost `(int)(dd * .01 * avg_qspan)` rounds through float64; no
+  f32 formula reproduces its floor (and this TPU has no f64).  The kernel
+  computes floor(dd * K48 / 2^48) with K48 = round(.01*avg*2^48) via exact
+  int32 limb products, and the host — which can evaluate the true double
+  expression — ships a tiny per-call patch list for the handful of dd
+  values where the two differ (typically zero, ~70 worst case observed).
+  Both gathers and scatters are thereby eliminated from the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(1 << 30))
+MM_SEED_SEG_SHIFT = 48
+MAX_DD_BITS = 22  # dd <= 2^22 (max_dist_x larger than this is rejected)
+
+
+def _ilog2(v):
+    """floor(log2(v)) for v >= 1 via 5-step binary reduction (exact)."""
+    r = jnp.zeros_like(v)
+    for shift in (16, 8, 4, 2, 1):
+        cond = v >= (1 << shift)
+        r = r + jnp.where(cond, shift, 0)
+        v = jnp.where(cond, v >> shift, v)
+    return r
+
+
+def _lin_fixed(dd, k_limbs):
+    """floor(dd * K48 / 2^48) with K48 < 2^48 given as four 12-bit limbs
+    (R,1) each; dd (R,W) in [0, 2^22].  Exact, int32-only."""
+    d0 = dd & 0xFFF          # < 2^12
+    d1 = dd >> 12            # < 2^10
+    # limb sums L_k = sum_{i+j=k} d_i * k_j, base 2^12 positions
+    L = [jnp.zeros_like(dd) for _ in range(6)]
+    for j in range(4):
+        L[j] = L[j] + d0 * k_limbs[j]
+        L[j + 1] = L[j + 1] + d1 * k_limbs[j]
+    # carry-normalize (each L_k < 2^26 before carries)
+    for k in range(5):
+        L[k + 1] = L[k + 1] + (L[k] >> 12)
+        L[k] = L[k] & 0xFFF
+    return L[4] + (L[5] << 12)
+
+
+def compute_window_starts(x: np.ndarray, max_dist_x: int, max_iter: int) -> np.ndarray:
+    """Exact st_i emulation (host_kernel.cpp:56-57).
+
+    For sorted x (minimap2 anchors are x-sorted) the running two-pointer
+    equals a searchsorted; the max_iter cap composes as max(ss_i, i-max_iter).
+    """
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    xs = x.astype(np.uint64)
+    if np.all(xs[1:] >= xs[:-1]):
+        ss = np.searchsorted(xs, xs - np.uint64(max_dist_x), side="left")
+        ss = np.where(xs <= np.uint64(max_dist_x), 0, ss)
+        st = np.maximum(ss, np.arange(n) - max_iter)
+        return np.maximum(st, 0).astype(np.int32)
+    st = 0
+    out = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        while st < i and int(xs[i]) > int(xs[st]) + max_dist_x:
+            st += 1
+        if i - st > max_iter:
+            st = i - max_iter
+        out[i] = st
+    return out
+
+
+def lin_constants(avg_qspan: float, max_dd: int, max_patches: int = 1 << 20):
+    """Per-call constants for the exact gap-cost path.
+
+    The kernel evaluates the C double expression
+        g(dd) = (int)(((double)dd * .01) * (double)(float)avg_qspan)
+    as  floor(dd*K48/2^48)  (K48 = round(.01*avg*2^48), int32 limb math),
+    with two exact fix-ups:
+      * where the true rational r = dd*avg/100 is an integer (dd multiple of
+        p0), the fixed-point floor sits on a knife edge — snap to
+        (dd/p0)*r0 arithmetically;
+      * a host-enumerated patch list for the residual dd values where the
+        double path itself rounds across the boundary.
+    Returns (limbs, p0, r0, patches)."""
+    from math import gcd
+
+    a = np.float64(np.float32(avg_qspan))
+    K48 = int(np.rint(np.float64(0.01) * a * float(1 << 48)))
+    assert 0 < K48 < (1 << 48), "avg_qspan out of range"
+    limbs = [(K48 >> (12 * j)) & 0xFFF for j in range(4)]
+
+    # exact rational avg/100 = num / den
+    m, e = np.frexp(float(a))
+    m_int = int(m * (1 << 53))
+    den = 100 * (1 << (53 - int(e)))
+    g_ = gcd(m_int, den)
+    num, den_r = m_int // g_, den // g_
+    if den_r <= max_dd:
+        p0, r0 = den_r, num
+    else:
+        p0, r0 = 0, 0  # no integer-r points in range
+
+    dd = np.arange(max_dd + 1, dtype=np.int64)
+    g = ((dd.astype(np.float64) * np.float64(0.01)) * a).astype(np.int64)
+    A = dd * (K48 >> 24)
+    B = dd * (K48 & 0xFFFFFF)
+    mine = (A + (B >> 24)) >> 24
+    if p0:
+        ii = dd % p0 == 0
+        mine = np.where(ii, (dd // p0) * r0, mine)
+    bad = np.nonzero(mine != g)[0]
+    patches = [(int(d), int(g[d] - mine[d])) for d in bad]
+    if len(patches) > max_patches:
+        raise ValueError(
+            f"{len(patches)} gap-cost patches exceed capacity {max_patches}"
+        )
+    return limbs, p0, r0, patches
+
+
+@dataclasses.dataclass
+class ChainBatchResult:
+    scores: np.ndarray       # (R, N) int32
+    parents: np.ndarray      # (R, N) int32
+    peak_scores: np.ndarray  # (R, N) int32
+    n: np.ndarray            # (R,) anchors per read
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "window", "max_skip", "is_cdna"),
+)
+def _chain_scan(
+    pos, qpos, span, sid, rid, st, n_anchors, k_limbs, p0, r0,
+    patch_dd, patch_delta, max_dist_x, max_dist_y, bw, n_segs,
+    *, n_steps, window, max_skip, is_cdna,
+):
+    """All (R, Np) anchor arrays are front-padded with `window` junk columns
+    so the predecessor window of anchor i is the slice [i, i+window)."""
+    R, Np = pos.shape
+    W = window
+    n_words = W // 32
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    kl = [k_limbs[:, j : j + 1] for j in range(4)]
+
+    init = dict(
+        scores=jnp.zeros((R, Np), jnp.int32),
+        parents=jnp.full((R, Np), -1, jnp.int32),
+        peak=jnp.zeros((R, Np), jnp.int32),
+    )
+
+    def step(c, i):
+        col = W + i
+        run = i < n_anchors
+
+        def cur(a):
+            return jax.lax.dynamic_index_in_dim(a, col, axis=1, keepdims=False)
+
+        def win(a):
+            return jax.lax.dynamic_slice_in_dim(a, i, W, axis=1)
+
+        ri, qi, q_span, sidi, ridi = (cur(a) for a in (pos, qpos, span, sid, rid))
+        st_i = cur(st)
+        j_ids = (i - W) + p_ids
+        pos_w, qpos_w, span_w, sid_w, rid_w = (
+            win(a) for a in (pos, qpos, span, sid, rid)
+        )
+        scores_w = win(c["scores"])
+
+        same_rid = rid_w == ridi[:, None]
+        dr = jnp.where(same_rid, ri[:, None] - pos_w, NEG)
+        dq = qi[:, None] - qpos_w
+        same_sid = sid_w == sidi[:, None]
+
+        valid = (j_ids >= jnp.maximum(st_i[:, None], 0)) & (j_ids >= 0)
+        valid &= same_rid
+        valid &= ~((same_sid & (dr == 0)) | (dq <= 0))
+        valid &= ~((same_sid & (dq > max_dist_y[:, None])) | (dq > max_dist_x[:, None]))
+        dd = jnp.abs(dr - dq)
+        valid &= ~(same_sid & (dd > bw[:, None]))
+        if not is_cdna:
+            valid &= ~((n_segs[:, None] > 1) & same_sid & (dr > max_dist_y[:, None]))
+
+        min_d = jnp.minimum(dq, dr)
+        sc0 = jnp.minimum(min_d, q_span[:, None])
+        log_dd = jnp.where(dd > 0, _ilog2(jnp.maximum(dd, 1)), 0)
+
+        ddc = jnp.clip(dd, 0, (1 << MAX_DD_BITS) - 1)
+        c_lin = _lin_fixed(ddc, kl)
+        # snap exactly-integer r = dd*avg/100 points (see lin_constants)
+        p0c = p0[:, None]
+        safe_p0 = jnp.maximum(p0c, 1)
+        is_int = (p0c > 0) & (ddc % safe_p0 == 0)
+        c_lin = jnp.where(is_int, (ddc // safe_p0) * r0[:, None], c_lin)
+        for p in range(patch_dd.shape[1]):
+            c_lin = c_lin + jnp.where(
+                ddc == patch_dd[:, p : p + 1], patch_delta[:, p : p + 1], 0
+            )
+
+        diff_path = jnp.ones_like(valid) if is_cdna else ~same_sid
+        bonus = ~same_sid & (dr == 0)
+        gap_min = jnp.minimum(c_lin, log_dd)
+        gap_anchor = c_lin + (log_dd >> 1)
+        gap_diff = jnp.where(
+            bonus, 0, jnp.where((dr > dq) | ~same_sid, gap_min, gap_anchor)
+        )
+        gap = jnp.where(diff_path, gap_diff, gap_anchor)
+        sc = sc0 + jnp.where(bonus & diff_path, 1, 0) - gap   # gap_scale == 1.0
+        sc = sc + scores_w
+
+        # ---- max_skip break heuristic (module docstring) ----
+        par_w = win(c["parents"])
+        hit_pos = par_w - (i - W)
+        do_hit = valid & (par_w >= 0) & (hit_pos >= 0)
+        word_id = hit_pos >> 5
+        bitv = jnp.where(do_hit, jnp.left_shift(1, hit_pos & 31), 0)
+        words = []
+        for w in range(n_words):
+            words.append(
+                jax.lax.reduce(
+                    jnp.where(word_id == w, bitv, 0),
+                    np.int32(0), jax.lax.bitwise_or, (1,),
+                )
+            )
+        words = jnp.stack(words, axis=1)                      # (R, n_words)
+        expanded = jnp.repeat(words, 32, axis=1)              # (R, W)
+        hits = (jnp.right_shift(expanded, p_ids & 31) & 1) > 0
+
+        sc_masked = jnp.where(valid, sc, NEG)
+        suf_max_incl = jax.lax.cummax(sc_masked, axis=1, reverse=True)
+        suf_max_excl = jnp.concatenate(
+            [suf_max_incl[:, 1:], jnp.full((R, 1), NEG)], axis=1
+        )
+        running = jnp.maximum(suf_max_excl, q_span[:, None])
+        imp = valid & (sc > running)
+        skip_ev = valid & ~imp & hits
+        e = jnp.where(skip_ev, 1, 0) + jnp.where(imp, -1, 0)
+        S = jax.lax.cumsum(e, axis=1, reverse=True)
+        sufmin = jax.lax.cummin(S, axis=1, reverse=True)
+        nskip = S - jnp.minimum(0, sufmin)
+        qualify = skip_ev & (nskip > max_skip)
+        break_p = jnp.max(jnp.where(qualify, p_ids, -1), axis=1)
+        visited = p_ids > break_p[:, None]
+
+        live = valid & visited
+        sc_live = jnp.where(live, sc, NEG)
+        best = jnp.max(sc_live, axis=1)
+        max_f = jnp.maximum(best, q_span)
+        has_imp = best > q_span
+        argmax_p = jnp.max(
+            jnp.where(live & (sc == max_f[:, None]), p_ids, -1), axis=1
+        )
+        max_j = jnp.where(has_imp, (i - W) + argmax_p, -1)
+
+        peak_at_j = jnp.take_along_axis(
+            c["peak"], jnp.maximum(max_j + W, 0)[:, None], axis=1
+        )[:, 0]
+        peak_i = jnp.where((max_j >= 0) & (peak_at_j > max_f), peak_at_j, max_f)
+
+        # Columns past a read's own n_anchors receive junk but are never read
+        # back (windows only look at j < i) and are sliced off on the host.
+        del run
+
+        def setcol(a, v):
+            return jax.lax.dynamic_update_slice_in_dim(a, v[:, None], col, axis=1)
+
+        out = dict(
+            scores=setcol(c["scores"], max_f),
+            parents=setcol(c["parents"], max_j),
+            peak=setcol(c["peak"], peak_i),
+        )
+        return out, None
+
+    final, _ = jax.lax.scan(step, init, jnp.arange(n_steps, dtype=jnp.int32))
+    return final["scores"], final["parents"], final["peak"]
+
+
+def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
+                max_skip: int = 25, is_cdna: bool = False) -> ChainBatchResult:
+    """Run chain_dp over a list of AnchorCall records, batched on device."""
+    R = len(calls)
+    ns = np.array([c.n for c in calls], dtype=np.int32)
+    N = int(ns.max()) if R else 0
+    sts = []
+    req_w = 1
+    for c in calls:
+        assert c.max_dist_x < (1 << MAX_DD_BITS), "max_dist_x too large"
+        st = compute_window_starts(c.x, c.max_dist_x, max_iter)
+        sts.append(st)
+        if c.n:
+            req_w = max(req_w, int((np.arange(c.n) - st).max()) + 1)
+    if window is None:
+        window = max(128, -(-req_w // 128) * 128)
+    W = window
+    Np = W + N
+
+    def packf(get, fill=0):
+        a = np.full((R, Np), fill, dtype=np.int32)
+        for r, c in enumerate(calls):
+            a[r, W : W + c.n] = get(c)
+        return a
+
+    u64 = np.uint64
+    pos = packf(lambda c: (np.asarray(c.x) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    rid = packf(lambda c: (np.asarray(c.x) >> u64(32)).astype(np.int32))
+    qpos = packf(lambda c: (np.asarray(c.y) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    span = packf(lambda c: ((np.asarray(c.y) >> u64(32)) & u64(0xFF)).astype(np.int32))
+    sid = packf(lambda c: ((np.asarray(c.y) >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF)).astype(np.int32))
+    st_arr = np.zeros((R, Np), dtype=np.int32)
+    for r, st in enumerate(sts):
+        st_arr[r, W : W + len(st)] = st
+
+    k_limbs = np.zeros((R, 4), dtype=np.int32)
+    p0s = np.zeros((R,), dtype=np.int32)
+    r0s = np.zeros((R,), dtype=np.int32)
+    all_patches = []
+    for r, c in enumerate(calls):
+        limbs, p0, r0, patches = lin_constants(c.avg_qspan, c.max_dist_x)
+        k_limbs[r] = limbs
+        p0s[r], r0s[r] = p0, r0
+        all_patches.append(patches)
+    n_patch = max((len(p) for p in all_patches), default=0)
+    n_patch = max(4, -(-n_patch // 4) * 4)
+    patch_dd = np.full((R, n_patch), -1, dtype=np.int32)
+    patch_delta = np.zeros((R, n_patch), dtype=np.int32)
+    for r, patches in enumerate(all_patches):
+        for k, (d, delta) in enumerate(patches):
+            patch_dd[r, k] = d
+            patch_delta[r, k] = delta
+
+    mk = lambda f: np.array([f(c) for c in calls], dtype=np.int32)
+    args = jax.device_put(
+        (pos, qpos, span, sid, rid, st_arr, ns, k_limbs, p0s, r0s, patch_dd, patch_delta,
+         mk(lambda c: c.max_dist_x), mk(lambda c: c.max_dist_y),
+         mk(lambda c: c.bw), mk(lambda c: c.n_segs))
+    )
+    scores, parents, peak = jax.device_get(
+        _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip, is_cdna=is_cdna)
+    )
+    return ChainBatchResult(
+        scores=scores[:, W:], parents=parents[:, W:], peak_scores=peak[:, W:], n=ns
+    )

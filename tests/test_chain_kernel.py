@@ -1,0 +1,74 @@
+"""chain TPU kernel parity vs golden reference outputs (bit-exact)."""
+
+import numpy as np
+
+from genomicsbench_tpu.ops.chain import chain_batch, lin_constants, compute_window_starts
+
+from conftest import load_chain_golden
+
+
+class TestChainKernelGolden:
+    def test_golden_default(self):
+        calls, expected = load_chain_golden()
+        # split by window requirement so the big max_iter call doesn't force
+        # a 5120-wide window onto everything
+        small, big = [], []
+        for k, c in enumerate(calls):
+            st = compute_window_starts(c.x, c.max_dist_x, 5000)
+            w = int((np.arange(c.n) - st).max()) + 1 if c.n else 1
+            (big if w > 1536 else small).append(k)
+        for group in (small, big):
+            if not group:
+                continue
+            res = chain_batch([calls[k] for k in group])
+            for r, k in enumerate(group):
+                exp = expected[k]
+                n = calls[k].n
+                np.testing.assert_array_equal(
+                    res.scores[r, :n], exp[:, 0], err_msg=f"call {k} scores"
+                )
+                np.testing.assert_array_equal(
+                    res.parents[r, :n], exp[:, 1], err_msg=f"call {k} parents"
+                )
+                np.testing.assert_array_equal(
+                    res.peak_scores[r, :n], exp[:, 2], err_msg=f"call {k} peaks"
+                )
+
+
+class TestChainHelpers:
+    def test_lin_constants_double_semantics(self):
+        # the float32 pitfall: dd multiple of 20 at avg_qspan=15.0 lands
+        # exactly on integers in double but below them in float32
+        f32 = int(np.float32(20) * np.float32(0.01) * np.float32(15.0))
+        assert f32 == 2  # why f32 alone can't reproduce the C expression
+        limbs, p0, r0, patches = lin_constants(15.0, 100000, max_patches=1000)
+        assert len(patches) <= 100  # integer-r snap keeps the list tiny
+        # fixed-point + integer-snap + patches must reproduce the double path
+        K48 = sum(l << (12 * j) for j, l in enumerate(limbs))
+        dd = np.arange(100001, dtype=np.int64)
+        A, B = dd * (K48 >> 24), dd * (K48 & 0xFFFFFF)
+        mine = (A + (B >> 24)) >> 24
+        if p0:
+            mine = np.where(dd % p0 == 0, (dd // p0) * r0, mine)
+        for d, delta in patches:
+            mine[d] += delta
+        want = ((dd.astype(np.float64) * np.float64(0.01)) *
+                np.float64(np.float32(15.0))).astype(np.int64)
+        np.testing.assert_array_equal(mine, want)
+
+    def test_window_starts_cap(self):
+        x = np.arange(7000, dtype=np.uint64)  # dense: everything in range
+        st = compute_window_starts(x, max_dist_x=100000, max_iter=5000)
+        assert st[6999] == 1999 and st[4999] == 0
+
+    def test_window_starts_sorted_matches_loop(self):
+        rng = np.random.default_rng(0)
+        x = np.sort(rng.integers(0, 10000, 500)).astype(np.uint64)
+        st = compute_window_starts(x, max_dist_x=700, max_iter=100)
+        st_ref = 0
+        for i in range(500):
+            while st_ref < i and int(x[i]) > int(x[st_ref]) + 700:
+                st_ref += 1
+            if i - st_ref > 100:
+                st_ref = i - 100
+            assert st[i] == st_ref, i

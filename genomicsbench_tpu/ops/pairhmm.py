@@ -1,0 +1,179 @@
+"""GATK/GKL pair-HMM forward likelihood — TPU-native batched kernel.
+
+Semantics: the GATK "logless caching" forward model as exercised by
+benchmarks/phmm/PairHMMUnitTest.cpp:86,245 (computelikelihoodsboth): a
+float32 pass over every (read, hap) pair, with a float64 recompute for pairs
+whose scaled float32 result underflows MIN_ACCEPTED = 1e-28
+(pairhmm_common.h:16).  See oracle/pairhmm.py for the recurrences.
+
+TPU-first design:
+
+* Pairs-in-lanes batching: (B, H) float32 tiles, one `lax.scan` step per
+  read row (the GKL AVX kernel instead walks anti-diagonals inside one
+  pair — that shape would waste the VPU on short haplotypes).
+* Within a row, M and X depend only on the previous row (elementwise), and
+  the deletion state is a first-order linear recurrence
+      Y[j] = yy_i * Y[j-1] + my_i * M_cur[j-1]
+  evaluated with `jax.lax.associative_scan` over the hap axis.
+* Per-pair read lengths are handled by harvesting the final-row sum into an
+  accumulator when i == rslen; the scan always runs to the bucket's padded
+  length.
+* The rare float64 fallback runs on the host (TPU has no f64): the kernel
+  returns the scaled f32 results, and pairs below MIN_ACCEPTED are
+  recomputed with the NumPy oracle, mirroring computelikelihoods**both**.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomicsbench_tpu.oracle.pairhmm import (
+    _PH2PR_F32,
+    pairhmm_forward_scaled,
+)
+
+LOG10_2 = float(np.log10(2.0))
+INITIAL_EXP_F32 = 120
+MIN_ACCEPTED = 1e-28
+
+
+@functools.partial(jax.jit, static_argnames=("r_steps",))
+def _phmm_scan(read, hap, rslen, haplen, mm, gapm, mx, xx, my, yy, qprob, *, r_steps):
+    """read (B,Rmax) u8; hap (B,H) u8; quals -> per-row transition arrays
+    (B,Rmax) f32; returns (B,) scaled f32 likelihoods."""
+    B, H = hap.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)  # hap position j-1
+    in_hap = cols < haplen[:, None]
+
+    init_y = jnp.exp2(jnp.float32(INITIAL_EXP_F32)) / haplen.astype(jnp.float32)
+    # state arrays hold columns j=1..H; the j=0 boundary is folded into the
+    # shifted reads below (M/X/Y at j=0 are 0 for i>=1; Y0 row is uniform).
+    M_prev = jnp.zeros((B, H), jnp.float32)
+    X_prev = jnp.zeros((B, H), jnp.float32)
+    Y_prev = jnp.broadcast_to(init_y[:, None], (B, H))
+    y0_row0 = init_y  # Y(0, j=0)
+
+    hap_amb = hap == 4
+
+    def shift1(a, first):
+        """a[:, j-1] with a[:, -1] replaced by `first` (the j=0 column)."""
+        rolled = jnp.roll(a, 1, axis=1)
+        return jnp.where(cols == 0, first[:, None], rolled)
+
+    def row(carry, i):
+        M_prev, X_prev, Y_prev, acc = carry
+        sel = lambda a: jax.lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
+        rb = sel(read).astype(jnp.int32)
+        t_mm, t_gapm = sel(mm), sel(gapm)
+        t_mx, t_xx = sel(mx), sel(xx)
+        t_my, t_yy = sel(my), sel(yy)
+        qp = sel(qprob)
+
+        is_match = (hap == rb[:, None].astype(hap.dtype)) | (rb[:, None] == 4) | hap_amb
+        prior = jnp.where(
+            is_match, 1.0 - qp[:, None], (qp / jnp.float32(3.0))[:, None]
+        )
+
+        zero = jnp.zeros((B,), jnp.float32)
+        y0_prev = jnp.where(i == 0, y0_row0, zero)  # Y(i-1, 0)
+        M_diag = shift1(M_prev, zero)               # M(i-1, j-1)
+        X_diag = shift1(X_prev, zero)
+        Y_diag = shift1(Y_prev, y0_prev)
+
+        M_cur = prior * (
+            t_mm[:, None] * M_diag + t_gapm[:, None] * (X_diag + Y_diag)
+        )
+        X_cur = t_mx[:, None] * M_prev + t_xx[:, None] * X_prev
+
+        # Y recurrence via associative scan: y_j = a*y_{j-1} + b_j,
+        # b_j = my * M_cur[j-1], y_0 (j=0 col) = 0 for i >= 1.
+        b = t_my[:, None] * shift1(M_cur, zero)
+        a = jnp.broadcast_to(t_yy[:, None], (B, H))
+
+        def compose(l, r):
+            return (l[0] * r[0], r[1] + r[0] * l[1])
+
+        _, Y_cur = jax.lax.associative_scan(compose, (a, b), axis=1)
+
+        row_sum = jnp.sum(jnp.where(in_hap, M_cur + X_cur, 0.0), axis=1)
+        acc = jnp.where(i + 1 == rslen, row_sum, acc)
+        return (M_cur, X_cur, Y_cur, acc), None
+
+    (_, _, _, acc), _ = jax.lax.scan(
+        row, (M_prev, X_prev, Y_prev, jnp.zeros((B,), jnp.float32)),
+        jnp.arange(r_steps, dtype=jnp.int32),
+    )
+    return acc
+
+
+def _transition_arrays(q, ins, dele, cont, rmax):
+    """Host-side per-row transition tables, float32 (GKL Context semantics)."""
+    B = len(q)
+    out = {k: np.zeros((B, rmax), np.float32) for k in
+           ("mm", "gapm", "mx", "xx", "my", "yy", "qprob")}
+    for b in range(B):
+        n = len(q[b])
+        pi = _PH2PR_F32[ins[b]]
+        pd = _PH2PR_F32[dele[b]]
+        pc = _PH2PR_F32[cont[b]]
+        out["mm"][b, :n] = np.float32(1.0) - np.minimum(np.float32(1.0), pi + pd)
+        out["gapm"][b, :n] = np.float32(1.0) - pc
+        out["mx"][b, :n] = pi
+        out["xx"][b, :n] = pc
+        out["my"][b, :n] = pd
+        out["yy"][b, :n] = pc
+        out["qprob"][b, :n] = _PH2PR_F32[q[b]]
+    return out
+
+
+def pairhmm_batch(reads, haps, pairs=None):
+    """Compute log10 likelihoods for (read, hap) pairs.
+
+    reads: list of dicts with keys bases/q/i/d/c (uint8/int arrays);
+    haps: list of uint8 arrays; pairs: list of (read_idx, hap_idx) — defaults
+    to the reference's read-major cross product (PairHMMUnitTest.cpp:232-244).
+    Returns (n_pairs,) float64 log10 likelihoods."""
+    if pairs is None:
+        pairs = [(r, h) for r in range(len(reads)) for h in range(len(haps))]
+    B = len(pairs)
+    rl = np.array([len(reads[r]["bases"]) for r, _ in pairs], np.int32)
+    hl = np.array([len(haps[h]) for _, h in pairs], np.int32)
+    rmax = int(-(-rl.max() // 8) * 8)
+    hmax = int(-(-hl.max() // 128) * 128)
+
+    read_arr = np.zeros((B, rmax), np.uint8)
+    hap_arr = np.zeros((B, hmax), np.uint8)
+    q, i_, d, c = [], [], [], []
+    for k, (r, h) in enumerate(pairs):
+        rd = reads[r]
+        read_arr[k, : rl[k]] = rd["bases"]
+        hap_arr[k, : hl[k]] = haps[h]
+        q.append(np.asarray(rd["q"], np.int32))
+        i_.append(np.asarray(rd["i"], np.int32))
+        d.append(np.asarray(rd["d"], np.int32))
+        c.append(np.asarray(rd["c"], np.int32))
+    trans = _transition_arrays(q, i_, d, c, rmax)
+
+    dev = jax.device_put(
+        (read_arr, hap_arr, rl, hl,
+         trans["mm"], trans["gapm"], trans["mx"], trans["xx"],
+         trans["my"], trans["yy"], trans["qprob"])
+    )
+    scaled = np.asarray(_phmm_scan(*dev, r_steps=rmax))
+
+    out = np.empty(B, np.float64)
+    ok = scaled >= MIN_ACCEPTED
+    out[ok] = np.log10(scaled[ok].astype(np.float64)) - INITIAL_EXP_F32 * LOG10_2
+    for k in np.nonzero(~ok)[0]:
+        r, h = pairs[k]
+        rd = reads[r]
+        f64 = pairhmm_forward_scaled(
+            rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"],
+            dtype=np.float64,
+        )
+        out[k] = np.log10(f64) - 1020 * LOG10_2
+    return out

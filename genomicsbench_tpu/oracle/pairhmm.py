@@ -26,6 +26,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from scipy.signal import lfilter as _lfilter
+except ImportError:  # pragma: no cover
+    _lfilter = None
+
 AMBIG = 4
 TRISTATE_CORRECTION = 3.0
 
@@ -102,8 +107,12 @@ def pairhmm_forward_scaled(
             t_mm * M_prev[:-1] + t_gapm * (X_prev[:-1] + Y_prev[:-1])
         )
         X_cur[1:] = t_mx * M_prev[1:] + t_xx * X_prev[1:]
-        for j in range(1, H + 1):
-            Y_cur[j] = t_my * M_cur[j - 1] + t_yy * Y_cur[j - 1]
+        if dtype == np.float64 and _lfilter is not None:
+            # y_j = t_yy*y_{j-1} + t_my*M_cur[j-1]: IIR filter, float64-exact
+            Y_cur[1:] = _lfilter([1.0], [1.0, -t_yy], t_my * M_cur[:-1])
+        else:
+            for j in range(1, H + 1):
+                Y_cur[j] = t_my * M_cur[j - 1] + t_yy * Y_cur[j - 1]
         M_prev, X_prev, Y_prev = M_cur, X_cur, Y_cur
 
     final = dtype.type(np.sum(M_prev[1:]) + np.sum(X_prev[1:]))

@@ -1,0 +1,85 @@
+"""pair-HMM kernel vs oracle."""
+
+import numpy as np
+import pytest
+
+from genomicsbench_tpu.ops.pairhmm import pairhmm_batch, MIN_ACCEPTED
+from genomicsbench_tpu.oracle.pairhmm import (
+    pairhmm_forward_oracle, pairhmm_forward_scaled,
+)
+
+
+def _rand_read(rng, n):
+    return dict(
+        bases=rng.integers(0, 4, n).astype(np.uint8),
+        q=np.maximum(rng.integers(0, 50, n), 6),
+        i=rng.integers(20, 50, n),
+        d=rng.integers(20, 50, n),
+        c=rng.integers(5, 15, n),
+    )
+
+
+def _mutate_hap(rng, read, m):
+    h = read["bases"].copy()
+    idx = rng.integers(0, len(h), max(1, int(m * len(h))))
+    h[idx] = rng.integers(0, 4, len(idx))
+    return h
+
+
+class TestPairHmmKernel:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        reads = [_rand_read(rng, int(rng.integers(10, 150))) for _ in range(6)]
+        haps = [_mutate_hap(rng, reads[i % len(reads)], 0.05) for i in range(4)]
+        haps = [np.concatenate([h, rng.integers(0, 4, 30).astype(np.uint8)]) for h in haps]
+        got = pairhmm_batch(reads, haps)
+        k = 0
+        for r in reads:
+            for h in haps:
+                want = pairhmm_forward_oracle(r["bases"], h, r["q"], r["i"], r["d"], r["c"])
+                assert got[k] == pytest.approx(want, abs=2e-3), f"pair {k}"
+                k += 1
+
+    def test_fallback_pairs_exact(self):
+        """Underflowing pairs must go through the float64 oracle path and
+        therefore match it exactly."""
+        rng = np.random.default_rng(1)
+        n = 240
+        read = dict(
+            bases=np.zeros(n, dtype=np.uint8),
+            q=np.full(n, 40), i=np.full(n, 45), d=np.full(n, 45),
+            c=np.full(n, 10),
+        )
+        hap = np.full(n, 1, dtype=np.uint8)  # all mismatches -> underflow
+        f32 = pairhmm_forward_scaled(
+            read["bases"], hap, read["q"], read["i"], read["d"], read["c"],
+            dtype=np.float32,
+        )
+        assert f32 < MIN_ACCEPTED
+        got = pairhmm_batch([read], [hap])
+        want = pairhmm_forward_oracle(
+            read["bases"], hap, read["q"], read["i"], read["d"], read["c"]
+        )
+        assert got[0] == want  # exact: same f64 code path
+
+    def test_ambiguous_bases(self):
+        rng = np.random.default_rng(2)
+        read = _rand_read(rng, 40)
+        read["bases"][::7] = 4
+        hap = _mutate_hap(rng, read, 0.1)
+        hap[::5] = 4
+        got = pairhmm_batch([read], [hap])
+        want = pairhmm_forward_oracle(read["bases"], hap, read["q"], read["i"], read["d"], read["c"])
+        assert got[0] == pytest.approx(want, abs=2e-3)
+
+    def test_variable_lengths_in_one_batch(self):
+        rng = np.random.default_rng(3)
+        reads = [_rand_read(rng, n) for n in (11, 73, 150)]
+        haps = [rng.integers(0, 4, n).astype(np.uint8) for n in (25, 90, 210)]
+        got = pairhmm_batch(reads, haps)
+        k = 0
+        for r in reads:
+            for h in haps:
+                want = pairhmm_forward_oracle(r["bases"], h, r["q"], r["i"], r["d"], r["c"])
+                assert got[k] == pytest.approx(want, abs=2e-3), (len(r["bases"]), len(h))
+                k += 1

@@ -1,0 +1,329 @@
+"""k-mer counting / minimizer extraction — TPU-native (Flye kernel).
+
+Semantics: benchmarks/kmer-cnt — 2-bit k-mer representation (kmer.h:16-109),
+standardForm canonicalization (min of kmer and reverse complement,
+kmer.h:53-63), splitmix64-style hash (kmer.h:91-98), monotone-deque window
+minimizers (kmer.h:206-262), and KmerCounter::count (vertex_index.cpp:513-612)
+whose final per-kmer totals equal exact occurrence counts (the 4-bit CAS
+saturation + cuckoo overflow is an implementation detail of the merge).
+
+TPU-first design:
+
+* k-mer extraction is k shifted adds over a (B, L) batch of 2-bit coded
+  reads; canonicalization is a 5-stage bit-reversal butterfly — no loops.
+* counting is a deterministic sort + segment-reduce (device sort) instead of
+  atomic CAS / concurrent hashing; identical final counts, reproducible.
+* the 64-bit reference hash runs on 16-bit limbs (TPU has no 64-bit lanes);
+  minimizer window minima compare (hi, lo) pairs lexicographically.
+* multi-host: reads are sharded per host; k-mer streams are exchanged by
+  hash-range shard with all_to_all and sort-reduced locally (see
+  parallel/sharded_count.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# 64-bit integer emulation on (hi, lo) uint32 pairs
+# ---------------------------------------------------------------------------
+
+def _u64(hi, lo):
+    return (hi.astype(U32), lo.astype(U32))
+
+
+def u64_xor(a, b):
+    return (a[0] ^ b[0], a[1] ^ b[1])
+
+
+def u64_shr(a, n: int):
+    hi, lo = a
+    if n == 0:
+        return a
+    if n >= 32:
+        return (jnp.zeros_like(hi), hi >> U32(n - 32) if n > 32 else hi)
+    return (hi >> U32(n), (lo >> U32(n)) | (hi << U32(32 - n)))
+
+
+def u64_add(a, b):
+    hi, lo = a[0] + b[0], a[1] + b[1]
+    carry = (lo < a[1]).astype(U32)
+    return (hi + carry, lo)
+
+
+def _mul32x32(a, b):
+    """Full 64-bit product of two uint32 -> (hi, lo), via 16-bit halves."""
+    a_lo, a_hi = a & U32(0xFFFF), a >> U32(16)
+    b_lo, b_hi = b & U32(0xFFFF), b >> U32(16)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> U32(16)) + (lh & U32(0xFFFF)) + (hl & U32(0xFFFF))
+    lo = (ll & U32(0xFFFF)) | (mid << U32(16))
+    hi = hh + (lh >> U32(16)) + (hl >> U32(16)) + (mid >> U32(16))
+    return (hi, lo)
+
+
+def u64_mul(a, k_hi: int, k_lo: int):
+    """(hi, lo) * 64-bit constant, low 64 bits."""
+    hi, lo = a
+    p_hi, p_lo = _mul32x32(lo, U32(k_lo))
+    p_hi = p_hi + lo * U32(k_hi) + hi * U32(k_lo)
+    return (p_hi, p_lo)
+
+
+def splitmix_hash(repr_lo):
+    """Exact Kmer::hash (kmer.h:91-98) for representations < 2^32.
+
+    size_t z = x + 0x9E3779B97F4A7C15; z = (z^(z>>30)) * 0xBF58476D1CE4E5B9;
+    z = (z^(z>>27)) * 0x94D049BB133111EB; return z ^ (z>>31).
+    Returns (hi, lo) uint32 pair."""
+    x = _u64(jnp.zeros_like(repr_lo), repr_lo)
+    z = u64_add(x, _u64(jnp.full_like(repr_lo, 0x9E3779B9),
+                        jnp.full_like(repr_lo, 0x7F4A7C15)))
+    z = u64_mul(u64_xor(z, u64_shr(z, 30)), 0xBF58476D, 0x1CE4E5B9)
+    z = u64_mul(u64_xor(z, u64_shr(z, 27)), 0x94D049BB, 0x133111EB)
+    z = u64_xor(z, u64_shr(z, 31))
+    return z
+
+
+# ---------------------------------------------------------------------------
+# k-mer extraction / canonicalization (k <= 15, representation in int32)
+# ---------------------------------------------------------------------------
+
+def extract_kmers(seq: jnp.ndarray, k: int):
+    """seq (B, L) uint8 codes 0..3 -> (B, L) uint32 k-mer representations;
+    position i holds the k-mer starting at i (positions > L-k are junk;
+    mask with `kmer_valid`)."""
+    B, L = seq.shape
+    s = seq.astype(U32)
+    out = jnp.zeros((B, L), U32)
+    for j in range(k):
+        shifted = jnp.roll(s, -j, axis=1)  # base at i+j; tail junk masked later
+        out = (out << U32(0)) + (shifted << U32(2 * (k - 1 - j)))
+    return out
+
+
+def kmer_valid(lengths, L, k):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (len(lengths), L), 1)
+    return cols <= (lengths[:, None] - k)
+
+
+def revcomp(repr32, k: int):
+    """Reverse complement of 2-bit packed k-mers (exact Kmer semantics)."""
+    x = (~repr32.astype(U32)) & U32((1 << (2 * k)) - 1)
+    # reverse the 2-bit groups within 32 bits (butterfly), then shift down
+    x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xCCCCCCCC)) >> U32(2))
+    x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x & U32(0xF0F0F0F0)) >> U32(4))
+    x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x & U32(0xFF00FF00)) >> U32(8))
+    x = (x << U32(16)) | (x >> U32(16))
+    return x >> U32(32 - 2 * k)
+
+
+def canonical(repr32, k: int):
+    rc = revcomp(repr32, k)
+    return jnp.minimum(repr32, rc)
+
+
+# ---------------------------------------------------------------------------
+# counting: sort + segment reduce
+# ---------------------------------------------------------------------------
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _canonical_kmers(seq, lengths, *, k):
+    B, L = seq.shape
+    km = canonical(extract_kmers(seq, k), k)
+    ok = kmer_valid(lengths, L, k)
+    return jnp.where(ok, km, SENTINEL), ok
+
+
+@jax.jit
+def _device_sorted_kmers(km_flat):
+    return jnp.sort(km_flat)
+
+
+def rle_counts(sorted_arr: np.ndarray):
+    """Host run-length encode of a sorted array (SENTINEL = padding)."""
+    n_valid = int(np.searchsorted(sorted_arr, SENTINEL))
+    s = sorted_arr[:n_valid]
+    if len(s) == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.nonzero(s[1:] != s[:-1])[0] + 1])
+    counts = np.diff(np.concatenate([starts, [len(s)]]))
+    return s[starts], counts
+
+
+def count_kmers(seq_codes: np.ndarray, lengths: np.ndarray, k: int):
+    """Count canonical k-mers over a batch of reads (forward strands only,
+    KmerCounter::count semantics).  The heavy work — extraction,
+    canonicalization, sort — runs on device; the final run-length encode of
+    the sorted stream happens on host.  Returns (unique uint32, counts)."""
+    seq, lens = jax.device_put((seq_codes, np.asarray(lengths, np.int32)))
+    km, _ = _canonical_kmers(seq, lens, k=k)
+    s = jax.device_get(_device_sorted_kmers(km.reshape(-1)))
+    return rle_counts(s)
+
+
+# ---------------------------------------------------------------------------
+# minimizers
+# ---------------------------------------------------------------------------
+
+def yield_minimizers_oracle(codes: np.ndarray, k: int, window: int):
+    """Exact transliteration of yieldMinimizers (kmer.h:206-262): monotone
+    deque over (kmer, hash), pop-front alignment and tie advancing, dedup by
+    emitted position.  Returns list of (position, canonical_repr)."""
+    import collections
+
+    n = len(codes)
+    if n < k:
+        return []
+
+    def h64(v):
+        z = (v + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    mask = (1 << (2 * k)) - 1
+    rep = 0
+    for i in range(k):
+        rep = ((rep << 2) | int(codes[i])) & mask
+    reps = [rep]
+    for i in range(k, n):
+        rep = ((rep << 2) | int(codes[i])) & mask
+        reps.append(rep)
+
+    def rc(v):
+        out = 0
+        for _ in range(k):
+            out = (out << 2) | ((~v) & 3)
+            v >>= 2
+        return out
+
+    out = []
+    if window == 1:
+        return [(p, r) for p, r in enumerate(reps)]
+    q = collections.deque()
+    for pos, r in enumerate(reps):
+        std = min(r, rc(r))
+        hh = h64(std)
+        while q and q[-1][2] > hh:
+            q.pop()
+        q.append((pos, r, hh))
+        if q[0][0] <= pos - window:
+            while q[0][0] <= pos - window:
+                q.popleft()
+            while len(q) >= 2 and q[0][2] == q[1][2]:
+                q.popleft()
+        if not out or out[-1][0] != q[0][0]:
+            out.append((q[0][0], q[0][1]))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def minimizer_mask(seq, lengths, *, k, window):
+    """Exact device version of yieldMinimizers' monotone deque.
+
+    The deque state at step p collapses to a single scalar per read — the
+    front position — because deque membership is a pure function of the
+    hash stream: q is in the deque iff h[q] <= min(h[q+1..p]) and q is in
+    the window.  The eviction-time tie-advance (kmer.h:244-247) makes the
+    front path-dependent, so a lax.scan carries it; each step does only
+    O(window) vector work on column slices (no gathers, no scatters).
+
+    Returns (raw kmer reps (B,L) uint32, emission mask (B,L) bool)."""
+    B, L = seq.shape
+    w = window
+    raw = extract_kmers(seq, k)
+    can = canonical(raw, k)
+    hi, lo = splitmix_hash(can)
+    ok = kmer_valid(lengths, L, k)
+    big = U32(0xFFFFFFFF)
+    hi = jnp.where(ok, hi, big)
+    lo = jnp.where(ok, lo, big)
+    # pad w-1 columns in front so the window slice at step p is static-width
+    pad = ((0, 0), (w - 1, 0))
+    hi_p = jnp.pad(hi, pad, constant_values=np.uint32(0xFFFFFFFF))
+    lo_p = jnp.pad(lo, pad, constant_values=np.uint32(0xFFFFFFFF))
+
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (B, w), 1)  # 0..w-1, pos p-w+1+d
+
+    def step(carry, p):
+        front, last_emit = carry
+        h_hi = jax.lax.dynamic_slice_in_dim(hi_p, p, w, axis=1)  # cols p-w+1..p
+        h_lo = jax.lax.dynamic_slice_in_dim(lo_p, p, w, axis=1)
+        q_pos = (p - w + 1) + d_ids
+
+        # suffix minima (over positions > q up to p) to derive membership
+        suf_hi = jnp.full((B, w), np.uint32(0xFFFFFFFF))
+        suf_lo = jnp.full((B, w), np.uint32(0xFFFFFFFF))
+        # suf[d] = min over d' > d; build right-to-left with w-1 shifted mins
+        m_hi, m_lo = h_hi, h_lo
+        for shift in range(1, w):
+            s_hi = jnp.roll(m_hi, -shift, axis=1)
+            s_lo = jnp.roll(m_lo, -shift, axis=1)
+            inb = d_ids + shift <= w - 1
+            s_hi = jnp.where(inb, s_hi, np.uint32(0xFFFFFFFF))
+            s_lo = jnp.where(inb, s_lo, np.uint32(0xFFFFFFFF))
+            less = (s_hi < suf_hi) | ((s_hi == suf_hi) & (s_lo < suf_lo))
+            suf_hi = jnp.where(less, s_hi, suf_hi)
+            suf_lo = jnp.where(less, s_lo, suf_lo)
+
+        member = (h_hi < suf_hi) | ((h_hi == suf_hi) & (h_lo <= suf_lo))
+        member &= q_pos >= 0
+
+        # earliest member and the min-hash tied group
+        first_d = jnp.min(jnp.where(member, d_ids, w), axis=1)       # (B,)
+        sel = d_ids == first_d[:, None]
+        min_hi = jnp.max(jnp.where(sel, h_hi, 0), axis=1)
+        min_lo = jnp.max(jnp.where(sel, h_lo, 0), axis=1)
+        tied = member & (h_hi == min_hi[:, None]) & (h_lo == min_lo[:, None])
+        last_tied_d = jnp.max(jnp.where(tied, d_ids, -1), axis=1)
+
+        earliest_pos = (p - w + 1) + first_d
+        latest_tied_pos = (p - w + 1) + last_tied_d
+
+        evict = front <= p - w
+        # on eviction: skip expired + advance through the tied front group;
+        # otherwise keep the previous front unless back-pops removed it
+        # (then the deque is exactly {p}, which `earliest_pos` reports).
+        prev_alive = front >= earliest_pos  # front can only be a member or expired
+        front_new = jnp.where(
+            evict, latest_tied_pos, jnp.where(prev_alive, front, earliest_pos)
+        )
+        # before the first full window nothing is evicted; front is the
+        # earliest member (ties keep the earliest, matching deque appends)
+        front_new = jnp.where(p < w, jnp.minimum(front_new, earliest_pos), front_new)
+
+        # steps beyond a read's last k-mer don't exist in the reference loop
+        p_live = p <= lengths - k
+        front_new = jnp.where(p_live, front_new, front)
+        emit = p_live & (front_new != last_emit)
+        last_emit = jnp.where(emit, front_new, last_emit)
+        return (front_new, last_emit), jnp.where(emit, front_new, -1)
+
+    init = (jnp.zeros((B,), jnp.int32), jnp.full((B,), -1, jnp.int32))
+    _, emits = jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
+    emits = emits.T  # (B, L) emitted position per step, -1 if none
+
+    # scatter-free mask: position q emitted iff some step emitted it; an
+    # emission at step p refers to q in [p-w+1, p]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    emitted = jnp.zeros((B, L), jnp.bool_)
+    for d in range(w):
+        chooser = jnp.roll(emits, -d, axis=1)
+        inb = (cols + d) < L
+        emitted = emitted | (inb & (chooser == cols))
+    emitted &= ok
+    return raw, emitted

@@ -1,0 +1,411 @@
+"""FM-index SMEM seeding — TPU-native (bwa-mem2 fmi benchmark).
+
+Capability: the three seeding passes of benchmarks/fmi/fmi.cpp:218-266 —
+getSMEMsAllPosOneThread (all SMEMs, min_intv=1), the re-seed pass
+(getSMEMsOnePosOneThread from SMEM midpoints with min_intv=s+1, parents
+filtered by split_len=int(minSeedLen*1.5+.499) and s<=splitWidth=10,
+fmi.cpp:179,231-254), and bwtSeedStrategyAllPosOneThread (min_len=
+minSeedLen+1, max_intv=maxMemIntv=20, fmi.cpp:256-266) — over an FMD
+(bidirectional) index.  The bwa-mem2 kernel lives in an empty submodule;
+semantics are bwa-mem's published SMEM definitions, validated against
+brute-force string matching in tests.
+
+TPU-first design:
+
+* Host index build: suffix array by prefix doubling (vectorized NumPy),
+  BWT, and a checkpointed occurrence table — per 64 symbols: 4 running
+  counts plus two 2x-uint32 bitplanes and a validity plane, so one rank is
+  one checkpoint gather + masked popcounts (the TPU reshape of bwa-mem2's
+  cacheline-checkpoint layout, fmi.cpp:44).
+* Search: every (read, start) pair is an independent lane.  One lax.scan
+  forward-extends all lanes a base per step (FMD bi-interval extension)
+  until the interval size drops below the lane's min_intv.  The per-start
+  longest-match table e_b is non-decreasing, so SMEMs fall out of the
+  containment rule "[b, e_b) is an SMEM iff e_b > e_{b-1}" — two
+  data-parallel sweeps replace bwa's sequential curr/prev interval
+  bookkeeping with identical output sets.
+* Pass 3's sequential pivot hopping (x advances to each hit's end) is an
+  orbit walk over a precomputed per-position stop table, done on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+BLOCK = 64  # BWT symbols per checkpoint block
+
+
+# ---------------------------------------------------------------------------
+# host-side index build
+# ---------------------------------------------------------------------------
+
+def suffix_array(t: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (shorter suffixes sort first via
+    rank padding with -1, which matches appending a unique smallest $)."""
+    n = len(t)
+    rank = t.astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        prev = (rank[order][1:] != rank[order][:-1]) | (
+            second[order][1:] != second[order][:-1]
+        )
+        new_rank[order] = np.concatenate([[0], np.cumsum(prev)])
+        rank = new_rank
+        if rank.max() == n - 1:
+            return order.astype(np.int64)
+        k *= 2
+
+
+@dataclasses.dataclass
+class FmdIndex:
+    """Bidirectional FM index over T = ref . revcomp(ref) with implicit $."""
+
+    n: int                    # text length
+    C: np.ndarray             # (5,) C[c] = #symbols < c in BWT rows (incl. $)
+    occ_cp: np.ndarray        # (n_blocks, 4) int32 checkpointed ranks
+    plane0: np.ndarray        # (n_blocks, 2) uint32 bit0 of each symbol
+    plane1: np.ndarray        # (n_blocks, 2) uint32 bit1
+    valid: np.ndarray         # (n_blocks, 2) uint32 1 = real non-sentinel row
+    sentinel_row: int
+    sa: np.ndarray            # (n+1,) row -> text position (n = $)
+
+    def device(self):
+        return jax.device_put((
+            jnp.asarray(self.C.astype(np.int32)),
+            jnp.asarray(self.occ_cp),
+            jnp.asarray(self.plane0), jnp.asarray(self.plane1),
+            jnp.asarray(self.valid), jnp.int32(self.sentinel_row),
+        ))
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    return (3 - codes[::-1].astype(np.int64)).astype(np.uint8)
+
+
+def build_fmd_index(ref_codes: np.ndarray) -> FmdIndex:
+    """ref_codes: (L,) uint8 0..3 (split contigs at ambiguous bases)."""
+    t = np.concatenate([ref_codes, revcomp_codes(ref_codes)]).astype(np.uint8)
+    n = len(t)
+    sa_body = suffix_array(t)
+    sa = np.concatenate([[n], sa_body]).astype(np.int64)  # row 0 = $ suffix
+    bwt_pos = sa - 1
+    bwt = np.where(bwt_pos >= 0, t[np.clip(bwt_pos, 0, None)], 255)
+    sentinel_row = int(np.nonzero(bwt == 255)[0][0])
+    bwt_clean = np.where(bwt == 255, 0, bwt).astype(np.uint8)
+
+    C = np.zeros(5, dtype=np.int64)
+    C[0] = 1
+    for c in range(4):
+        C[c + 1] = C[c] + int((t == c).sum())
+
+    n_rows = n + 1
+    n_blocks = -(-n_rows // BLOCK)
+    pad = n_blocks * BLOCK - n_rows
+    bwt_pad = np.concatenate([bwt_clean, np.zeros(pad, np.uint8)])
+    is_real = np.ones(n_rows, bool)
+    is_real[sentinel_row] = False
+    real_pad = np.concatenate([is_real, np.zeros(pad, bool)])
+
+    blocks = bwt_pad.reshape(n_blocks, BLOCK)
+    realb = real_pad.reshape(n_blocks, BLOCK)
+    per_block = np.stack([((blocks == c) & realb).sum(1) for c in range(4)], 1)
+    occ_cp = np.zeros((n_blocks, 4), np.int64)
+    occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
+
+    def pack(bits):
+        out = np.zeros((n_blocks, 2), np.uint32)
+        for half in range(2):
+            seg = bits[:, half * 32 : (half + 1) * 32]
+            out[:, half] = (
+                seg.astype(np.uint64) << np.arange(32, dtype=np.uint64)
+            ).sum(1).astype(np.uint32)
+        return out
+
+    return FmdIndex(
+        n=n, C=C, occ_cp=occ_cp.astype(np.int32),
+        plane0=pack((blocks & 1).astype(bool)),
+        plane1=pack(((blocks >> 1) & 1).astype(bool)),
+        valid=pack(realb),
+        sentinel_row=sentinel_row, sa=sa,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device rank / bi-directional extension
+# ---------------------------------------------------------------------------
+
+def _popcount_below(word, nbits):
+    """popcount of word's bits [0, nbits), nbits in [0, 32]."""
+    nb = jnp.clip(nbits, 0, 31).astype(U32)
+    mask = (U32(1) << nb) - U32(1)
+    mask = jnp.where(nbits >= 32, U32(0xFFFFFFFF), mask)
+    return jax.lax.population_count(word & mask).astype(jnp.int32)
+
+
+def _rank4(occ_cp, plane0, plane1, valid, row):
+    """Counts of each base in BWT[0:row].  row (...,) -> (..., 4)."""
+    blk = row // BLOCK
+    off = row % BLOCK
+    cp = occ_cp[blk]
+    w0 = plane0[blk]   # (..., 2)
+    w1 = plane1[blk]
+    va = valid[blk]
+    off_a = off
+    off_b = off - 32
+    ranks = []
+    for c in range(4):
+        c0 = U32(0xFFFFFFFF) if (c & 1) else U32(0)
+        c1 = U32(0xFFFFFFFF) if (c & 2) else U32(0)
+        m = ~(w0 ^ c0) & ~(w1 ^ c1) & va
+        cnt = _popcount_below(m[..., 0], off_a) + _popcount_below(m[..., 1], off_b)
+        ranks.append(cp[..., c] + cnt)
+    return jnp.stack(ranks, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _extend_lanes(
+    C, occ_cp, plane0, plane1, valid, sent_row,
+    query, qlen, start, min_intv, max_e, *, steps,
+):
+    """Forward-extend all lanes from their start positions until the
+    bi-interval size drops below min_intv (or read end / ambiguous base).
+
+    query (N, Lq) u8; qlen/start/min_intv (N,) int32.
+    Returns (e, k, l, s): end positions (exclusive) of the longest
+    surviving match and its bi-interval."""
+    N = query.shape[0]
+
+    def rank4(row):
+        return _rank4(occ_cp, plane0, plane1, valid, row)
+
+    def back_ext(k, l, s):
+        """Backward extension by all bases: (N,) -> (N, 4) k/l/s."""
+        r_lo = rank4(k)
+        r_hi = rank4(k + s)
+        s_new = r_hi - r_lo
+        k_new = C[:4][None, :] + r_lo
+        sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
+        # l'[a] = l + sent + sum_{b > a} s'[b]  (bwa bwt_extend ordering)
+        l_new = jnp.zeros_like(s_new)
+        acc = l + sent_cnt
+        for c in (3, 2, 1, 0):
+            l_new = l_new.at[:, c].set(acc)
+            acc = acc + s_new[:, c]
+        return k_new, l_new, s_new
+
+    def fwd_ext_all(k, l, s):
+        """Forward extension by base c == backward extension of the reverse
+        interval with complement(c); columns come back reversed."""
+        k2, l2, s2 = back_ext(l, k, s)
+        return l2[:, ::-1], k2[:, ::-1], s2[:, ::-1]
+
+    base0 = jnp.take_along_axis(
+        query, jnp.clip(start, 0, query.shape[1] - 1)[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+    counts = (C[1:5] - C[:4]).astype(jnp.int32)
+    b0 = jnp.clip(base0, 0, 3)
+    k0 = jnp.take(C[:4], b0)
+    s0 = jnp.take(counts, b0)
+    l0 = jnp.take(C[:4], 3 - b0)
+    alive0 = (base0 < 4) & (start < qlen) & (start >= 0) & (s0 >= min_intv)
+
+    init = dict(
+        k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+        e=jnp.where(alive0, start + 1, start),
+        alive=alive0,
+    )
+
+    def step(c, _):
+        pos = c["e"]
+        in_read = (pos < qlen) & (pos < max_e)
+        nb = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, query.shape[1] - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        can = c["alive"] & in_read & (nb < 4)
+        kf, lf, sf = fwd_ext_all(c["k"], c["l"], c["s"])
+        sel = jnp.clip(nb, 0, 3)[:, None]
+        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
+        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        ok = can & (s_n >= min_intv)
+        return dict(
+            k=jnp.where(ok, k_n, c["k"]),
+            l=jnp.where(ok, l_n, c["l"]),
+            s=jnp.where(ok, s_n, c["s"]),
+            e=jnp.where(ok, pos + 1, c["e"]),
+            alive=ok,
+        ), None
+
+    final, _ = jax.lax.scan(step, init, None, length=steps)
+    return final["e"], final["k"], final["l"], final["s"]
+
+
+# ---------------------------------------------------------------------------
+# SMEM assembly (the three passes)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SmemResult:
+    """Arrays of SMEMs: read id, query start m, query end n (inclusive — the
+    reference prints [m, n+1], fmi.cpp:312-344), SA start k, size s."""
+
+    rid: np.ndarray
+    m: np.ndarray
+    n: np.ndarray
+    k: np.ndarray
+    s: np.ndarray
+
+    @property
+    def count(self):
+        return len(self.rid)
+
+    def sorted_tuples(self, with_interval=False):
+        cols = (self.rid, self.m, self.n, self.s) if with_interval else (
+            self.rid, self.m, self.n)
+        return sorted(zip(*(c.tolist() for c in cols)))
+
+
+def _mk_smem(rid, m, n, k, s):
+    return SmemResult(*(np.asarray(a, dtype=np.int64) for a in (rid, m, n, k, s)))
+
+
+class FmiPipeline:
+    """Device-resident index + the 3-pass SMEM search over read batches.
+
+    Mirrors fmi.cpp's per-batch flow: pass 1 all-SMEMs (min_intv=1) ->
+    parent filter (length >= split_len, s <= splitWidth) -> pass 2 reseed
+    from midpoints (min_intv = s+1) -> pass 3 seed strategy (min_len =
+    minSeedLen+1, emission when the interval drops under maxMemIntv).
+    totalSmems and the per-read (m, n+1) lists are the parity surface."""
+
+    def __init__(self, index: FmdIndex, min_seed_len: int = 19,
+                 split_width: int = 10, max_mem_intv: int = 20,
+                 split_factor: float = 1.5):
+        self.index = index
+        self.dev = index.device()
+        self.min_seed_len = min_seed_len
+        self.split_width = split_width
+        self.max_mem_intv = max_mem_intv
+        self.split_len = int(min_seed_len * split_factor + 0.499)
+
+    def _extend(self, lanes_q, lanes_len, starts, min_intv, max_e, steps):
+        e, k, l, s = _extend_lanes(
+            *self.dev, jnp.asarray(lanes_q), jnp.asarray(lanes_len),
+            jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(min_intv.astype(np.int32)),
+            jnp.asarray(max_e.astype(np.int32)), steps=steps,
+        )
+        return jax.device_get((e, k, s))
+
+    def _e_table(self, query, qlen, min_intv_per_read, steps):
+        """e_b / interval tables for every (read, position) lane."""
+        B, L = query.shape
+        reads = np.repeat(np.arange(B), L)
+        starts = np.tile(np.arange(L), B)
+        e, k, s = self._extend(
+            query[reads], qlen[reads], starts, min_intv_per_read[reads],
+            np.full(B * L, 1 << 30), steps,
+        )
+        return e.reshape(B, L), k.reshape(B, L), s.reshape(B, L)
+
+    @staticmethod
+    def _smem_mask(e, qlen, min_len, upto=None):
+        """Vectorized containment rule: SMEM at b iff e_b > max(e_{b'<b})
+        (e is non-decreasing so prefix max = e_{b-1}) and length filter."""
+        B, L = e.shape
+        pos = np.arange(L)[None, :]
+        prev = np.concatenate([np.zeros((B, 1), e.dtype),
+                               np.maximum.accumulate(e, axis=1)[:, :-1]], axis=1)
+        mask = (e > prev) & (e - pos >= min_len) & (pos < qlen[:, None])
+        return mask
+
+    def pass1(self, query, qlen):
+        B, L = query.shape
+        e, k, s = self._e_table(query, qlen, np.ones(B, np.int32),
+                                steps=int(qlen.max()))
+        mask = self._smem_mask(e, qlen, self.min_seed_len)
+        rid, m = np.nonzero(mask)
+        return _mk_smem(rid, m, e[rid, m] - 1, k[rid, m], s[rid, m])
+
+    def pass2(self, query, qlen, parents: SmemResult):
+        sel = np.nonzero(
+            (parents.n + 1 - parents.m >= self.split_len)
+            & (parents.s <= self.split_width)
+        )[0]
+        if len(sel) == 0:
+            return _mk_smem([], [], [], [], [])
+        prid = parents.rid[sel].astype(np.int64)
+        pivots = (parents.m[sel] + parents.n[sel] + 1) >> 1
+        mintv = parents.s[sel] + 1
+        pq = query[prid]
+        plen = qlen[prid]
+        e, k, s = self._e_table(pq, plen, mintv.astype(np.int32),
+                                steps=int(plen.max()))
+        mask = self._smem_mask(e, plen, self.min_seed_len)
+        # covering constraint: b <= pivot < e_b
+        P, L = e.shape
+        pos = np.arange(L)[None, :]
+        mask &= (pos <= pivots[:, None]) & (e > pivots[:, None])
+        pi, m = np.nonzero(mask)
+        return _mk_smem(prid[pi], m, e[pi, m] - 1, k[pi, m], s[pi, m])
+
+    def pass3(self, query, qlen):
+        """bwt_seed_strategy1 orbit (bwa semantics): from x, extend; at the
+        first i with s < maxMemIntv AND i-x >= minSeedLen+1, emit the
+        interval of [x, i+1) (even if its size is 0) and hop to i+1; an
+        ambiguous base or the read end stops the walk without emission."""
+        B, L = query.shape
+        n_arr = qlen.astype(np.int64)
+        e20, _, _ = self._e_table(query, qlen,
+                                  np.full(B, self.max_mem_intv, np.int32),
+                                  steps=int(qlen.max()))
+        min_len = self.min_seed_len + 1
+        # next ambiguous-base position at or after p
+        is_n = query >= 4
+        nxt = np.full((B, L + 1), 0, np.int64)
+        nxt[:, L] = n_arr
+        for p in range(L - 1, -1, -1):
+            nxt[:, p] = np.where(is_n[:, p], p, nxt[:, p + 1])
+        nxt = np.minimum(nxt, n_arr[:, None])
+
+        em_rid, em_m, em_n = [], [], []
+        for b in range(B):
+            n = int(n_arr[b])
+            x = 0
+            while x < n:
+                if query[b, x] > 3:
+                    x += 1
+                    continue
+                nn = int(nxt[b, x + 1]) if x + 1 <= L - 1 else n
+                i_star = max(int(e20[b, x]), x + min_len)
+                if i_star < min(nn, n):
+                    em_rid.append(b); em_m.append(x); em_n.append(i_star)
+                    x = i_star + 1
+                else:
+                    x = nn + 1 if nn < n else n
+        if not em_rid:
+            return _mk_smem([], [], [], [], [])
+        em_rid = np.array(em_rid); em_m = np.array(em_m); em_n = np.array(em_n)
+        # interval of [x, i*+1), no floor (s may legitimately reach 0)
+        e, k, s = self._extend(
+            query[em_rid], qlen[em_rid], em_m,
+            np.zeros(len(em_rid), np.int32), em_n + 1,
+            steps=int((em_n - em_m).max() + 1),
+        )
+        return _mk_smem(em_rid, em_m, em_n, k, s)
+
+    def run(self, query, qlen):
+        """All three passes; returns (pass1, pass2, pass3, total_count)."""
+        p1 = self.pass1(query, qlen)
+        p2 = self.pass2(query, qlen, p1)
+        p3 = self.pass3(query, qlen)
+        return p1, p2, p3, p1.count + p2.count + p3.count

@@ -1,0 +1,173 @@
+"""FM-index SMEM search vs brute-force string matching."""
+
+import numpy as np
+import pytest
+
+from genomicsbench_tpu.ops.fmi import (
+    FmiPipeline, build_fmd_index, revcomp_codes, suffix_array,
+)
+
+ALPHA = "ACGT"
+
+
+def _text_bytes(codes):
+    return bytes(bytearray(codes))
+
+
+def _count_occ(text: bytes, pat: bytes) -> int:
+    n, c, i = len(pat), 0, 0
+    while True:
+        j = text.find(pat, i)
+        if j < 0:
+            return c
+        c += 1
+        i = j + 1
+
+
+def _longest_match_table(text: bytes, q: np.ndarray, qlen: int, min_intv: int):
+    """e_b = end of longest match starting at b whose occurrence count stays
+    >= min_intv; counts are over T = ref+revcomp (both strands)."""
+    e = np.zeros(qlen, np.int64)
+    for b in range(qlen):
+        if q[b] > 3:
+            e[b] = b
+            continue
+        j = b
+        while j < qlen and q[j] <= 3:
+            pat = _text_bytes(q[b : j + 1])
+            if _count_occ(text, pat) >= min_intv:
+                j += 1
+            else:
+                break
+        e[b] = j
+    return e
+
+
+def _brute_smems(text, q, qlen, min_seed_len, min_intv=1):
+    e = _longest_match_table(text, q, qlen, min_intv)
+    out = []
+    prev = 0
+    for b in range(qlen):
+        if e[b] > prev and e[b] - b >= min_seed_len:
+            s = _count_occ(text, _text_bytes(q[b : e[b]]))
+            out.append((b, int(e[b]) - 1, s))
+        prev = max(prev, e[b])
+    return out
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 800).astype(np.uint8)
+    idx = build_fmd_index(ref)
+    text = _text_bytes(np.concatenate([ref, revcomp_codes(ref)]))
+    return ref, idx, text
+
+
+class TestIndexBuild:
+    def test_suffix_array_naive(self):
+        rng = np.random.default_rng(0)
+        t = rng.integers(0, 4, 200).astype(np.uint8)
+        sa = suffix_array(t)
+        suffixes = sorted(range(len(t)), key=lambda i: t[i:].tobytes())
+        np.testing.assert_array_equal(sa, suffixes)
+
+    def test_sa_rows_sorted(self, small_index):
+        ref, idx, text = small_index
+        t = np.concatenate([ref, revcomp_codes(ref)])
+        prev = b""
+        for row in idx.sa[1:50]:
+            cur = _text_bytes(t[row:])
+            assert prev <= cur
+            prev = cur
+
+
+class TestSmemPasses:
+    def _reads(self, ref, rng, n=6, length=90):
+        reads, lens = [], []
+        for _ in range(n):
+            s = int(rng.integers(0, len(ref) - length))
+            r = ref[s : s + length].copy()
+            idx = rng.integers(0, length, 4)
+            r[idx] = rng.integers(0, 4, 4)
+            reads.append(r)
+            lens.append(length)
+        # one read with ambiguous bases, one reverse-complement read
+        r = reads[0].copy(); r[10] = 4; r[50] = 4
+        reads.append(r); lens.append(length)
+        reads.append(revcomp_codes(reads[1]))
+        lens.append(length)
+        L = max(lens)
+        q = np.zeros((len(reads), L), np.uint8)
+        for i, r in enumerate(reads):
+            q[i, : len(r)] = r
+        return q, np.array(lens, np.int32)
+
+    def test_pass1_matches_bruteforce(self, small_index):
+        ref, idx, text = small_index
+        rng = np.random.default_rng(1)
+        q, lens = self._reads(ref, rng)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        p1 = pipe.pass1(q, lens)
+        got = {}
+        for rid, m, n, s in zip(p1.rid, p1.m, p1.n, p1.s):
+            got.setdefault(int(rid), []).append((int(m), int(n), int(s)))
+        for b in range(len(lens)):
+            want = _brute_smems(text, q[b], int(lens[b]), 19)
+            assert got.get(b, []) == want, f"read {b}"
+
+    def test_pass2_matches_bruteforce(self, small_index):
+        ref, idx, text = small_index
+        rng = np.random.default_rng(2)
+        q, lens = self._reads(ref, rng)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        p1 = pipe.pass1(q, lens)
+        p2 = pipe.pass2(q, lens, p1)
+        got = {}
+        for rid, m, n, s in zip(p2.rid, p2.m, p2.n, p2.s):
+            got.setdefault(int(rid), []).append((int(m), int(n), int(s)))
+        # independent reconstruction of the reseed pass
+        want = {}
+        split_len = int(19 * 1.5 + 0.499)
+        for rid, m, n, s in zip(p1.rid, p1.m, p1.n, p1.s):
+            if n + 1 - m < split_len or s > 10:
+                continue
+            x = (m + n + 1) >> 1
+            e = _longest_match_table(text, q[rid], int(lens[rid]), int(s) + 1)
+            prev = 0
+            for b in range(int(x) + 1):
+                if e[b] > x and e[b] > prev and e[b] - b >= 19:
+                    cnt = _count_occ(text, _text_bytes(q[rid][b : e[b]]))
+                    want.setdefault(int(rid), []).append((b, int(e[b]) - 1, cnt))
+                prev = max(prev, e[b])
+        assert got == want
+
+    def test_pass3_emissions(self, small_index):
+        ref, idx, text = small_index
+        rng = np.random.default_rng(3)
+        q, lens = self._reads(ref, rng)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        p3 = pipe.pass3(q, lens)
+        # every emission's occurrence count and walk must obey the rule
+        for rid, m, n, s in zip(p3.rid, p3.m, p3.n, p3.s):
+            qb = q[int(rid)]
+            # length > minSeedLen
+            assert n - m + 1 >= 20 + 1
+            # count of [m, n] (the hit includes the dropping base) matches
+            cnt = _count_occ(text, _text_bytes(qb[m : n + 1]))
+            assert cnt == s
+            assert cnt < 20
+            # the prefix without the last base had count >= 20 OR the length
+            # condition forced a later emission point
+            cnt_prev = _count_occ(text, _text_bytes(qb[m : n]))
+            e20 = _longest_match_table(text, qb, int(lens[int(rid)]), 20)
+            assert max(int(e20[m]), m + 20) == n
+
+    def test_total_counts(self, small_index):
+        ref, idx, text = small_index
+        rng = np.random.default_rng(4)
+        q, lens = self._reads(ref, rng)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        p1, p2, p3, total = pipe.run(q, lens)
+        assert total == p1.count + p2.count + p3.count
+        assert p1.count > 0

@@ -1,0 +1,111 @@
+"""Genetic relationship matrix — plink2 --make-grm-bin equivalent.
+
+Capability: the grm benchmark (scripts/run-cpu.sh:53,84) runs
+`plink2 --maf 0.01 --make-grm-bin` over 2-bit genotypes; the kernel is the
+GCTA-style GRM over standardized dosages:
+
+    x_ij = (g_ij - 2 p_j) / sqrt(2 p_j (1 - p_j)),  missing -> 0
+    GRM_ik = (1 / M_ik) * sum_j x_ij x_kj
+    M_ik   = #variants observed in both i and k
+
+with the MAF filter applied on observed allele frequencies.  (plink-ng
+itself is an empty submodule; semantics follow plink2's documented
+--make-grm-bin / GCTA definition and are tested against a NumPy oracle.)
+
+TPU-first design: this is the suite's pure-MXU kernel — two blocked
+matmuls (X X^T for the numerator, mask mask^T for the denominators) tiled
+over variants so X never exceeds HBM, f32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3))
+def _grm_block(geno_block, maf_ok, acc_num, acc_den):
+    """geno_block (Mb, N) int8 codes: 0/1/2 = dosage, 3 = missing.
+    Accumulates numerator (N, N) and pair-counts (N, N)."""
+    g = geno_block.astype(jnp.float32)
+    miss = geno_block == 3
+    obs = (~miss).astype(jnp.float32)
+    g = jnp.where(miss, 0.0, g)
+    n_obs = jnp.sum(obs, axis=1)
+    p = jnp.sum(g, axis=1) / jnp.maximum(2.0 * n_obs, 1.0)
+    denom = jnp.sqrt(jnp.maximum(2.0 * p * (1.0 - p), 1e-30))
+    x = (g - 2.0 * p[:, None]) / denom[:, None]
+    use = (maf_ok & (n_obs > 0))[:, None].astype(jnp.float32)
+    x = x * use * obs
+    acc_num = acc_num + jnp.dot(
+        x.T, x, preferred_element_type=jnp.float32
+    )
+    w = obs * use
+    acc_den = acc_den + jnp.dot(
+        w.T, w, preferred_element_type=jnp.float32
+    )
+    return acc_num, acc_den
+
+
+def grm(geno: np.ndarray, maf: float = 0.01, block: int = 2048):
+    """geno (M, N) uint8: 0/1/2 dosage of the counted allele, 3 = missing.
+
+    Returns (grm (N, N) float32, nobs (N, N) float32)."""
+    M, N = geno.shape
+    Nb = -(-N // 128) * 128
+    acc_num = jnp.zeros((Nb, Nb), jnp.float32)
+    acc_den = jnp.zeros((Nb, Nb), jnp.float32)
+    for s in range(0, M, block):
+        blk = geno[s : s + block]
+        miss = blk == 3
+        n_obs = (~miss).sum(1)
+        alt = np.where(miss, 0, blk).sum(1)
+        p = alt / np.maximum(2 * n_obs, 1)
+        maf_ok = (np.minimum(p, 1 - p) >= maf) & (n_obs > 0)
+        pad = np.zeros((blk.shape[0], Nb), np.int8)
+        pad[:, :N] = blk
+        pad[:, N:] = 3  # padding samples are "missing" everywhere
+        acc_num, acc_den = _grm_block(
+            jnp.asarray(pad), jnp.asarray(maf_ok), acc_num, acc_den
+        )
+    num, den = jax.device_get((acc_num, acc_den))
+    num, den = num[:N, :N], den[:N, :N]
+    out = num / np.maximum(den, 1.0)
+    return out.astype(np.float32), den.astype(np.float32)
+
+
+def grm_oracle(geno: np.ndarray, maf: float = 0.01):
+    """Plain NumPy float64 oracle."""
+    M, N = geno.shape
+    miss = geno == 3
+    g = np.where(miss, 0, geno).astype(np.float64)
+    n_obs = (~miss).sum(1)
+    p = g.sum(1) / np.maximum(2 * n_obs, 1)
+    keep = (np.minimum(p, 1 - p) >= maf) & (n_obs > 0)
+    x = (g - 2 * p[:, None]) / np.sqrt(np.maximum(2 * p * (1 - p), 1e-30))[:, None]
+    x = np.where(miss, 0.0, x)
+    x = x[keep]
+    obs = (~miss)[keep].astype(np.float64)
+    num = x.T @ x
+    den = obs.T @ obs
+    return num / np.maximum(den, 1.0), den
+
+
+def write_grm_bin(prefix: str, grm_mat: np.ndarray, nobs: np.ndarray, ids):
+    """plink --make-grm-bin output files: lower triangle row-major float32
+    (.grm.bin), pair counts (.grm.N.bin), sample ids (.grm.id)."""
+    N = grm_mat.shape[0]
+    tri = np.concatenate(
+        [grm_mat[i, : i + 1] for i in range(N)]
+    ).astype("<f4")
+    trin = np.concatenate(
+        [nobs[i, : i + 1] for i in range(N)]
+    ).astype("<f4")
+    tri.tofile(prefix + ".grm.bin")
+    trin.tofile(prefix + ".grm.N.bin")
+    with open(prefix + ".grm.id", "w") as f:
+        for s in ids:
+            f.write(f"{s}\t{s}\n")

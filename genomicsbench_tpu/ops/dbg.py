@@ -1,0 +1,299 @@
+"""de Bruijn graph construction — Platypus assembler kernel (benchmarks/dbg).
+
+Semantics: debruijn.cpp —
+* per 1500bp assembly window (shift 750, debruijn.cpp:1539-1555): build a
+  k=15 graph from the window's reference slice ([start-1500, end+1500)) and
+  the reads starting inside the window,
+* reference pass (loadReferenceIntoGraph:1262-1288): one edge per position
+  i in [0, len-k-1), weight 1, colour REF=1; both endpoint nodes get their
+  colours OR'd and weights += per mention; node position = first insertion,
+* read pass (loadReadIntoGraph:1322-1367, QC-fail reads skipped): the k+1
+  bases spanning the edge must all have qual >= minQual=20 and no N; edge
+  and node mention weight = min qual over the span, colour READ=2,
+* a node keeps at most 4 outgoing edge slots filled in first-mention order
+  (DeBruijnGraph_AddEdge:888-920); edge weights accumulate per mention.
+
+TPU-first design: the pointer-chasing hash build becomes a sort/segment-
+reduce over integer keys — 2-bit packed 15-mers (30 bits; node mentions) and
+(kmer<<2 | next-base) edge keys — co-sorted with weight/colour/position
+payloads on device (lax.sort_key_val), reduced with np.add.reduceat on the
+host.  Windows are independent and processed as one concatenated key space
+(window id in the high bits).  Reference k-mers containing N (representable
+in the reference's string nodes but not in 2-bit keys) take a host dict
+fallback, preserving first-mention order for the 4-slot edge rule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+REF, READ = 1, 2
+K_DEFAULT = 15
+
+
+@dataclasses.dataclass
+class WindowGraph:
+    """Graph content of one window (the parity surface)."""
+
+    nodes: dict      # kmer-key -> [colours, weight, position]
+    edges: dict      # (kmer-key, succ-key) -> weight
+
+    def node_count(self):
+        return len(self.nodes)
+
+    def edge_count(self):
+        return len(self.edges)
+
+
+def _kmers_2bit(codes: np.ndarray, k: int):
+    """(L,) codes -> (L-k+1,) uint64 keys; valid mask (no N)."""
+    L = len(codes)
+    n = L - k + 1
+    if n <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    keys = np.zeros(n, np.int64)
+    valid = np.ones(n, bool)
+    c = codes.astype(np.int64)
+    for j in range(k):
+        keys = (keys << 2) | np.clip(c[j : j + n], 0, 3)
+        valid &= c[j : j + n] <= 3
+    return keys, valid
+
+
+def build_window_graph_oracle(ref_codes, ref_start, reads, k=K_DEFAULT,
+                              min_qual=20) -> WindowGraph:
+    """Exact transliteration of the reference build (dict-based).  Node/edge
+    keys are base-5 encoded so N-containing reference k-mers are kept."""
+    nodes, edges = {}, {}
+    edge_slots = {}
+
+    def kkey(codes):
+        v = 0
+        for c in codes:
+            v = v * 5 + int(min(c, 4))
+        return v
+
+    def upsert(key, colour, weight, position):
+        if key in nodes:
+            nodes[key][0] |= colour
+            nodes[key][1] += weight
+        else:
+            nodes[key] = [colour, weight, position]
+
+    def add_edge(k1, k2, colour, weight, p1, p2):
+        upsert(k1, colour, weight, p1)
+        upsert(k2, colour, weight, p2)
+        slots = edge_slots.setdefault(k1, [])
+        if k2 in slots:
+            edges[(k1, k2)] += weight
+        elif len(slots) < 4:
+            slots.append(k2)
+            edges[(k1, k2)] = weight
+
+    L = len(ref_codes)
+    for i in range(0, L - k - 1):
+        add_edge(kkey(ref_codes[i : i + k]), kkey(ref_codes[i + 1 : i + 1 + k]),
+                 REF, 1, ref_start + i, ref_start + i + 1)
+    for seq, quals, qcfail in reads:
+        if qcfail:
+            continue
+        n = len(seq)
+        for i in range(0, n - k - 1):
+            span_q = quals[i : i + k + 1]
+            span_s = seq[i : i + k + 1]
+            if span_q.min() >= min_qual and (span_s <= 3).all():
+                w = int(span_q.min())
+                add_edge(kkey(seq[i : i + k]), kkey(seq[i + 1 : i + 1 + k]),
+                         READ, w, -1, -1)
+    return WindowGraph(nodes=nodes, edges=edges)
+
+
+def _device_sort_pairs(wids: np.ndarray, keys: np.ndarray):
+    """Stable lexsort by (window id, 32-bit key) on device (two stable
+    sort passes — JAX on TPU has no 64-bit lanes).  Returns the combined
+    sorted keys (as python-int-safe int64 = wid<<32 | key) and the order."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(keys)
+    pad = -(-max(n, 1) // 128) * 128
+    kb = np.full(pad, np.iinfo(np.uint32).max, np.uint32)
+    kb[:n] = keys.astype(np.uint32)
+    wb = np.full(pad, np.iinfo(np.int32).max, np.int32)
+    wb[:n] = wids.astype(np.int32)
+    ib = np.arange(pad, dtype=np.int32)
+    _, order1 = jax.device_get(
+        jax.lax.sort_key_val(jnp.asarray(kb), jnp.asarray(ib), is_stable=True)
+    )
+    _, order = jax.device_get(
+        jax.lax.sort_key_val(
+            jnp.asarray(wb[order1]), jnp.asarray(order1), is_stable=True
+        )
+    )
+    order = order[:n]
+    combined = (wids[order].astype(np.int64) << 32) | keys[order].astype(np.int64)
+    return combined, order
+
+
+def build_window_graphs(windows, k=K_DEFAULT, min_qual=20):
+    """Batched graph build over windows.
+
+    windows: list of (ref_codes, ref_start, reads) with reads =
+    [(seq_codes, quals, qcfail), ...].  Returns [WindowGraph].
+
+    All windows' mention records share one device lexsort per record type
+    ((window id, 32-bit key) pairs).  Reference k-mers containing N take a
+    host dict fallback (N isn't representable in 2-bit keys)."""
+    nw_, nc_, np_, no_, nk_, nwid = [], [], [], [], [], []
+    ek_, ew_, eo_, ewid = [], [], [], []
+    has_n = []
+
+    order_counter = 0
+    for wid, (ref, ref_start, reads) in enumerate(windows):
+        ref = np.asarray(ref)
+        keys, valid = _kmers_2bit(ref, k)
+        nE = len(ref) - k - 1
+        window_has_n = bool((~valid[: max(nE + 1, 0)]).any()) if len(valid) else False
+        has_n.append(window_has_n)
+        if window_has_n:
+            continue  # host fallback handles the whole window exactly
+        if nE > 0:
+            sk = keys[:nE]
+            ek = keys[1 : nE + 1]
+            pos = ref_start + np.arange(nE, dtype=np.int64)
+            nk_ += [sk, ek]
+            nwid += [np.full(nE, wid, np.int32)] * 2
+            nc_ += [np.full(nE, REF, np.int64)] * 2
+            nw_ += [np.ones(nE, np.int64)] * 2
+            np_ += [pos, pos + 1]
+            no_ += [np.arange(nE, dtype=np.int64) * 2 + order_counter,
+                    np.arange(nE, dtype=np.int64) * 2 + order_counter + 1]
+            ek_.append((sk << 2) | ref[k : k + nE].astype(np.int64))
+            ewid.append(np.full(nE, wid, np.int32))
+            ew_.append(np.ones(nE, np.int64))
+            eo_.append(np.arange(nE, dtype=np.int64) + order_counter)
+            order_counter += 2 * nE + 1
+        for seq, quals, qcfail in reads:
+            if qcfail:
+                continue
+            seq = np.asarray(seq)
+            quals = np.asarray(quals)
+            nE2 = len(seq) - k - 1
+            if nE2 <= 0:
+                continue
+            rkeys, rvalid = _kmers_2bit(seq, k)
+            mq = quals.astype(np.int64)[:nE2].copy()
+            for j in range(1, k + 1):
+                mq = np.minimum(mq, quals.astype(np.int64)[j : j + nE2])
+            span_ok = rvalid[:nE2] & rvalid[1 : nE2 + 1] & (mq >= min_qual)
+            idx = np.nonzero(span_ok)[0]
+            if len(idx) == 0:
+                continue
+            sk = rkeys[idx]
+            w = mq[idx]
+            nk_ += [sk, rkeys[idx + 1]]
+            nwid += [np.full(len(idx), wid, np.int32)] * 2
+            nc_ += [np.full(len(idx), READ, np.int64)] * 2
+            nw_ += [w, w]
+            np_ += [np.full(len(idx), -1, np.int64)] * 2
+            no_ += [idx * 2 + order_counter, idx * 2 + order_counter + 1]
+            ek_.append((sk << 2) | seq[idx + k].astype(np.int64))
+            ewid.append(np.full(len(idx), wid, np.int32))
+            ew_.append(w)
+            eo_.append(idx + order_counter)
+            order_counter += 2 * nE2 + 1
+
+    results: list = [None] * len(windows)
+    for wid in range(len(windows)):
+        if not has_n[wid]:
+            results[wid] = WindowGraph(nodes={}, edges={})
+
+    mask2k = (1 << (2 * k)) - 1
+
+    def to5(key2bit):
+        v, out = int(key2bit), 0
+        digits = []
+        for _ in range(k):
+            digits.append(v & 3)
+            v >>= 2
+        for d in reversed(digits):
+            out = out * 5 + d
+        return out
+
+    if nk_:
+        nk = np.concatenate(nk_)
+        nwid = np.concatenate(nwid)
+        nc = np.concatenate(nc_)
+        nw = np.concatenate(nw_)
+        npos = np.concatenate(np_)
+        nord = np.concatenate(no_)
+        ks, order = _device_sort_pairs(nwid, nk)
+        nc, nw, npos, nord = nc[order], nw[order], npos[order], nord[order]
+        starts = np.concatenate([[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1])
+        colours = np.bitwise_or.reduceat(nc, starts)
+        weights = np.add.reduceat(nw, starts)
+        # stable lexsort: first element of each segment = earliest mention
+        positions = npos[starts]
+        for i in range(len(starts)):
+            key = int(ks[starts[i]])
+            wid = key >> 32
+            results[wid].nodes[to5(key & mask2k)] = [
+                int(colours[i]), int(weights[i]), int(positions[i])
+            ]
+
+        ek = np.concatenate(ek_)
+        ewid = np.concatenate(ewid)
+        ew = np.concatenate(ew_)
+        eord = np.concatenate(eo_)
+        eks, eorder = _device_sort_pairs(ewid, ek)
+        ew, eord = ew[eorder], eord[eorder]
+        estarts = np.concatenate([[0], np.nonzero(eks[1:] != eks[:-1])[0] + 1])
+        eweights = np.add.reduceat(ew, estarts)
+        efirst = eord[estarts]
+        # 4-slot first-mention rule per (window, start node)
+        slot_count: dict = {}
+        for i in np.argsort(efirst, kind="stable"):
+            key = int(eks[estarts[i]])
+            wid = key >> 32
+            prefix = (key >> 2) & mask2k
+            nb = key & 3
+            start5 = to5(prefix)
+            succ5 = to5(((prefix << 2) | nb) & mask2k)
+            sk_id = (wid, start5)
+            cnt = slot_count.get(sk_id, 0)
+            if cnt < 4:
+                slot_count[sk_id] = cnt + 1
+                results[wid].edges[(start5, succ5)] = int(eweights[i])
+
+    for wid, flag in enumerate(has_n):
+        if flag:
+            ref, ref_start, reads = windows[wid]
+            results[wid] = build_window_graph_oracle(
+                np.asarray(ref), ref_start, reads, k=k, min_qual=min_qual
+            )
+    return results
+
+
+def dbg_from_bam(bam, fasta_index, chrom: str, beg: int, end: int,
+                 k=K_DEFAULT, min_qual=20, min_mapq=20):
+    """Window tiling + graph build from a BAM region, mirroring the
+    reference driver (debruijn.cpp:1539-1584): 1500bp windows shifted by
+    750, reference slice [start-1500, end+1500), window reads = reads whose
+    start position falls inside the window."""
+    region_size, shift = 1500, 750
+    recs = [r for r in bam.fetch(chrom, beg, end)
+            if not r.is_unmapped and not r.is_qcfail and r.mapq >= min_mapq]
+    recs.sort(key=lambda r: r.pos)
+    starts = np.array([r.pos for r in recs])
+    windows = []
+    for a_start in range(beg, end, shift):
+        a_end = min(a_start + region_size, end)
+        r_start = max(0, a_start - region_size)
+        r_end = min(a_end + region_size, fasta_index.length(chrom))
+        lo = np.searchsorted(starts, a_start, "left")
+        hi = np.searchsorted(starts, a_end, "left")
+        reads = [(recs[i].seq, recs[i].qual, False) for i in range(lo, hi)]
+        windows.append((fasta_index.fetch(chrom, r_start, r_end), r_start, reads))
+    return build_window_graphs(windows, k=k, min_qual=min_qual)

@@ -1,0 +1,114 @@
+"""pileup counts vs hand-computed expectations + BAM IO round trip."""
+
+import numpy as np
+
+from genomicsbench_tpu.io.bam import BamFile, BamRecord, read_bam, write_bam
+from genomicsbench_tpu.ops.pileup import pileup_counts, FEATLEN, FWD_DEL, REV_DEL
+
+
+def mk_rec(name, pos, cigar, seq, flag=0, mapq=60):
+    seq = np.array(seq, np.uint8)
+    return BamRecord(
+        name=name, flag=flag, ref_id=0, pos=pos, mapq=mapq, cigar=cigar,
+        seq=seq, qual=np.full(len(seq), 30, np.uint8),
+    )
+
+
+def mk_bam(records, ref_len=1000):
+    return BamFile(header_text="@HD\tVN:1.6\n", ref_names=["chr1"],
+                   ref_lens=[ref_len], records=records)
+
+
+class TestBamIo:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        recs = [
+            mk_rec("r1", 10, [("S", 3), ("M", 20), ("I", 2), ("M", 5), ("D", 3), ("M", 4)],
+                   rng.integers(0, 4, 34)),
+            mk_rec("r2", 50, [("M", 30)], rng.integers(0, 5, 30), flag=16, mapq=7),
+        ]
+        bam = mk_bam(recs)
+        p = tmp_path / "t.bam"
+        write_bam(str(p), bam)
+        loaded = read_bam(str(p))
+        assert loaded.ref_names == ["chr1"]
+        assert len(loaded.records) == 2
+        for a, b in zip(recs, loaded.records):
+            assert a.name == b.name and a.pos == b.pos and a.flag == b.flag
+            assert a.cigar == b.cigar and a.mapq == b.mapq
+            np.testing.assert_array_equal(a.seq, b.seq)
+            np.testing.assert_array_equal(a.qual, b.qual)
+
+    def test_fetch_overlap(self):
+        recs = [mk_rec("a", 10, [("M", 10)], np.zeros(10)),
+                mk_rec("b", 30, [("M", 10)], np.zeros(10))]
+        bam = mk_bam(recs)
+        assert [r.name for r in bam.fetch("chr1", 15, 35)] == ["a", "b"]
+        assert [r.name for r in bam.fetch("chr1", 20, 30)] == []
+
+
+class TestPileup:
+    def test_simple_matches(self):
+        # fwd read ACGT at 100, rev read ACGT at 102
+        r1 = mk_rec("f", 100, [("M", 4)], [0, 1, 2, 3])
+        r2 = mk_rec("r", 102, [("M", 4)], [0, 1, 2, 3], flag=16)
+        res = pileup_counts(mk_bam([r1, r2]), "chr1:101-110")
+        np.testing.assert_array_equal(res.major, [100, 101, 102, 103, 104, 105])
+        np.testing.assert_array_equal(res.minor, [0] * 6)
+        m = res.matrix
+        assert m[0, 4] == 1            # A fwd
+        assert m[1, 5] == 1            # C fwd
+        assert m[2, 6] == 1 and m[2, 0] == 1   # G fwd + a rev
+        assert m[3, 7] == 1 and m[3, 1] == 1   # T fwd + c rev
+        assert m[4, 2] == 1            # g rev
+        assert m[5, 3] == 1            # t rev
+
+    def test_insertion_minor_columns(self):
+        # M2 I2 M1 starting at 10: insertion anchored at pos 11
+        r = mk_rec("i", 10, [("M", 2), ("I", 2), ("M", 1)], [0, 0, 1, 2, 3])
+        res = pileup_counts(mk_bam([r]), "chr1:11-13")
+        np.testing.assert_array_equal(res.major, [10, 11, 11, 11, 12])
+        np.testing.assert_array_equal(res.minor, [0, 0, 1, 2, 0])
+        assert res.matrix[1, 4] == 1   # A at (11,0)
+        assert res.matrix[2, 5] == 1   # inserted C at (11,1)
+        assert res.matrix[3, 6] == 1   # inserted G at (11,2)
+        assert res.matrix[4, 7] == 1   # T at (12,0)
+
+    def test_deletion_and_strand(self):
+        r = mk_rec("d", 20, [("M", 1), ("D", 2), ("M", 1)], [0, 1], flag=16)
+        res = pileup_counts(mk_bam([r]), "chr1:21-24")
+        np.testing.assert_array_equal(res.major, [20, 21, 22, 23])
+        assert res.matrix[0, 0] == 1               # a (rev)
+        assert res.matrix[1, REV_DEL] == 1
+        assert res.matrix[2, REV_DEL] == 1
+        assert res.matrix[3, 1] == 1               # c (rev)
+
+    def test_insertion_after_deletion_dropped(self):
+        # medaka's is_del branch drops p->indel: insertions anchored at a
+        # deleted position are not counted
+        r = mk_rec("x", 5, [("M", 1), ("D", 1), ("I", 2), ("M", 1)], [0, 1, 2, 3])
+        res = pileup_counts(mk_bam([r]), "chr1:6-8")
+        assert (res.minor == 0).all()  # no minor columns opened
+        assert res.matrix[:, 5].sum() == 0  # inserted C never counted
+
+    def test_mapq_filter_and_gaps(self):
+        r1 = mk_rec("low", 10, [("M", 5)], [0] * 5, mapq=0)
+        r2 = mk_rec("ok", 40, [("M", 3)], [1] * 3)
+        res = pileup_counts(mk_bam([r1, r2]), "chr1:1-100")
+        # low-mapq read filtered; uncovered positions produce no columns
+        np.testing.assert_array_equal(res.major, [40, 41, 42])
+        assert res.matrix[:, 5].sum() == 3
+
+    def test_ambiguous_base_skipped_but_covers(self):
+        r = mk_rec("n", 10, [("M", 3)], [0, 4, 1])
+        res = pileup_counts(mk_bam([r]), "chr1:11-13")
+        np.testing.assert_array_equal(res.major, [10, 11, 12])
+        assert res.matrix[1].sum() == 0  # N contributes nothing
+
+    def test_qstrat_planes(self):
+        r = mk_rec("q", 10, [("M", 2)], [0, 0])
+        r.qual = np.array([1, 50], np.uint8)
+        res = pileup_counts(mk_bam([r]), "chr1:11-12", num_homop=3)
+        # qual 1 -> plane 0; qual 50 -> plane min(50,3)-1 = 2
+        assert res.matrix[0, 4] == 1
+        assert res.matrix[1, 2 * FEATLEN + 4] == 1

@@ -17,3 +17,9 @@ g++ -O2 -I"$OUT/stub" -I"$REF/benchmarks/chain/src" \
     -fopenmp -o "$OUT/chain_gold"
 
 echo "built $OUT/bsw_gold $OUT/chain_gold"
+
+g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/abea_stub/config.h" \
+    -I"$HERE/ref_drivers/abea_stub" -I"$REF/benchmarks/abea/src" \
+    "$HERE/ref_drivers/abea_gold.cpp" "$REF/benchmarks/abea/src/align.c" \
+    "$REF/benchmarks/abea/src/events.c" -o "$OUT/abea_gold" -lm
+echo "built $OUT/abea_gold"

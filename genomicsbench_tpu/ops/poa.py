@@ -85,7 +85,8 @@ def export_graph_arrays(graph: PoaGraph, n_pad: int, p_pad: int):
 
 
 def max_in_degree(graph: PoaGraph) -> int:
-    return max((len(n.preds) for n in graph.nodes), default=1)
+    # >= 1: even pred-less nodes carry the virtual-start slot (rank 0)
+    return max(max((len(n.preds) for n in graph.nodes), default=1), 1)
 
 
 # -------------------------------------------------------------- device kernel

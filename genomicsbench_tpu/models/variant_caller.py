@@ -1,0 +1,224 @@
+"""Clair-style neural variant caller — TPU-native JAX model.
+
+Capability target: the reference nn-variant benchmark (benchmarks/
+nn-variant/prediction.py — inference-only loop over pre-built mini
+batches) with the Clair "2BiLSTM" architecture (clair/model.py:400-620):
+
+  input  X (B, 33, 8, 4)   33 = 2*flankingBaseNum+1 positions,
+                           8 count rows (ACGTacgt), 4 channels
+                           (shared/param.py:9-11)
+  flatten -> (B, 33, 32)                          (model.py:403-411)
+  BiLSTM1 128 units/dir -> (B, 33, 256)           (model.py:423-431)
+  BiLSTM2 128 units/dir -> (B, 33, 256)           (model.py:443-451)
+  L3  slice-dense along the channel axis: 256 independent 33->30
+      dense layers with SELU, stacked -> (B, 30, 256), flattened
+      row-major -> (B, 7680)                      (model.py:464-480)
+  L4  dense 7680->192 SELU                        (model.py:484-491)
+  L5_1..L5_4 dense 192->96 SELU (one per head)    (model.py:505-577)
+  heads: dense 96->{21, 3, 33, 33} with SELU applied to the logits
+      (a reference quirk, kept for parity), then softmax
+      (model.py:581-620; label counts clair/task/{gt21,genotype,
+      variant_length}.py)
+
+TPU-first notes:
+* The LSTM input projection for ALL timesteps is one (B*T, I) x (I, 4H)
+  matmul (MXU), with only the (H, 4H) recurrent matmul inside the
+  `lax.scan` step; bidirectional = two scans over the same projected
+  inputs (one reversed).
+* Gate order in the packed kernels is (i, f, g, o) with NO forget-gate
+  bias offset — the cudnn-compatible convention the reference uses on
+  GPU (tf.contrib CudnnLSTM / CudnnCompatibleLSTMCell, model.py:266-327).
+  Weight import from an external checkpoint must convert to this layout;
+  `import_weights` below takes a flat {name: array} dict in this layout.
+* Inference is pure data parallelism over the batch axis (the model is
+  tiny relative to HBM), provided by `predict_sharded` over a 1-D mesh.
+
+The reference checkpoint artifacts are stripped from the snapshot
+(no .ckpt/.h5 shipped), so parity is structural: shapes, parameter
+counts, and the documented forward semantics; numerics are validated by
+property tests (softmax heads, determinism, batch-size invariance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Label counts: clair/task/gt21.py (21), genotype.py (3),
+# variant_length.py (2*16+1 = 33 each).
+GT21_CLASSES = 21
+GENOTYPE_CLASSES = 3
+VARIANT_LENGTH_CLASSES = 33
+
+
+@dataclasses.dataclass(frozen=True)
+class ClairConfig:
+    seq_len: int = 33  # 2*flankingBaseNum + 1 (param.py:9)
+    rows: int = 8  # matrixRow (param.py:10)
+    channels: int = 4  # matrixNum (param.py:11)
+    lstm_units: int = 128  # LSTM{1,2}_num_units (model.py:92-93)
+    l3_units: int = 30  # L2_num_units, reused for slice-dense (model.py:81,466)
+    l4_units: int = 192  # model.py:82
+    l5_units: int = 96  # model.py:84-90
+    head_sizes: tuple = (
+        GT21_CLASSES,
+        GENOTYPE_CLASSES,
+        VARIANT_LENGTH_CLASSES,
+        VARIANT_LENGTH_CLASSES,
+    )
+    dtype: str = "float32"
+
+    @property
+    def input_feats(self) -> int:
+        return self.rows * self.channels
+
+    @classmethod
+    def tiny(cls):
+        return cls(lstm_units=16, l3_units=8, l4_units=32, l5_units=16)
+
+
+HEAD_NAMES = ("gt21", "genotype", "indel_length_1", "indel_length_2")
+
+
+def _dense_init(key, fan_in, fan_out, dtype):
+    # He/variance-scaling FAN_IN, matching the reference initializer intent.
+    w = jax.random.normal(key, (fan_in, fan_out), dtype) * np.sqrt(2.0 / fan_in)
+    return {"w": w, "b": jnp.zeros((fan_out,), dtype)}
+
+
+def _lstm_init(key, in_dim, units, dtype):
+    k1, k2 = jax.random.split(key)
+    s = np.sqrt(1.0 / units)
+    return {
+        "wx": jax.random.normal(k1, (in_dim, 4 * units), dtype) * np.sqrt(1.0 / in_dim),
+        "wh": jax.random.normal(k2, (units, 4 * units), dtype) * s,
+        "b": jnp.zeros((4 * units,), dtype),
+    }
+
+
+def init_params(key, cfg: ClairConfig):
+    dt = jnp.dtype(cfg.dtype)
+    keys = jax.random.split(key, 16)
+    h2 = 2 * cfg.lstm_units
+    params = {
+        "lstm1_fw": _lstm_init(keys[0], cfg.input_feats, cfg.lstm_units, dt),
+        "lstm1_bw": _lstm_init(keys[1], cfg.input_feats, cfg.lstm_units, dt),
+        "lstm2_fw": _lstm_init(keys[2], h2, cfg.lstm_units, dt),
+        "lstm2_bw": _lstm_init(keys[3], h2, cfg.lstm_units, dt),
+        # slice-dense: per-channel (T -> l3_units) kernels, stacked (C, T, U).
+        "l3": {
+            "w": jax.random.normal(keys[4], (h2, cfg.seq_len, cfg.l3_units), dt)
+            * np.sqrt(2.0 / cfg.seq_len),
+            "b": jnp.zeros((h2, cfg.l3_units), dt),
+        },
+        "l4": _dense_init(keys[5], cfg.l3_units * h2, cfg.l4_units, dt),
+    }
+    for i, (name, hs) in enumerate(zip(HEAD_NAMES, cfg.head_sizes)):
+        params[f"l5_{name}"] = _dense_init(keys[6 + 2 * i], cfg.l4_units, cfg.l5_units, dt)
+        params[f"head_{name}"] = _dense_init(keys[7 + 2 * i], cfg.l5_units, hs, dt)
+    return params
+
+
+def _bilstm(p_fw, p_bw, x, units):
+    """x: (B, T, I) -> (B, T, 2*units).  Gate order (i, f, g, o), cudnn
+    convention: no forget-bias offset."""
+
+    def run(p, xs):
+        # One big MXU matmul for the input projection of every step.
+        xproj = jnp.einsum("bti,ig->btg", xs, p["wx"]) + p["b"]
+
+        def step(carry, xp):
+            h, c = carry
+            gates = xp + h @ p["wh"]
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        b = xs.shape[0]
+        h0 = jnp.zeros((b, units), xs.dtype)
+        (_, _), hs = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xproj, 0, 1))
+        return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+    fw = run(p_fw, x)
+    bw = jnp.flip(run(p_bw, jnp.flip(x, axis=1)), axis=1)
+    return jnp.concatenate([fw, bw], axis=-1)
+
+
+def forward(params, x, cfg: ClairConfig):
+    """x: (B, T, rows, channels) float -> dict of 4 softmax heads."""
+    b = x.shape[0]
+    x = x.astype(cfg.dtype).reshape(b, cfg.seq_len, cfg.input_feats)
+    h = _bilstm(params["lstm1_fw"], params["lstm1_bw"], x, cfg.lstm_units)
+    h = _bilstm(params["lstm2_fw"], params["lstm2_bw"], h, cfg.lstm_units)
+    # L3 slice-dense over channels: out[b,u,c] = selu(sum_t h[b,t,c] W[c,t,u]).
+    l3 = jax.nn.selu(
+        jnp.einsum("btc,ctu->buc", h, params["l3"]["w"]) + params["l3"]["b"].T[None]
+    )
+    flat = l3.reshape(b, -1)  # (B, U*C), row-major (u, c) like the reference reshape
+    l4 = jax.nn.selu(flat @ params["l4"]["w"] + params["l4"]["b"])
+    out = {}
+    for name in HEAD_NAMES:
+        l5 = jax.nn.selu(l4 @ params[f"l5_{name}"]["w"] + params[f"l5_{name}"]["b"])
+        logits = jax.nn.selu(
+            l5 @ params[f"head_{name}"]["w"] + params[f"head_{name}"]["b"]
+        )  # SELU on logits: reference quirk (model.py:581-620)
+        out[name] = jax.nn.softmax(logits, axis=-1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def predict(params, x, cfg: ClairConfig):
+    return forward(params, x, cfg)
+
+
+def predict_batches(params, batches, cfg: ClairConfig):
+    """The reference prediction loop (prediction.py:11-45): iterate
+    mini-batches, run the model, collect [gt21, genotype, il1, il2]."""
+    outs = []
+    for x in batches:
+        y = predict(params, jnp.asarray(x), cfg)
+        outs.append([np.asarray(y[n]) for n in HEAD_NAMES])
+    return outs
+
+
+def predict_sharded(params, x, cfg: ClairConfig, mesh):
+    """Data-parallel inference over a 1-D device mesh ('data' axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    x = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    fn = jax.jit(
+        functools.partial(forward, cfg=cfg),
+        in_shardings=(repl, NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    return fn(params, x)
+
+
+def import_weights(flat: dict, cfg: ClairConfig):
+    """Build params from a flat {path: ndarray} dict (the weight-import
+    contract for converted reference checkpoints; see module docstring
+    for the required gate layout)."""
+    params = init_params(jax.random.key(0), cfg)
+
+    def assign(tree, path, val):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        want = node[path[-1]].shape
+        assert tuple(val.shape) == tuple(want), f"{path}: {val.shape} != {want}"
+        node[path[-1]] = jnp.asarray(val, node[path[-1]].dtype)
+
+    for name, val in flat.items():
+        assign(params, name.split("/"), val)
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

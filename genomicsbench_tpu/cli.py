@@ -1,0 +1,391 @@
+"""gbench — the suite CLI.
+
+One entry point with a subcommand per benchmark, mirroring the canonical
+invocations in the reference's scripts/run-cpu.sh:26-53 and
+run-gpu.sh:25-45 (argument names and defaults follow each reference
+binary's getopt loop; citations inline).  Every subcommand prints the
+reference's timing line format so downstream tooling/parity checks can
+diff the reports.
+
+    python -m genomicsbench_tpu <subcommand> [args]
+
+Subcommands: fmi bsw phmm dbg chain poa kmer-cnt pileup grm eventalign
+nn-base nn-variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _t():
+    return time.perf_counter()
+
+
+# --------------------------------------------------------------------- fmi
+def cmd_fmi(args):
+    """fmi ref.fa query.fastq batch_size minSeedLen n_threads (fmi.cpp:56)."""
+    from genomicsbench_tpu.io.msa_fasta import encode_seq
+    from genomicsbench_tpu.io.seqio import load_fastx_batch, read_fastx
+    from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+
+    ref = encode_seq(read_fastx(args.ref)[0][1].decode())
+    idx = build_fmd_index(ref)
+    batch = load_fastx_batch(args.query, max_reads=args.max_reads)
+    pipe = FmiPipeline(idx, min_seed_len=args.min_seed_len)
+    t0 = _t()
+    total = 0
+    out = []
+    for s in range(0, batch.n, args.batch_size):
+        sl = slice(s, min(s + args.batch_size, batch.n))
+        p1, p2, p3, count = pipe.run(batch.codes[sl], batch.lengths[sl])
+        total += count
+        if args.print_output:
+            out.append((s, p1, p2, p3))
+    dt = _t() - t0
+    if args.print_output:
+        for s0, *passes in out:
+            for smems in passes:
+                for rid, m, n in zip(smems.rid, smems.m, smems.n):
+                    print(f"{s0 + rid}: [{m}, {n + 1}]")
+    print(f"Consumed: {dt:.2f} sec, totalSmem: {total}", file=sys.stderr)
+
+
+# --------------------------------------------------------------------- bsw
+def cmd_bsw(args):
+    """bsw -pairs FILE -b batch [-match -mismatch -gapo -gape] (main_banded.cpp:84-129)."""
+    from genomicsbench_tpu.config import BswParams
+    from genomicsbench_tpu.io.pairs import load_pairs
+    from genomicsbench_tpu.ops.bsw import banded_sw_pairs
+
+    params = BswParams(
+        match=args.match, mismatch=-abs(args.mismatch),
+        o_del=args.gapo, e_del=args.gape, o_ins=args.gapo, e_ins=args.gape,
+    )
+    batch = load_pairs(args.pairs)
+    t0 = _t()
+    res = banded_sw_pairs(batch, params, batch_size=args.batch_size)
+    dt = _t() - t0
+    if args.print_output:
+        for i in range(len(res.score)):
+            print(*res.row(i))
+    cells = int((batch.qlen.astype(np.int64) * batch.tlen).sum())
+    print(f"Overall SW cycles(sec): {dt:.4f}  pairs: {len(res.score)} "
+          f"cells/s: {cells / dt:.3e}", file=sys.stderr)
+
+
+# -------------------------------------------------------------------- phmm
+def cmd_phmm(args):
+    """phmm -f testfile [-l loop] (PairHMMUnitTest.cpp:61-64)."""
+    from genomicsbench_tpu.io.phmm_text import load_phmm_testfile
+    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch
+
+    batches = load_phmm_testfile(args.f)
+    t0 = _t()
+    for _ in range(args.loop):
+        results = []
+        for b in batches:
+            reads = [dict(bases=r.bases, q=r.q, i=r.i, d=r.d, c=r.c) for r in b.reads]
+            results.append(pairhmm_batch(reads, b.haps))
+    dt = _t() - t0
+    if args.print_output:
+        for r in results:
+            for v in r:
+                print(f"{v:E}")
+    print(f"PairHMM completed. Kernel runtime: {dt:.2f} sec", file=sys.stderr)
+
+
+# ------------------------------------------------------------------- chain
+def cmd_chain(args):
+    """chain -i in.txt -o out.txt (chain/src/main.cpp:22-37)."""
+    from genomicsbench_tpu.io.anchors import load_anchor_calls
+    from genomicsbench_tpu.ops.chain import chain_batch
+
+    calls = load_anchor_calls(args.input)
+    t0 = _t()
+    res = chain_batch(calls)
+    dt = _t() - t0
+    if args.output:
+        with open(args.output, "w") as f:  # print_return format (host_data_io.cpp:52-59)
+            for r in range(len(res.n)):
+                n = int(res.n[r])
+                f.write(f"{n}\n")
+                for i in range(n):
+                    f.write(f"{int(res.scores[r, i])}\t{int(res.parents[r, i])}\n")
+                f.write("EOR\n")
+    print(f"Time in kernel: {dt:.2f} sec", file=sys.stderr)
+
+
+# --------------------------------------------------------------------- poa
+def cmd_poa(args):
+    """poa -s input.fasta [-m -x -o g1,g2 -e e1,e2] (msa_spoa_omp.cpp:119-148)."""
+    from genomicsbench_tpu.config import PoaParams
+    from genomicsbench_tpu.io.msa_fasta import decode_seq, read_msa_windows
+    from genomicsbench_tpu.ops.poa import msa_consensus_batch
+
+    o = [int(x) for x in args.gap_open.split(",")]
+    e = [int(x) for x in args.gap_ext.split(",")]
+    params = PoaParams(
+        match=args.match, mismatch=-abs(args.mismatch),
+        gap_open1=-abs(o[0]), gap_ext1=-abs(e[0]),
+        gap_open2=-abs(o[-1]), gap_ext2=-abs(e[-1]),
+    )
+    windows = read_msa_windows(args.seqfile)
+    t0 = _t()
+    cons = msa_consensus_batch(windows, params)
+    dt = _t() - t0
+    for i, c in enumerate(cons):
+        print(f">Consensus_sequence_{i}\n{decode_seq(c)}")
+    print(f"Runtime: {dt:.2f} sec ({len(windows)} windows)", file=sys.stderr)
+
+
+# ---------------------------------------------------------------- kmer-cnt
+def cmd_kmer_cnt(args):
+    """kmer-cnt --reads f --config cfg [--kmer k] (kmer_cnt.cpp:31-106)."""
+    from genomicsbench_tpu.config import load_keyvalue_config
+    from genomicsbench_tpu.io.seqio import load_fastx_batch
+    from genomicsbench_tpu.ops.kmer import count_kmers, minimizer_mask
+
+    cfg = load_keyvalue_config(args.config) if args.config else {}
+    k = args.kmer or int(cfg.get("kmer_size", 15))
+    use_min = bool(cfg.get("use_minimizers", False))
+    window = int(cfg.get("minimizer_window", 5))
+    batch = load_fastx_batch(args.reads)
+    t0 = _t()
+    if use_min:
+        import jax
+
+        mask = jax.device_get(
+            minimizer_mask(batch.codes, batch.lengths, k=k, window=window)
+        )
+        n = int(mask.sum())
+        print(f"Kernel time: {_t() - t0:.3f} sec  minimizers: {n}", file=sys.stderr)
+    else:
+        uniq, counts = count_kmers(batch.codes, batch.lengths, k)
+        print(f"Kernel time: {_t() - t0:.3f} sec  unique kmers: {len(uniq)}  "
+              f"total: {int(counts.sum())}", file=sys.stderr)
+
+
+# ------------------------------------------------------------------ pileup
+def cmd_pileup(args):
+    """pileup <bam> <region> [dtypes...] (medaka_counts.c:487)."""
+    from genomicsbench_tpu.io.bam import read_bam
+    from genomicsbench_tpu.ops.pileup import pileup_counts
+
+    bam = read_bam(args.bam)
+    t0 = _t()
+    res = pileup_counts(bam, args.region, num_dtypes=max(1, len(args.dtypes)),
+                        num_homop=args.num_homop)
+    dt = _t() - t0
+    if args.print_output:
+        sys.stdout.write(res.text())
+    print(f"Kernel runtime: {dt:.2f} s", file=sys.stderr)
+
+
+# --------------------------------------------------------------------- dbg
+def cmd_dbg(args):
+    """dbg file.bam chr:start-stop ref.fa (debruijn.cpp:1442)."""
+    from genomicsbench_tpu.io.bam import FastaIndex, read_bam
+    from genomicsbench_tpu.ops.dbg import dbg_from_bam
+
+    bam = read_bam(args.bam)
+    fa = FastaIndex(args.ref)
+    chrom, se = args.region.rsplit(":", 1)
+    beg, end = (int(x) for x in se.split("-"))
+    t0 = _t()
+    graphs = dbg_from_bam(bam, fa, chrom, beg, end)
+    dt = _t() - t0
+    nodes = sum(len(g.kmers) for g in graphs)
+    print(f"Kernel runtime: {dt:.2f} s  windows: {len(graphs)} nodes: {nodes}",
+          file=sys.stderr)
+
+
+# --------------------------------------------------------------------- grm
+def cmd_grm(args):
+    """plink2 --maf --make-grm-bin --out (run-cpu.sh:53,84)."""
+    from genomicsbench_tpu.io.plink import read_bed
+    from genomicsbench_tpu.ops.grm import grm, write_grm_bin
+
+    geno, ids = read_bed(args.bfile)
+    t0 = _t()
+    mat, nobs = grm(geno, maf=args.maf)
+    dt = _t() - t0
+    if args.out:
+        write_grm_bin(args.out, mat, nobs, ids)
+    print(f"GRM: {mat.shape[0]} samples, {dt:.2f} sec", file=sys.stderr)
+
+
+# --------------------------------------------------------------- eventalign
+def cmd_eventalign(args):
+    """f5c eventalign equivalent over raw-signal + read-sequence inputs
+    (run-gpu.sh:34,45; TSV format eventalign.c:1651-1941).  Signals come
+    from an .npz (one array per read name) paired with a FASTA/Q."""
+    from genomicsbench_tpu.io.msa_fasta import encode_seq
+    from genomicsbench_tpu.io.seqio import read_fastx
+    from genomicsbench_tpu.ops import abea as abea_ops
+    from genomicsbench_tpu.ops.eventalign import eventalign_reads
+
+    if args.model:
+        model_mean, model_stdv = abea_ops.load_model_tsv(args.model)
+    else:
+        model_mean, model_stdv = abea_ops.synthetic_model(seed=0)
+    sig = np.load(args.signals)
+    names, seqs, raws = [], [], []
+    for name, seq in read_fastx(args.reads):
+        if name in sig:
+            names.append(name)
+            seqs.append(encode_seq(seq.decode()))
+            raws.append(np.asarray(sig[name], np.float32))
+    t0 = _t()
+    results = eventalign_reads(raws, seqs, model_mean, model_stdv,
+                               tsv_fp=sys.stdout, sample_rate=args.sample_rate)
+    dt = _t() - t0
+    n_ok = sum(1 for r in results if r.flag == 0)
+    print(f"[eventalign] {n_ok}/{len(results)} reads aligned, "
+          f"total entries: {sum(len(r.alignment.event_idx) for r in results if r.alignment)}; "
+          f"Data processing time: {dt:.3f} sec", file=sys.stderr)
+
+
+# ----------------------------------------------------------------- nn-base
+def cmd_nn_base(args):
+    """basecall.py equivalent: chunked CTC basecalling of raw signals
+    (.npz of float arrays) -> FASTQ (basecall.py:630-645)."""
+    from genomicsbench_tpu.models.basecaller import (
+        BasecallerConfig, basecall_signals, init_params,
+    )
+    import jax
+
+    cfg = BasecallerConfig()
+    params = init_params(jax.random.key(0), cfg)
+    sig = np.load(args.signals)
+    names = list(sig.keys())
+    t0 = _t()
+    seqs = basecall_signals(
+        params, [np.asarray(sig[n], np.float32) for n in names], cfg,
+        chunksize=args.chunksize, overlap=args.overlap,
+        beamsize=args.beamsize,
+    )
+    dt = _t() - t0
+    n_samples = sum(len(sig[n]) for n in names)
+    for n, s in zip(names, seqs):
+        print(f"@{n}\n{s}\n+\n{'I' * len(s)}")
+    print(f"> completed reads: {len(names)}", file=sys.stderr)
+    print(f"> samples per second {n_samples / dt:.1E}", file=sys.stderr)
+
+
+# -------------------------------------------------------------- nn-variant
+def cmd_nn_variant(args):
+    """prediction.py equivalent: h5 mini-batch inference (prediction.py:70-116)."""
+    import jax
+
+    from genomicsbench_tpu.io.h5_batches import read_batches, write_batches
+    from genomicsbench_tpu.models import variant_caller as vc
+
+    cfg = vc.ClairConfig()
+    params = vc.init_params(jax.random.key(0), cfg)
+    batches = read_batches(args.input_fn)
+    t0 = _t()
+    outs = vc.predict_batches(params, [x for x, _ in batches], cfg)
+    dt = _t() - t0
+    if args.output_fn:
+        write_batches(args.output_fn, [np.concatenate(o, axis=1) for o in outs])
+    print(f"Time taken: {dt:.4f} s", file=sys.stderr)
+
+
+# ------------------------------------------------------------------ parser
+def build_parser():
+    p = argparse.ArgumentParser(prog="gbench", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("fmi", help="FM-index SMEM seeding")
+    s.add_argument("ref"); s.add_argument("query")
+    s.add_argument("batch_size", type=int, nargs="?", default=512)
+    s.add_argument("min_seed_len", type=int, nargs="?", default=19)
+    s.add_argument("--max-reads", type=int, default=None)
+    s.add_argument("--print-output", action="store_true")
+    s.set_defaults(fn=cmd_fmi)
+
+    s = sub.add_parser("bsw", help="banded Smith-Waterman extension")
+    s.add_argument("-pairs", required=True)
+    s.add_argument("-b", "--batch-size", type=int, default=512)
+    s.add_argument("-match", type=int, default=1)
+    s.add_argument("-mismatch", type=int, default=4)
+    s.add_argument("-gapo", type=int, default=6)
+    s.add_argument("-gape", type=int, default=1)
+    s.add_argument("--print-output", action="store_true")
+    s.set_defaults(fn=cmd_bsw)
+
+    s = sub.add_parser("phmm", help="pair-HMM forward likelihood")
+    s.add_argument("-f", required=True)
+    s.add_argument("-l", "--loop", type=int, default=1)
+    s.add_argument("--print-output", action="store_true")
+    s.set_defaults(fn=cmd_phmm)
+
+    s = sub.add_parser("chain", help="minimap2 anchor chaining")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output")
+    s.set_defaults(fn=cmd_chain)
+
+    s = sub.add_parser("poa", help="partial-order MSA consensus")
+    s.add_argument("-s", "--seqfile", required=True)
+    s.add_argument("-m", "--match", type=int, default=2)
+    s.add_argument("-x", "--mismatch", type=int, default=4)
+    s.add_argument("-o", "--gap-open", default="4,24")
+    s.add_argument("-e", "--gap-ext", default="2,1")
+    s.set_defaults(fn=cmd_poa)
+
+    s = sub.add_parser("kmer-cnt", help="k-mer counting / minimizers")
+    s.add_argument("--reads", required=True)
+    s.add_argument("--config")
+    s.add_argument("--kmer", type=int)
+    s.set_defaults(fn=cmd_kmer_cnt)
+
+    s = sub.add_parser("pileup", help="pileup counts matrix")
+    s.add_argument("bam"); s.add_argument("region")
+    s.add_argument("dtypes", nargs="*", default=[])
+    s.add_argument("--num-homop", type=int, default=1)
+    s.add_argument("--print-output", action="store_true")
+    s.set_defaults(fn=cmd_pileup)
+
+    s = sub.add_parser("dbg", help="de Bruijn graph construction")
+    s.add_argument("bam"); s.add_argument("region"); s.add_argument("ref")
+    s.set_defaults(fn=cmd_dbg)
+
+    s = sub.add_parser("grm", help="genetic relationship matrix")
+    s.add_argument("--bfile", required=True)
+    s.add_argument("--maf", type=float, default=0.01)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_grm)
+
+    s = sub.add_parser("eventalign", help="adaptive banded event alignment")
+    s.add_argument("--signals", required=True, help=".npz of raw signals")
+    s.add_argument("--reads", required=True, help="FASTA/Q of read sequences")
+    s.add_argument("--model", help="pore model TSV (else synthetic)")
+    s.add_argument("--sample-rate", type=float, default=4000.0)
+    s.set_defaults(fn=cmd_eventalign)
+
+    s = sub.add_parser("nn-base", help="neural basecalling")
+    s.add_argument("--signals", required=True, help=".npz of raw signals")
+    s.add_argument("--chunksize", type=int, default=6000)
+    s.add_argument("--overlap", type=int, default=300)
+    s.add_argument("--beamsize", type=int, default=5)
+    s.set_defaults(fn=cmd_nn_base)
+
+    s = sub.add_parser("nn-variant", help="neural variant calling")
+    s.add_argument("--input_fn", required=True)
+    s.add_argument("--output_fn")
+    s.set_defaults(fn=cmd_nn_variant)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -175,3 +175,37 @@ class GrmParams:
 
     maf: float = 0.01
     block_size: int = 4096
+
+
+def load_keyvalue_config(path) -> dict:
+    """Flye-style key=value config with %include directives
+    (kmer-cnt config.h:35-72).  Values are parsed as int/float/bool when
+    possible; later keys override earlier ones; %include paths are
+    resolved relative to the including file."""
+    import pathlib
+
+    path = pathlib.Path(path)
+    out: dict = {}
+    for raw in path.read_text().splitlines():
+        line = raw.split(";")[0].split("#")[0].strip()
+        if not line:
+            continue
+        if line.startswith("%include"):
+            inc = line.split(None, 1)[1].strip().strip('"')
+            out.update(load_keyvalue_config(path.parent / inc))
+            continue
+        if "=" not in line:
+            continue
+        key, val = (t.strip() for t in line.split("=", 1))
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except (TypeError, ValueError):
+                continue
+        if val in ("true", "True"):
+            val = True
+        elif val in ("false", "False"):
+            val = False
+        out[key] = val
+    return out

@@ -197,3 +197,138 @@ def greedy_decode(logp):
 
     out, n = jax.vmap(compact_row)(ids, keep)
     return out, n
+
+
+# ---------------------------------------------------------------------------
+# basecall pipeline: normalize -> chunk -> forward -> stitch -> decode
+# (reference: basecall.py:295-316 chunk/stitch, 367-398 normalization,
+#  100-106 beam-search decode, 580-627 main loop)
+# ---------------------------------------------------------------------------
+
+def med_mad(x, factor=1.4826):
+    """Median and scaled median absolute deviation (basecall.py:391-397)."""
+    med = np.median(x)
+    mad = np.median(np.abs(x - med)) * factor
+    return med, mad
+
+
+def norm_by_noisiest_section(signal, samples=100, threshold=6.0):
+    """Normalise by med/MAD of the longest continuous high-noise region
+    (basecall.py:367-388; the reference uses scipy find_peaks on a binary
+    noise mask — equivalent to the longest run of 1s, computed directly)."""
+    signal = np.asarray(signal, np.float32)
+    thr = signal.std() / threshold
+    n_win = signal.shape[0] // samples
+    noise = np.ones(signal.shape, np.int8)
+    for idx in range(n_win):
+        w = slice(idx * samples, (idx + 1) * samples)
+        noise[w] = 1 if signal[w].std() > thr else 0
+    noise[0] = 0
+    noise[-1] = 0
+    # longest run of 1s
+    best_len, best_l, cur_l = 0, 0, None
+    for i, v in enumerate(noise):
+        if v and cur_l is None:
+            cur_l = i
+        elif not v and cur_l is not None:
+            if i - cur_l > best_len:
+                best_len, best_l = i - cur_l, cur_l
+            cur_l = None
+    if best_len:
+        med, mad = med_mad(signal[best_l - 1 : best_l + best_len + 1])
+    else:
+        med, mad = med_mad(signal)
+    return (signal - med) / mad
+
+
+def chunk_signal(raw, chunksize, overlap):
+    """Overlapping chunks (basecall.py:295-304): stride = chunksize -
+    overlap, zero-padded tail.  Returns (num_chunks, chunksize)."""
+    raw = np.asarray(raw, np.float32)
+    if chunksize <= 0 or raw.shape[0] <= chunksize:
+        return raw[None, :]
+    stride = chunksize - overlap
+    num_chunks = raw.shape[0] // stride + 1
+    tmp = np.zeros(num_chunks * stride, np.float32)
+    tmp[: raw.shape[0]] = raw
+    n = (len(tmp) - chunksize) // stride + 1
+    return np.lib.stride_tricks.sliding_window_view(tmp, chunksize)[::stride][:n]
+
+
+def stitch_posteriors(preds, overlap):
+    """basecall.py:307-316: trim `overlap` frames from interior chunk
+    boundaries and concatenate.  preds: (n_chunks, T', L)."""
+    if preds.shape[0] == 1:
+        return preds[0]
+    parts = [preds[0, :-overlap]]
+    parts += [p[overlap:-overlap] for p in preds[1:-1]]
+    parts.append(preds[-1][overlap:])
+    return np.concatenate(parts)
+
+
+def beam_search_decode(probs, beamsize=5, threshold=1e-3):
+    """CTC prefix beam search over posteriors (fast_ctc_decode semantics:
+    basecall.py:100-106; blank = index 0, alphabet CTC_LABELS).  Returns
+    the decoded string."""
+    T, L = probs.shape
+    beams = {(): (1.0, 0.0)}  # prefix -> (p_blank, p_nonblank)
+    for t in range(T):
+        frame = probs[t]
+        nxt: dict = {}
+
+        def add(prefix, pb, pnb):
+            b, nb = nxt.get(prefix, (0.0, 0.0))
+            nxt[prefix] = (b + pb, nb + pnb)
+
+        for prefix, (pb, pnb) in beams.items():
+            p_tot = pb + pnb
+            add(prefix, frame[0] * p_tot, 0.0)  # blank
+            for s in range(1, L):
+                p = frame[s]
+                if p < threshold:
+                    continue
+                if prefix and prefix[-1] == s:
+                    add(prefix, 0.0, p * pnb)  # repeat absorbed (collapse)
+                    add(prefix + (s,), 0.0, p * pb)  # new copy needs a blank gap
+                else:
+                    add(prefix + (s,), 0.0, p * p_tot)
+        beams = dict(
+            sorted(nxt.items(), key=lambda kv: kv[1][0] + kv[1][1], reverse=True)[:beamsize]
+        )
+    best = max(beams.items(), key=lambda kv: kv[1][0] + kv[1][1])[0]
+    return "".join(CTC_LABELS[s] for s in best)
+
+
+def model_stride(cfg: BasecallerConfig) -> int:
+    s = 1
+    for b in cfg.blocks:
+        s *= b.stride
+    return s
+
+
+def basecall_signals(params, signals, cfg: BasecallerConfig = None,
+                     chunksize=6000, overlap=300, beamsize=5,
+                     batch_size=64, normalize=True):
+    """Full nn-base loop (basecall.py:580-627): per read normalize,
+    chunk, batched forward, stitch (overlap//stride//2 frames), decode.
+    Returns list of base strings."""
+    cfg = cfg or BasecallerConfig()
+    stride = model_stride(cfg)
+    fwd = jax.jit(functools.partial(forward, cfg=cfg, train=False))
+    out = []
+    for raw in signals:
+        sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
+        chunks = chunk_signal(sig, chunksize, overlap)
+        posts = []
+        for s in range(0, len(chunks), batch_size):
+            lp = fwd(params, jnp.asarray(chunks[s : s + batch_size]))
+            posts.append(np.exp(np.asarray(lp, np.float32)))
+        posts = np.concatenate(posts)
+        stitched = stitch_posteriors(posts, overlap // stride // 2)
+        stitched = stitched[: len(sig) // stride]
+        if beamsize > 1:
+            out.append(beam_search_decode(stitched, beamsize))
+        else:
+            ids, n = jax.device_get(greedy_decode(jnp.log(stitched + 1e-9)[None]))
+            out.append("".join(CTC_LABELS[i] for i in ids[0][: n[0]]))
+    return out

@@ -75,7 +75,14 @@ class BamRecord:
 
 
 def bgzf_decompress(data: bytes) -> bytes:
-    """Decompress a BGZF (blocked gzip) byte string."""
+    """Decompress a BGZF (blocked gzip) byte string (native multithreaded
+    inflate when available — gbingest.cpp gb_bgzf_inflate)."""
+    from genomicsbench_tpu import native
+
+    if native.available():
+        raw = native.bgzf_decompress(data)
+        if raw is not None:
+            return raw
     out = []
     pos = 0
     n = len(data)

@@ -98,6 +98,18 @@ def encode_reads(reads, max_len: int | None = None, pad_to: int = 128) -> ReadBa
 
 
 def load_fastx_batch(path, max_reads=None, pad_to=128) -> ReadBatch:
+    if max_reads is None:
+        # hot path: native one-pass parse+encode (gbingest.cpp); identical
+        # output to the Python path (tests/test_native.py).
+        from genomicsbench_tpu import native
+
+        if native.available():
+            with _open(path) as f:
+                buf = f.read()
+            res = native.fastx_encode(buf, pad_to=pad_to)
+            if res is not None:
+                codes, lengths, names = res
+                return ReadBatch(codes=codes, lengths=lengths, names=names)
     return encode_reads(read_fastx(path, max_reads), pad_to=pad_to)
 
 

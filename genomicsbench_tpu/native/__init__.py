@@ -1,0 +1,147 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+The reference suite's host runtime is C/C++ (gz FASTQ readers, htslib
+BGZF/BAM, flat-text loaders); this package provides the framework's
+native equivalents (see gbingest.cpp).  The shared library is built
+lazily with g++ on first use and cached next to the source; every entry
+point has a pure-Python fallback in genomicsbench_tpu.io, so the
+framework degrades gracefully on hosts without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SO = _DIR / "libgbingest.so"
+_SRC = _DIR / "gbingest.cpp"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_SO), "-lz", "-pthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+        c_i64, c_i32, c_u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
+        c_i64p, c_i32p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)
+        lib.gb_fastx_scan.restype = c_i64
+        lib.gb_fastx_scan.argtypes = [c_u8p, c_i64, c_i64p, c_i64p]
+        lib.gb_fastx_encode.restype = c_i64
+        lib.gb_fastx_encode.argtypes = [c_u8p, c_i64, c_i64, c_u8p, c_i32p, c_i64p, c_i64p, c_i64p]
+        lib.gb_encode_ascii.restype = None
+        lib.gb_encode_ascii.argtypes = [c_u8p, c_i64, c_u8p, c_i32]
+        lib.gb_pack_2bit.restype = None
+        lib.gb_pack_2bit.argtypes = [c_u8p, c_i64, ctypes.POINTER(ctypes.c_uint64)]
+        lib.gb_bgzf_inflate.restype = c_i64
+        lib.gb_bgzf_inflate.argtypes = [c_u8p, c_i64, c_u8p, c_i64, c_i32]
+        lib.gb_bgzf_raw_size.restype = c_i64
+        lib.gb_bgzf_raw_size.argtypes = [c_u8p, c_i64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def fastx_encode(buf: bytes, pad_to: int = 128, max_len: int | None = None):
+    """Parse+encode a FASTA/FASTQ buffer into (codes (n, stride) uint8,
+    lengths (n,) int32, names list[str]).  Returns None if the native
+    library is unavailable (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.frombuffer(buf, dtype=np.uint8)
+    n = ctypes.c_int64(0)
+    ml = ctypes.c_int64(0)
+    rc = lib.gb_fastx_scan(_u8p(data), len(data), ctypes.byref(n), ctypes.byref(ml))
+    if rc != 0:
+        raise ValueError(f"gb_fastx_scan failed: {rc}")
+    n, file_max = n.value, ml.value
+    stride = max_len if max_len is not None else file_max
+    stride = -(-max(stride, 1) // pad_to) * pad_to
+    codes = np.zeros((n, stride), np.uint8)
+    lengths = np.zeros(n, np.int32)
+    nb = np.zeros(n, np.int64)
+    ne = np.zeros(n, np.int64)
+    qb = np.zeros(n, np.int64)
+    got = lib.gb_fastx_encode(
+        _u8p(data), len(data), stride, _u8p(codes),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ne.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert got == n, (got, n)
+    names = [buf[nb[i] : ne[i]].decode() for i in range(n)]
+    return codes, lengths, names
+
+
+def bgzf_decompress(data: bytes, n_threads: int | None = None) -> bytes | None:
+    """Parallel BGZF inflate; None if native lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    raw = lib.gb_bgzf_raw_size(_u8p(arr), len(arr))
+    if raw < 0:
+        raise ValueError(f"bad BGZF stream ({raw})")
+    out = np.empty(raw, np.uint8)
+    nt = n_threads or min(8, os.cpu_count() or 1)
+    got = lib.gb_bgzf_inflate(_u8p(arr), len(arr), _u8p(out), raw, nt)
+    if got != raw:
+        raise ValueError(f"BGZF inflate failed ({got})")
+    return out.tobytes()
+
+
+def encode_ascii(src: bytes, n_threads: int | None = None) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(src, dtype=np.uint8)
+    out = np.empty(len(arr), np.uint8)
+    lib.gb_encode_ascii(_u8p(arr), len(arr), _u8p(out), n_threads or (os.cpu_count() or 1))
+    return out
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.zeros((len(codes) + 31) // 32, np.uint64)
+    lib.gb_pack_2bit(_u8p(codes), len(codes), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out

@@ -1,0 +1,305 @@
+// gbingest — native host-side ingest for genomicsbench_tpu.
+//
+// The reference suite's ingest layer is C/C++ (bwa-mem2 bseq_read gz FASTQ
+// readers used by fmi.cpp:62-70, htslib BGZF/BAM in dbg/pileup/abea, flat
+// text loaders in bsw/chain/phmm).  This library is its TPU-framework
+// equivalent: it parses FASTA/FASTQ buffers and 2-bit-encodes reads
+// directly into the dense, padded batch matrices the device kernels
+// consume, inflates BGZF (blocked-gzip) streams for the BAM reader, and
+// packs 2-bit code streams — multithreaded where it pays.
+//
+// Exposed as a plain C ABI consumed via ctypes (genomicsbench_tpu/native/
+// __init__.py); no Python.h dependency.
+//
+// Build: g++ -O3 -march=native -shared -fPIC gbingest.cpp -o libgbingest.so -lz -pthread
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// base-code table: A/a->0 C/c->1 G/g->2 T/t->3, everything else 4
+// ---------------------------------------------------------------------------
+static uint8_t BASE_CODE[256];
+static bool init_table() {
+    memset(BASE_CODE, 4, sizeof(BASE_CODE));
+    BASE_CODE[(int)'A'] = BASE_CODE[(int)'a'] = 0;
+    BASE_CODE[(int)'C'] = BASE_CODE[(int)'c'] = 1;
+    BASE_CODE[(int)'G'] = BASE_CODE[(int)'g'] = 2;
+    BASE_CODE[(int)'T'] = BASE_CODE[(int)'t'] = 3;
+    return true;
+}
+static const bool _table_ready = init_table();
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ scan (pass 1): count records and the max sequence length.
+// Returns 0 on success, negative on malformed input.
+//   format: 0 = autodetect by first byte ('>' fasta, '@' fastq)
+// ---------------------------------------------------------------------------
+int64_t gb_fastx_scan(const uint8_t* buf, int64_t n,
+                      int64_t* n_reads_out, int64_t* max_len_out) {
+    int64_t n_reads = 0, max_len = 0;
+    int64_t i = 0;
+    if (n == 0) { *n_reads_out = 0; *max_len_out = 0; return 0; }
+    const char first = (char)buf[0];
+    if (first == '>') {
+        int64_t cur = -1;
+        while (i < n) {
+            if (buf[i] == '>') {
+                if (cur > max_len) max_len = cur;
+                cur = 0;
+                n_reads++;
+                while (i < n && buf[i] != '\n') i++;  // skip header
+                i++;
+            } else {
+                int64_t start = i;
+                while (i < n && buf[i] != '\n') i++;
+                cur += i - start;
+                i++;
+            }
+        }
+        if (cur > max_len) max_len = cur;
+    } else if (first == '@') {
+        while (i < n) {
+            if (buf[i] != '@') return -2;
+            while (i < n && buf[i] != '\n') i++;  // header
+            i++;
+            int64_t start = i;
+            while (i < n && buf[i] != '\n') i++;  // sequence (single line)
+            int64_t slen = i - start;
+            i++;
+            while (i < n && buf[i] != '\n') i++;  // '+'
+            i++;
+            i += slen;                             // quals
+            while (i < n && buf[i] != '\n') i++;
+            i++;
+            n_reads++;
+            if (slen > max_len) max_len = slen;
+        }
+    } else {
+        return -1;
+    }
+    *n_reads_out = n_reads;
+    *max_len_out = max_len;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ encode (pass 2): fill the (n_reads, stride) uint8 code
+// matrix (0..4), per-read lengths (clamped to stride), per-read quality
+// row pointers (FASTQ only; offsets into buf, -1 when absent), and
+// header-name byte ranges.  Multi-line FASTA supported.
+// ---------------------------------------------------------------------------
+int64_t gb_fastx_encode(const uint8_t* buf, int64_t n, int64_t stride,
+                        uint8_t* codes, int32_t* lengths,
+                        int64_t* name_beg, int64_t* name_end,
+                        int64_t* qual_beg) {
+    int64_t i = 0, r = -1;
+    if (n == 0) return 0;
+    const char first = (char)buf[0];
+    if (first == '>') {
+        int64_t filled = 0;
+        while (i < n) {
+            if (buf[i] == '>') {
+                r++;
+                filled = 0;
+                lengths[r] = 0;
+                qual_beg[r] = -1;
+                int64_t hb = ++i;
+                while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+                name_beg[r] = hb; name_end[r] = i;
+                while (i < n && buf[i] != '\n') i++;
+                i++;
+            } else {
+                int64_t start = i;
+                while (i < n && buf[i] != '\n') i++;
+                int64_t len = i - start;
+                uint8_t* row = codes + r * stride;
+                int64_t room = stride - filled;
+                int64_t take = len < room ? len : room;
+                for (int64_t k = 0; k < take; k++) row[filled + k] = BASE_CODE[buf[start + k]];
+                filled += take;
+                lengths[r] = (int32_t)filled;
+                i++;
+            }
+        }
+    } else {
+        while (i < n) {
+            r++;
+            int64_t hb = ++i;
+            while (i < n && buf[i] != '\n' && buf[i] != ' ' && buf[i] != '\t') i++;
+            name_beg[r] = hb; name_end[r] = i;
+            while (i < n && buf[i] != '\n') i++;
+            i++;
+            int64_t start = i;
+            while (i < n && buf[i] != '\n') i++;
+            int64_t slen = i - start;
+            int64_t take = slen < stride ? slen : stride;
+            uint8_t* row = codes + r * stride;
+            for (int64_t k = 0; k < take; k++) row[k] = BASE_CODE[buf[start + k]];
+            lengths[r] = (int32_t)take;
+            i++;
+            while (i < n && buf[i] != '\n') i++;  // '+'
+            i++;
+            qual_beg[r] = i;
+            i += slen;
+            while (i < n && buf[i] != '\n') i++;
+            i++;
+        }
+    }
+    return r + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Bulk ASCII->code encode of a flat buffer (threads over chunks).
+// ---------------------------------------------------------------------------
+void gb_encode_ascii(const uint8_t* src, int64_t n, uint8_t* dst, int32_t n_threads) {
+    if (n_threads <= 1 || n < (1 << 20)) {
+        for (int64_t i = 0; i < n; i++) dst[i] = BASE_CODE[src[i]];
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=] { for (int64_t i = lo; i < hi; i++) dst[i] = BASE_CODE[src[i]]; });
+    }
+    for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// 2-bit pack: codes (0..3; 4 mapped to 0) -> little-endian u64 words,
+// 32 bases per word, base b at bits [2b, 2b+2) — the layout the k-mer
+// engine's device unpack expects.
+// ---------------------------------------------------------------------------
+void gb_pack_2bit(const uint8_t* codes, int64_t n, uint64_t* out) {
+    int64_t words = (n + 31) / 32;
+    for (int64_t w = 0; w < words; w++) {
+        uint64_t v = 0;
+        int64_t base = w * 32;
+        int64_t m = std::min<int64_t>(32, n - base);
+        for (int64_t j = 0; j < m; j++) {
+            uint64_t c = codes[base + j];
+            v |= (c & 3ull) << (2 * j);
+        }
+        out[w] = v;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// BGZF inflate: a blocked-gzip stream -> raw bytes.  Returns bytes
+// written, or negative zlib error.  Blocks are independent, so large
+// streams are inflated in parallel.
+// ---------------------------------------------------------------------------
+static int64_t inflate_block(const uint8_t* comp, int64_t comp_len,
+                             uint8_t* out, int64_t out_cap) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return -10;
+    zs.next_in = const_cast<uint8_t*>(comp);
+    zs.avail_in = (uInt)comp_len;
+    zs.next_out = out;
+    zs.avail_out = (uInt)out_cap;
+    int rc = inflate(&zs, Z_FINISH);
+    int64_t produced = (int64_t)zs.total_out;
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END) return -11;
+    return produced;
+}
+
+int64_t gb_bgzf_inflate(const uint8_t* data, int64_t n,
+                        uint8_t* out, int64_t out_cap, int32_t n_threads) {
+    // index blocks first (cheap header walk)
+    struct Block { int64_t comp_off, comp_len, raw_off; int32_t isize; };
+    std::vector<Block> blocks;
+    int64_t pos = 0, raw_total = 0;
+    while (pos + 18 <= n) {
+        if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        memcpy(&xlen, data + pos + 10, 2);
+        int64_t e = pos + 12, xend = pos + 12 + xlen;
+        int64_t bsize = -1;
+        while (e + 4 <= xend) {
+            uint8_t si1 = data[e], si2 = data[e + 1];
+            uint16_t slen;
+            memcpy(&slen, data + e + 2, 2);
+            if (si1 == 66 && si2 == 67) {
+                uint16_t bs;
+                memcpy(&bs, data + e + 4, 2);
+                bsize = (int64_t)bs + 1;
+            }
+            e += 4 + slen;
+        }
+        if (bsize < 0) return -2;
+        int32_t isize;
+        memcpy(&isize, data + pos + bsize - 4, 4);
+        // comp region: [xend, pos + bsize - 8)
+        blocks.push_back({xend, (pos + bsize - 8) - xend, raw_total, isize});
+        raw_total += isize;
+        pos += bsize;
+    }
+    if (raw_total > out_cap) return -3;
+    auto work = [&](size_t lo, size_t hi) -> int64_t {
+        for (size_t b = lo; b < hi; b++) {
+            const Block& blk = blocks[b];
+            if (blk.isize == 0) continue;
+            int64_t got = inflate_block(data + blk.comp_off, blk.comp_len,
+                                        out + blk.raw_off, blk.isize);
+            if (got != blk.isize) return -4;
+        }
+        return 0;
+    };
+    if (n_threads <= 1 || blocks.size() < 8) {
+        if (work(0, blocks.size()) < 0) return -4;
+    } else {
+        size_t nt = std::min<size_t>(n_threads, blocks.size());
+        std::vector<std::thread> ts;
+        std::vector<int64_t> rcs(nt, 0);
+        size_t chunk = (blocks.size() + nt - 1) / nt;
+        for (size_t t = 0; t < nt; t++) {
+            size_t lo = t * chunk, hi = std::min(blocks.size(), lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back([&, lo, hi, t] { rcs[t] = work(lo, hi); });
+        }
+        for (auto& t : ts) t.join();
+        for (int64_t rc : rcs) if (rc < 0) return rc;
+    }
+    return raw_total;
+}
+
+// raw size of a BGZF stream (for output allocation)
+int64_t gb_bgzf_raw_size(const uint8_t* data, int64_t n) {
+    int64_t pos = 0, raw_total = 0;
+    while (pos + 18 <= n) {
+        if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        memcpy(&xlen, data + pos + 10, 2);
+        int64_t e = pos + 12, xend = pos + 12 + xlen;
+        int64_t bsize = -1;
+        while (e + 4 <= xend) {
+            uint8_t si1 = data[e], si2 = data[e + 1];
+            uint16_t slen;
+            memcpy(&slen, data + e + 2, 2);
+            if (si1 == 66 && si2 == 67) {
+                uint16_t bs;
+                memcpy(&bs, data + e + 4, 2);
+                bsize = (int64_t)bs + 1;
+            }
+            e += 4 + slen;
+        }
+        if (bsize < 0) return -2;
+        int32_t isize;
+        memcpy(&isize, data + pos + bsize - 4, 4);
+        raw_total += isize;
+        pos += bsize;
+    }
+    return raw_total;
+}
+
+}  // extern "C"

@@ -26,6 +26,19 @@ def _t():
     return time.perf_counter()
 
 
+def _load_signals(path):
+    """Raw signals from .npz (name -> float array) or fast5 file/dir
+    (the reference's input format, run-gpu.sh:28,34)."""
+    import os
+
+    if str(path).endswith(".npz"):
+        return dict(np.load(path))
+    from genomicsbench_tpu.io.fast5 import read_fast5, read_fast5_dir
+
+    reads = read_fast5_dir(path) if os.path.isdir(path) else list(read_fast5(path))
+    return {r.read_id: r.signal for r in reads}
+
+
 # --------------------------------------------------------------------- fmi
 def cmd_fmi(args):
     """fmi ref.fa query.fastq batch_size minSeedLen n_threads (fmi.cpp:56)."""
@@ -233,7 +246,7 @@ def cmd_eventalign(args):
         model_mean, model_stdv = abea_ops.load_model_tsv(args.model)
     else:
         model_mean, model_stdv = abea_ops.synthetic_model(seed=0)
-    sig = np.load(args.signals)
+    sig = _load_signals(args.signals)
     names, seqs, raws = [], [], []
     for name, seq in read_fastx(args.reads):
         if name in sig:
@@ -261,7 +274,7 @@ def cmd_nn_base(args):
 
     cfg = BasecallerConfig()
     params = init_params(jax.random.key(0), cfg)
-    sig = np.load(args.signals)
+    sig = _load_signals(args.signals)
     names = list(sig.keys())
     t0 = _t()
     seqs = basecall_signals(

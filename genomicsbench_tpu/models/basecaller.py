@@ -332,3 +332,70 @@ def basecall_signals(params, signals, cfg: BasecallerConfig = None,
             ids, n = jax.device_get(greedy_decode(jnp.log(stitched + 1e-9)[None]))
             out.append("".join(CTC_LABELS[i] for i in ids[0][: n[0]]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# checkpoint import (reference loads torch state dicts: basecall.py:260-285;
+# the snapshot ships no weights — .MISSING_LARGE_BLOBS — so the import
+# contract is structural: ordered tensors with torch layout conventions)
+# ---------------------------------------------------------------------------
+
+def _from_torch_conv(w):
+    """torch Conv1d weight (Cout, Cin/groups, k) -> ours (k, Cin/groups, Cout)."""
+    return jnp.asarray(np.asarray(w)).transpose(2, 1, 0)
+
+
+def import_torch_state_dict(state, cfg: BasecallerConfig = None):
+    """Build params from an ordered torch-style state dict.
+
+    Expected tensor order (registration order of the reference model,
+    basecall.py:74-255): per block, per repeat -> conv weight(s)
+    (depthwise then pointwise for separable convs), then BN
+    weight/bias/running_mean/running_var; residual 1x1 conv + BN after a
+    block's repeats; decoder conv last.  'num_batches_tracked' entries
+    are ignored.  Shapes are validated against the config.
+    """
+    cfg = cfg or BasecallerConfig()
+    tensors = [np.asarray(v) for k, v in state.items()
+               if "num_batches_tracked" not in k]
+    it = iter(tensors)
+
+    def take(shape_check=None):
+        t = next(it)
+        if shape_check and tuple(t.shape) != tuple(shape_check):
+            raise ValueError(f"shape {t.shape} != expected {shape_check}")
+        return t
+
+    def take_bn(c):
+        return dict(
+            scale=jnp.asarray(take((c,))), bias=jnp.asarray(take((c,))),
+            mean=jnp.asarray(take((c,))), var=jnp.asarray(take((c,))),
+        )
+
+    params = {"blocks": []}
+    cin = cfg.features_in
+    for b in cfg.blocks:
+        block = {"convs": [], "bns": []}
+        c = cin
+        for r in range(b.repeat):
+            if b.separable:
+                block["convs"].append(dict(
+                    depth=_from_torch_conv(take((c, 1, b.kernel))),
+                    point=_from_torch_conv(take((b.filters, c, 1))),
+                ))
+            else:
+                block["convs"].append(dict(
+                    full=_from_torch_conv(take((b.filters, c, b.kernel)))
+                ))
+            block["bns"].append(take_bn(b.filters))
+            c = b.filters
+        if b.residual:
+            block["res_conv"] = _from_torch_conv(take((b.filters, cin, 1)))
+            block["res_bn"] = take_bn(b.filters)
+        params["blocks"].append(block)
+        cin = b.filters
+    params["decoder"] = _from_torch_conv(take((cfg.num_labels, cin, 1)))
+    leftover = sum(1 for _ in it)
+    if leftover:
+        raise ValueError(f"{leftover} unconsumed tensors in state dict")
+    return params

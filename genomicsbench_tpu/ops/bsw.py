@@ -248,7 +248,7 @@ class BswScorer:
         self.n = batch.n
         self.mat = jnp.asarray(params.score_matrix(), dtype=jnp.int32)
         self.buckets = bucket_by_length(
-            (batch.tlen, batch.qlen), batch_size, multiple=(128, 128), sort_by=0
+            (batch.tlen, batch.qlen), batch_size, multiple=(16, 128), sort_by=0
         )
         idx_list = []
         for b in self.buckets:
@@ -343,3 +343,245 @@ def banded_sw_batch(
     )
     score, qle, tle, gtle, gscore, max_off = (np.asarray(o) for o in outs)
     return BswBatchResult(score, qle, tle, gtle, gscore, max_off)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend (EXPERIMENTAL — bit-exact but currently slower)
+#
+# Same recurrence/masks as _bsw_core (bit-exact, see tests/test_bsw_kernel
+# pallas parity test).  DP state (eh.h / eh.e rows, packed per-pair stats)
+# lives in VMEM scratch for the entire row loop, so HBM traffic drops to the
+# one-time query/target load.  Measured on v5e, however, the scan backend
+# wins (5.8 vs 1.6 Gcells/s at B=8192): the per-row `_lane_cummax` needs
+# log2(Qp) cross-lane rotates and Mosaic lowers each pltpu.roll as a full
+# vector relayout, while XLA lowers lax.cummax in the scan body to a cheaper
+# reduce-window form.  Kept as a backend for future Mosaic improvements and
+# as the reference Pallas formulation; `bsw_backend()` selects 'scan'
+# everywhere for now.  Throughput levers that DID pay on the
+# mixed-length bench workload: rounding the (alignment-free) target-step
+# axis to 16 instead of 128 in the bucketer (+14%), batch 2048; uniform
+# shapes at B=8192 reach 9.6 Gcells/s, so bucket tightness is what
+# separates the mixed workload from the uniform ceiling.
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+_NEG = -(1 << 30)  # plain ints: jnp module constants would be captured
+_BIG = 1 << 30     # as traced values inside pallas kernels
+
+
+def _lane_cummax(x, qp):
+    """Inclusive max-scan along lanes (axis 1) via log2 doubling shifts."""
+    js = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    n = 1
+    while n < qp:
+        shifted = jnp.where(js >= n, pltpu.roll(x, n, axis=1), _NEG)
+        x = jnp.maximum(x, shifted)
+        n *= 2
+    return x
+
+
+def _roll1_tpu(x):
+    js = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(js >= 1, pltpu.roll(x, 1, axis=1), 0)
+
+
+def _make_bsw_pallas(block_b, qp, t_steps, match, mismatch, ambig,
+                     o_del, e_del, o_ins, e_ins, zdrop, interpret=False):
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    # stats lane layout (one packed (BT, 128) row in VMEM so the row loop
+    # carries NOTHING — 11 loop-carried arrays would otherwise explode into
+    # hundreds of vregs and break Mosaic):
+    # 0=beg 1=end 2=best 3=best_i 4=best_j 5=max_ie 6=gscore 7=max_off 8=active
+    def kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref, w_ref,
+               best_o, bj_o, bi_o, mie_o, gs_o, moff_o,
+               hs_s, e_s, st_s):
+        js = jax.lax.broadcasted_iota(jnp.int32, (block_b, qp), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_b, 128), 1)
+        q = q_ref[:]                     # (BT, Qp) i32
+        t_all = t_ref[:]                 # (BT, Tp) i32, VMEM-resident
+        jsT = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 1)
+        qlen = qlen_ref[:]               # (BT, 1) i32
+        h0 = h0_ref[:]
+        tlen = tlen_ref[:]
+        w_eff = w_ref[:]
+
+        decay = h0 - oe_ins - (js - 1) * e_ins
+        Hs0 = jnp.where((js >= 1) & (js <= qlen) & (h0 > oe_ins),
+                        jnp.maximum(decay, 0), 0)
+        hs_s[:] = jnp.where(js == 0, h0, Hs0).astype(jnp.int32)
+        e_s[:] = jnp.zeros((block_b, qp), jnp.int32)
+
+        st0 = jnp.zeros((block_b, 128), jnp.int32)
+        st0 = jnp.where(lane == 1, qlen, st0)      # end
+        st0 = jnp.where(lane == 2, h0, st0)        # best
+        st0 = jnp.where((lane >= 3) & (lane <= 6), -1, st0)  # best_i/j, max_ie, gscore
+        st0 = jnp.where(lane == 8, 1, st0)         # active
+        st_s[:] = st0
+
+        def row_step(i, _):
+            Hs = hs_s[:]
+            E = e_s[:]
+            st = st_s[:]
+            beg = st[:, 0:1]
+            end = st[:, 1:2]
+            best = st[:, 2:3]
+            best_i = st[:, 3:4]
+            best_j = st[:, 4:5]
+            max_ie = st[:, 5:6]
+            gscore = st[:, 6:7]
+            max_off = st[:, 7:8]
+            active = st[:, 8:9] != 0
+            run = active & (i < tlen)
+            beg_i = jnp.maximum(beg, i - w_eff)
+            end_i = jnp.minimum(jnp.minimum(end, i + w_eff + 1), qlen)
+            in_band = (js >= beg_i) & (js < end_i)
+
+            h1_init = jnp.where(
+                beg_i == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
+            ).astype(jnp.int32)
+
+            # Column i of the target block via masked reduce (dynamic lane
+            # slices must be 128-aligned in Mosaic; exactly one lane matches).
+            t_i = jnp.sum(jnp.where(jsT == i, t_all, 0), axis=1, keepdims=True)
+            S = jnp.where(q == t_i, match, -mismatch)
+            S = jnp.where((q == 4) | (t_i == 4), ambig, S)
+
+            M = Hs
+            Mx = jnp.where(M != 0, M + S, 0)
+            E_next = jnp.maximum(jnp.maximum(Mx - oe_del, 0), E - e_del)
+
+            A = jnp.where(in_band, jnp.maximum(Mx - oe_ins, 0), _NEG)
+            cm = _lane_cummax(A + js * e_ins, qp)
+            F = _roll1_tpu(cm) - (js - 1) * e_ins
+            F = jnp.where(js == beg_i, 0, F)
+
+            H = jnp.maximum(jnp.maximum(Mx, E), F)
+
+            Hb = jnp.where(in_band, H, _NEG)
+            m = jnp.maximum(jnp.max(Hb, axis=1, keepdims=True), 0)
+            mj = jnp.max(jnp.where(in_band & (H == m), js, -1), axis=1,
+                         keepdims=True)
+
+            band_empty = beg_i >= end_i
+            h_last = jnp.max(jnp.where(js == end_i - 1, H, _NEG), axis=1,
+                             keepdims=True)
+            h1_final = jnp.where(band_empty, h1_init, h_last)
+
+            val_h = jnp.where(js == end_i, h1_final, _roll1_tpu(H))
+            val_h = jnp.where(js == beg_i, h1_init, val_h)
+            mask_h = ((js >= beg_i) & (js <= end_i)) | (js == end_i)
+            Hs_new = jnp.where(run & mask_h, val_h, Hs)
+
+            E_new = jnp.where(run & in_band, E_next, E)
+            E_new = jnp.where(run & (js == end_i), 0, E_new)
+
+            j_after = jnp.maximum(beg_i, end_i)
+            reach = run & (j_after == qlen)
+            max_ie = jnp.where(reach & (h1_final >= gscore), i, max_ie)
+            gscore = jnp.where(reach, jnp.maximum(gscore, h1_final), gscore)
+
+            zero_break = run & (m == 0)
+            live = run & ~zero_break
+            improved = live & (m > best)
+            best = jnp.where(improved, m, best)
+            best_i_n = jnp.where(improved, i, best_i)
+            best_j_n = jnp.where(improved, mj, best_j)
+            max_off = jnp.where(
+                improved, jnp.maximum(max_off, jnp.abs(mj - i)), max_off
+            )
+
+            if zdrop > 0:
+                di = i - best_i
+                dj = mj - best_j
+                zval = jnp.where(
+                    di > dj,
+                    best - m - (di - dj) * e_del,
+                    best - m - (dj - di) * e_ins,
+                )
+                zbreak = live & ~improved & (zval > zdrop)
+            else:
+                zbreak = jnp.zeros_like(zero_break)
+
+            nz = (Hs_new != 0) | (E_new != 0)
+            first_nz = jnp.min(jnp.where(nz & in_band, js, _BIG), axis=1,
+                               keepdims=True)
+            beg_new = jnp.minimum(first_nz, end_i)
+            in2 = (js >= beg_new) & (js <= end_i)
+            j_last = jnp.max(jnp.where(nz & in2, js, beg_new - 1), axis=1,
+                             keepdims=True)
+            end_new = jnp.minimum(j_last + 2, qlen)
+
+            keep = run & ~zero_break & ~zbreak
+            hs_s[:] = Hs_new
+            e_s[:] = E_new
+            active_n = (active & ~zero_break & ~zbreak).astype(jnp.int32)
+            st_n = jnp.where(lane == 0, jnp.where(keep, beg_new, beg), 0)
+            st_n = jnp.where(lane == 1, jnp.where(keep, end_new, end), st_n)
+            st_n = jnp.where(lane == 2, best, st_n)
+            st_n = jnp.where(lane == 3, best_i_n, st_n)
+            st_n = jnp.where(lane == 4, best_j_n, st_n)
+            st_n = jnp.where(lane == 5, max_ie, st_n)
+            st_n = jnp.where(lane == 6, gscore, st_n)
+            st_n = jnp.where(lane == 7, max_off, st_n)
+            st_n = jnp.where(lane == 8, active_n, st_n)
+            st_s[:] = st_n
+            return 0
+
+        jax.lax.fori_loop(0, t_steps, row_step, 0)
+        st = st_s[:]
+        best_o[:] = st[:, 2:3]
+        bj_o[:] = st[:, 4:5] + 1
+        bi_o[:] = st[:, 3:4] + 1
+        mie_o[:] = st[:, 5:6] + 1
+        gs_o[:] = st[:, 6:7]
+        moff_o[:] = st[:, 7:8]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_steps", "block_b", "match", "mismatch", "ambig",
+                     "o_del", "e_del", "o_ins", "e_ins", "zdrop", "interpret"),
+)
+def _bsw_pallas(query, target, qlen, tlen, h0, w_eff, *, t_steps, block_b,
+                match, mismatch, ambig, o_del, e_del, o_ins, e_ins, zdrop,
+                interpret=False):
+    """query (B, Q) u8 (B % block_b == 0, Q % 128 == 0); target (B, T) u8;
+    scalars (B,) i32.  Returns the same 6-tuple as _bsw_core."""
+    B, Q = query.shape
+    qp = Q + 128
+    qpad = jnp.pad(query.astype(jnp.int32), ((0, 0), (0, 128)))
+    tgt = target.astype(jnp.int32)
+    col = lambda v: v.astype(jnp.int32)[:, None]
+
+    grid = (B // block_b,)
+    spec2 = lambda width: pl.BlockSpec((block_b, width), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_bsw_pallas(block_b, qp, t_steps, match, mismatch, ambig,
+                         o_del, e_del, o_ins, e_ins, zdrop),
+        grid=grid,
+        in_specs=[spec2(qp), spec2(tgt.shape[1]), spec2(1), spec2(1),
+                  spec2(1), spec2(1)],
+        out_specs=tuple(spec2(1) for _ in range(6)),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, 1), jnp.int32) for _ in range(6)),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, qp), jnp.int32),   # eh.h rows
+            pltpu.VMEM((block_b, qp), jnp.int32),   # eh.e rows
+            pltpu.VMEM((block_b, 128), jnp.int32),  # packed per-pair stats
+        ],
+        interpret=interpret,
+    )(qpad, tgt, col(qlen), col(tlen), col(h0), col(w_eff))
+    return tuple(o[:, 0] for o in outs)
+
+
+def bsw_backend() -> str:
+    """Currently always 'scan' (see the pallas section note: the scan
+    backend outperforms the Mosaic lowering of the lane cummax)."""
+    return "scan"

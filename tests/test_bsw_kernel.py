@@ -75,3 +75,38 @@ class TestBswKernelEdges:
         cases, exp = cases[:32], exp[:32]
         perm = np.random.default_rng(0).permutation(32)
         _run_and_check([cases[i] for i in perm], exp[perm], BswParams())
+
+
+class TestBswPallasBackend:
+    def test_pallas_matches_scan_interpret(self):
+        """The experimental Pallas backend must stay bit-exact with the scan
+        backend (run in interpreter mode on the CPU mesh)."""
+        import jax.numpy as jnp
+
+        from genomicsbench_tpu.config import BswParams
+        from genomicsbench_tpu.ops.bsw import _bsw_pallas, _bsw_scan
+
+        p = BswParams()
+        mat = jnp.asarray(p.score_matrix().astype(np.int32))
+        rng = np.random.default_rng(3)
+        B, Q, T = 16, 128, 160
+        q = rng.integers(0, 5, (B, Q)).astype(np.uint8)
+        t = np.zeros((B, T), np.uint8)
+        t[:, :Q] = q
+        mut = rng.integers(0, Q, (B, 8))
+        t[np.arange(B)[:, None], mut] = rng.integers(0, 4, (B, 8))
+        t[:, Q:] = rng.integers(0, 4, (B, T - Q))
+        qlen = rng.integers(Q - 50, Q + 1, B).astype(np.int32)
+        tlen = rng.integers(Q, T + 1, B).astype(np.int32)
+        h0 = rng.integers(0, 40, B).astype(np.int32)
+        w = np.full(B, 100, np.int32)
+        kw = dict(o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100)
+        ref = _bsw_scan(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen),
+            jnp.asarray(h0), jnp.asarray(w), mat, t_steps=T, **kw)
+        got = _bsw_pallas(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen),
+            jnp.asarray(h0), jnp.asarray(w), t_steps=T, block_b=8,
+            match=1, mismatch=4, ambig=-1, interpret=True, **kw)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

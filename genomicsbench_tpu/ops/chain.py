@@ -303,8 +303,11 @@ def _chain_scan(
 
 
 def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
-                max_skip: int = 25, is_cdna: bool = False) -> ChainBatchResult:
-    """Run chain_dp over a list of AnchorCall records, batched on device."""
+                max_skip: int = 25, is_cdna: bool = False,
+                mesh=None) -> ChainBatchResult:
+    """Run chain_dp over a list of AnchorCall records, batched on device.
+    With `mesh`, reads (rows) shard over the mesh's "data" axis — the
+    caller must pass a multiple of the axis size; results are identical."""
     R = len(calls)
     ns = np.array([c.n for c in calls], dtype=np.int32)
     N = int(ns.max()) if R else 0
@@ -356,11 +359,17 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
             patch_delta[r, k] = delta
 
     mk = lambda f: np.array([f(c) for c in calls], dtype=np.int32)
-    args = jax.device_put(
-        (pos, qpos, span, sid, rid, st_arr, ns, k_limbs, p0s, r0s, patch_dd, patch_delta,
-         mk(lambda c: c.max_dist_x), mk(lambda c: c.max_dist_y),
-         mk(lambda c: c.bw), mk(lambda c: c.n_segs))
+    host_args = (
+        pos, qpos, span, sid, rid, st_arr, ns, k_limbs, p0s, r0s, patch_dd, patch_delta,
+        mk(lambda c: c.max_dist_x), mk(lambda c: c.max_dist_y),
+        mk(lambda c: c.bw), mk(lambda c: c.n_segs),
     )
+    if mesh is not None:  # SPMD over independent reads ("data" axis)
+        from genomicsbench_tpu.parallel.mesh import shard_batch
+
+        args = shard_batch(mesh, host_args)
+    else:
+        args = jax.device_put(host_args)
     scores, parents, peak = jax.device_get(
         _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip, is_cdna=is_cdna)
     )

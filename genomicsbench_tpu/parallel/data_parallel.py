@@ -1,0 +1,131 @@
+"""Batch data parallelism over a device mesh for the alignment kernels.
+
+The reference parallelizes every CPU benchmark with `omp parallel for
+schedule(dynamic,1)` over read/pair batches (fmi.cpp:192,
+main_banded.cpp:282, PairHMMUnitTest.cpp:227, host_kernel.cpp:102 ...).
+The TPU replacement (SURVEY.md §2.15) is SPMD: inputs are padded to a
+multiple of the mesh's "data" axis and placed with a leading-axis
+NamedSharding; the jitted kernels are elementwise over the batch axis,
+so XLA compiles them SPMD with zero collectives — each chip runs its
+shard of pairs, exactly like one OpenMP worker ran its slice of batches,
+except the schedule is static because length bucketing already made the
+work uniform.
+
+These wrappers return results identical to the single-device entry
+points (tested on the virtual 8-device CPU mesh)."""
+
+from __future__ import annotations
+
+import numpy as np
+from jax.sharding import Mesh
+
+from genomicsbench_tpu.parallel.mesh import shard_batch
+
+
+def _pad_rows(n_dev: int, *arrays):
+    """Pad the leading dim of every array to a multiple of n_dev by
+    repeating row 0 (padding rows are discarded by the caller)."""
+    b = arrays[0].shape[0]
+    bp = -(-b // n_dev) * n_dev
+    if bp == b:
+        return b, arrays
+    out = []
+    for a in arrays:
+        pad = np.repeat(a[:1], bp - b, axis=0)
+        out.append(np.concatenate([a, pad], axis=0))
+    return b, tuple(out)
+
+
+def banded_sw_sharded(mesh: Mesh, query, target, qlen, tlen, h0, params=None):
+    """Data-parallel banded-SW over the mesh's "data" axis; same results
+    as ops.bsw.banded_sw_batch."""
+    from genomicsbench_tpu.config import BswParams
+    from genomicsbench_tpu.ops.bsw import (
+        BswBatchResult, _bsw_scan, _compute_w_eff,
+    )
+    import jax.numpy as jnp
+
+    params = params or BswParams()
+    n_dev = mesh.shape["data"]
+    w_eff = _compute_w_eff(np.asarray(qlen), params)
+    b, (query, target, qlen, tlen, h0, w_eff) = _pad_rows(
+        n_dev, np.asarray(query), np.asarray(target),
+        np.asarray(qlen, np.int32), np.asarray(tlen, np.int32),
+        np.asarray(h0, np.int32), w_eff,
+    )
+    sharded = shard_batch(mesh, (query, target, qlen, tlen, h0, w_eff))
+    mat = jnp.asarray(params.score_matrix().astype(np.int32))
+    outs = _bsw_scan(
+        *sharded, mat, t_steps=int(target.shape[1]),
+        o_del=params.o_del, e_del=params.e_del,
+        o_ins=params.o_ins, e_ins=params.e_ins, zdrop=params.zdrop,
+    )
+    arrs = [np.asarray(o)[:b] for o in outs]
+    return BswBatchResult(*arrs)
+
+
+def pairhmm_sharded(mesh: Mesh, reads, haps, pairs=None):
+    """Data-parallel pair-HMM over (read, hap) pairs; same results as
+    ops.pairhmm.pairhmm_batch (including the f64 underflow fallback,
+    which runs on the host for the rare failing pairs)."""
+    from genomicsbench_tpu.ops import pairhmm as ph
+
+    if pairs is None:
+        pairs = [(r, h) for r in range(len(reads)) for h in range(len(haps))]
+    n_dev = mesh.shape["data"]
+    B = len(pairs)
+    rl = np.array([len(reads[r]["bases"]) for r, _ in pairs], np.int32)
+    hl = np.array([len(haps[h]) for _, h in pairs], np.int32)
+    rmax = int(-(-rl.max() // 8) * 8)
+    hmax = int(-(-hl.max() // 128) * 128)
+    read_arr = np.zeros((B, rmax), np.uint8)
+    hap_arr = np.zeros((B, hmax), np.uint8)
+    q, i_, d, c = [], [], [], []
+    for k, (r, h) in enumerate(pairs):
+        rd = reads[r]
+        read_arr[k, : rl[k]] = rd["bases"]
+        hap_arr[k, : hl[k]] = haps[h]
+        q.append(np.asarray(rd["q"], np.int32))
+        i_.append(np.asarray(rd["i"], np.int32))
+        d.append(np.asarray(rd["d"], np.int32))
+        c.append(np.asarray(rd["c"], np.int32))
+    trans = ph._transition_arrays(q, i_, d, c, rmax)
+    b, padded = _pad_rows(
+        n_dev, read_arr, hap_arr, rl, hl,
+        trans["mm"], trans["gapm"], trans["mx"], trans["xx"],
+        trans["my"], trans["yy"], trans["qprob"],
+    )
+    sharded = shard_batch(mesh, padded)
+    scaled = np.asarray(ph._phmm_scan(*sharded, r_steps=rmax))[:b]
+
+    out = np.empty(B, np.float64)
+    ok = scaled >= ph.MIN_ACCEPTED
+    out[ok] = (
+        np.log10(scaled[ok].astype(np.float64)) - ph.INITIAL_EXP_F32 * ph.LOG10_2
+    )
+    for k in np.nonzero(~ok)[0]:
+        r, h = pairs[k]
+        rd = reads[r]
+        f64 = ph.pairhmm_forward_scaled(
+            rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"],
+            dtype=np.float64,
+        )
+        out[k] = np.log10(f64) - 1020 * ph.LOG10_2
+    return out
+
+
+def chain_sharded(mesh: Mesh, calls, **kwargs):
+    """Data-parallel chaining over independent reads: each read's anchor
+    set is one row of the packed batch, sharded over "data"."""
+    from genomicsbench_tpu.ops import chain as ch
+
+    n_dev = mesh.shape["data"]
+    if len(calls) % n_dev:
+        full = list(calls) + [calls[-1]] * (n_dev - len(calls) % n_dev)
+    else:
+        full = list(calls)
+    out = ch.chain_batch(full, mesh=mesh, **kwargs)
+    return ch.ChainBatchResult(
+        scores=out.scores[: len(calls)], parents=out.parents[: len(calls)],
+        peak_scores=out.peak_scores[: len(calls)], n=out.n[: len(calls)],
+    )

@@ -273,3 +273,76 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
             )
         out.append(ReadResult(0, (float(scale), float(shift), float(var)), epb, aln))
     return out
+
+
+def eventalign_pipeline(batch_sources, model_mean, model_stdv, tsv_fp=None,
+                        sample_rate=4000.0, prefetch: int = 2,
+                        n_loaders: int = 2):
+    """Multi-batch eventalign with load/process/output overlap — the
+    meth_main.c:478-615 interleaved pipeline + --iop reader pool, built on
+    batching.pipeline.pipeline_map.
+
+    batch_sources: list of zero-arg callables each returning
+    (raw_signals, sequences) for one batch (file reads happen on the
+    loader threads); event detection (host CPU) also runs on the loaders,
+    the ABEA device DP + postalign/recalibration on the caller thread,
+    and TSV writing on the writer thread.  Returns list[list[ReadResult]]
+    per batch, in order."""
+    import io as _io
+
+    from genomicsbench_tpu.batching.pipeline import pipeline_map
+
+    if tsv_fp is not None:
+        tsv_fp.write(TSV_HEADER + "\n")
+
+    def load(src):
+        def f():
+            raws, seqs = src()
+            events = [abea_ops.detect_events(r) for r in raws]
+            return seqs, events
+        return f
+
+    def process(batch):
+        seqs, events = batch
+        B = len(seqs)
+        scalings = np.zeros((B, 2), np.float32)
+        for b in range(B):
+            sc, sh = estimate_scalings_mom(seqs[b], events[b][2], model_mean)
+            scalings[b] = (sc, sh)
+        res = abea_ops.align_batch(
+            seqs, [e[2] for e in events], model_mean, model_stdv, scalings
+        )
+        out, rows = [], _io.StringIO()
+        for b in range(B):
+            nk = len(seqs[b]) - KMER + 1
+            ranks = kmer_ranks(np.asarray(seqs[b]))
+            if res.failed[b] or len(res.pairs[b]) == 0:
+                out.append(ReadResult(FAILED_ALIGNMENT, (0, 0, 1.0), 0.0, None))
+                continue
+            aln, _, epb = postalign(res.pairs[b], nk, ranks)
+            ok, scale, shift, var = recalibrate(
+                events[b][2], aln, ranks, model_mean, model_stdv
+            )
+            sc3 = (float(scale), float(shift), float(var))
+            if not ok or var > MIN_CALIBRATION_VAR:
+                out.append(ReadResult(FAILED_CALIBRATION, sc3, epb, None))
+                continue
+            if epb > MAX_EVENTS_PER_BASE:
+                out.append(ReadResult(FAILED_QUALITY_CHK, sc3, epb, None))
+                continue
+            if tsv_fp is not None:
+                emit_eventalign_tsv(
+                    rows, aln, seqs[b], events[b][2], events[b][3], events[b][1],
+                    sc3, model_mean, model_stdv, read_index=b,
+                    sample_rate=sample_rate,
+                )
+            out.append(ReadResult(0, sc3, epb, aln))
+        return out, rows.getvalue()
+
+    def output(result):
+        if tsv_fp is not None:
+            tsv_fp.write(result[1])
+
+    done = pipeline_map([load(s) for s in batch_sources], process, output,
+                        prefetch=prefetch, n_loaders=n_loaders)
+    return [r for r, _ in done]

@@ -6,6 +6,7 @@ References: align.c:49-97 (MoM scalings), 550-654 (postalign),
 import io
 
 import numpy as np
+import pytest
 
 from genomicsbench_tpu.ops import eventalign as ea
 from genomicsbench_tpu.ops.abea import KMER, kmer_ranks, synthetic_model
@@ -128,3 +129,35 @@ def test_eventalign_qc_failure():
     sig = rng.normal(0, 1, 2000).astype(np.float32)
     res = ea.eventalign_reads([sig], [seq], model_mean, model_stdv)
     assert res[0].flag != 0
+
+
+def test_eventalign_pipeline_matches_serial():
+    import io
+
+    model_mean, model_stdv = _model()
+    rng = np.random.default_rng(9)
+    batches = []
+    for _ in range(3):
+        reads = [_synthetic_read(rng, n, model_mean) for n in (250, 280)]
+        batches.append(([r[1] for r in reads], [r[0] for r in reads]))
+
+    serial_buf = io.StringIO()
+    serial = []
+    serial_buf.write(ea.TSV_HEADER + "\n")
+    for raws, seqs in batches:
+        b = io.StringIO()
+        r = ea.eventalign_reads(raws, seqs, model_mean, model_stdv, tsv_fp=b)
+        serial.append(r)
+        serial_buf.write("\n".join(b.getvalue().split("\n")[1:]))
+
+    pipe_buf = io.StringIO()
+    piped = ea.eventalign_pipeline(
+        [lambda b_=b: b_ for b in batches], model_mean, model_stdv,
+        tsv_fp=pipe_buf, prefetch=2, n_loaders=2,
+    )
+    assert len(piped) == 3
+    for s, p in zip(serial, piped):
+        assert [x.flag for x in s] == [x.flag for x in p]
+        for a, b_ in zip(s, p):
+            assert a.scalings == pytest.approx(b_.scalings)
+    assert pipe_buf.getvalue() == serial_buf.getvalue()

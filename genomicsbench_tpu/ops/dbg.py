@@ -297,3 +297,132 @@ def dbg_from_bam(bam, fasta_index, chrom: str, beg: int, end: int,
         reads = [(recs[i].seq, recs[i].qual, False) for i in range(lo, hi)]
         windows.append((fasta_index.fetch(chrom, r_start, r_end), r_start, reads))
     return build_window_graphs(windows, k=k, min_qual=min_qual)
+
+
+# ---------------------------------------------------------------------------
+# cycle detection + variant path extraction (present in the reference but
+# compiled out of the benchmark ROI: debruijn.cpp:923-1091 dfsVisit /
+# detectCyclesInGraph_Recursive, 1147-1239 getVariantPathsThroughGraphFromNode,
+# and the kmer-escalation driver in the commented block 1408-1428)
+# ---------------------------------------------------------------------------
+
+REF_AND_READ = REF | READ
+
+
+def _successors(graph: WindowGraph):
+    """Per-node successor lists in edge insertion order (the reference's
+    edges[] slot order)."""
+    succ = {key: [] for key in graph.nodes}
+    for (k1, k2), w in graph.edges.items():
+        succ[k1].append((k2, w))
+    return succ
+
+
+def detect_cycles(graph: WindowGraph, min_weight: float) -> bool:
+    """debruijn.cpp:923-997 — white/grey/black DFS; edges into READ-only
+    nodes with weight < minWeight are ignored.  Iterative (the reference
+    recursion can stack-overflow on long windows; same visit order)."""
+    succ = _successors(graph)
+    colour = {key: "w" for key in graph.nodes}
+    for root in graph.nodes:
+        if colour[root] != "w":
+            continue
+        stack = [(root, iter(succ[root]))]
+        colour[root] = "g"
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for nxt, w in it:
+                if graph.nodes[nxt][0] == READ and w < min_weight:
+                    continue
+                c = colour[nxt]
+                if c == "g":
+                    return True
+                if c == "w":
+                    colour[nxt] = "g"
+                    stack.append((nxt, iter(succ[nxt])))
+                    advanced = True
+                    break
+            if not advanced:
+                colour[node] = "b"
+                stack.pop()
+    return False
+
+
+def variant_paths_from_node(graph: WindowGraph, start_key, min_weight: float,
+                            max_paths: int = 20):
+    """debruijn.cpp:1147-1239 — enumerate read-supported paths leaving
+    `start_key` until they rejoin the reference (bubbles).  Returns a list
+    of (node_key list, path_weight) or None when the >20-path cap fires
+    (the reference gives up on the whole node)."""
+    stack = [([start_key], 0.0)]
+    finished = []
+    while stack:
+        path, weight = stack.pop()
+        if len(stack) > max_paths or len(finished) > max_paths:
+            return None
+        if len(set(path)) != len(path):  # checkPathForCycles
+            continue
+        end = path[-1]
+        colours = graph.nodes[end][0]
+        if len(path) > 1 and colours == REF_AND_READ:
+            finished.append((path, weight))  # bubble closed
+            continue
+        if len(path) > 1 and colours == REF:
+            continue  # ref-only dead end (debruijn.cpp:1196)
+        for nxt, w in _successors_cached(graph)[end]:
+            nxt_colours = graph.nodes[nxt][0]
+            if w >= min_weight or nxt_colours in (REF_AND_READ, REF):
+                stack.append((path + [nxt], weight + w))
+    return finished
+
+
+def _successors_cached(graph: WindowGraph):
+    if not hasattr(graph, "_succ_cache"):
+        graph._succ_cache = _successors(graph)
+    return graph._succ_cache
+
+
+def path_sequence(graph: WindowGraph, path, k=K_DEFAULT) -> np.ndarray:
+    """createSequenceFromPath (debruijn.cpp:1094-1113): first base of each
+    node's k-mer (keys are base-5 packed, first base = most significant)."""
+    top = 5 ** (k - 1)
+    return np.array([int(key) // top for key in path], np.int64)
+
+
+def find_bubbles(graph: WindowGraph, min_weight: float, k=K_DEFAULT):
+    """Variant-path sweep: from every REF_AND_READ node with a qualifying
+    out-edge into a non-reference node, collect closed bubbles.  Returns
+    list of (start_key, paths) with paths as in variant_paths_from_node."""
+    out = []
+    succ = _successors_cached(graph)
+    for key, (colours, _, _) in graph.nodes.items():
+        if colours != REF_AND_READ:
+            continue
+        diverges = any(
+            graph.nodes[nxt][0] & READ and graph.nodes[nxt][0] != REF_AND_READ
+            and w >= min_weight
+            for nxt, w in succ[key]
+        )
+        if not diverges:
+            continue
+        paths = variant_paths_from_node(graph, key, min_weight)
+        if paths:
+            out.append((key, paths))
+    return out
+
+
+def assemble_window(ref_codes, ref_start, reads, k=K_DEFAULT, min_qual=20,
+                    min_reads=2, max_k=50, detect_variants=True):
+    """assembleReadsAndDetectVariants with the reference's (commented-out,
+    debruijn.cpp:1408-1428) kmer-escalation loop enabled: rebuild with
+    k += 5 while the graph has cycles, giving up past k=50."""
+    min_weight = min_reads * min_qual
+    while True:
+        g = build_window_graph_oracle(ref_codes, ref_start, reads, k=k,
+                                      min_qual=min_qual)
+        if not detect_cycles(g, min_weight) or k > max_k:
+            break
+        k += 5
+    bubbles = find_bubbles(g, min_weight, k) if detect_variants else []
+    return g, k, bubbles

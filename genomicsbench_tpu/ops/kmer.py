@@ -327,3 +327,101 @@ def minimizer_mask(seq, lengths, *, k, window):
         emitted = emitted | (inb & (chooser == cols))
     emitted &= ok
     return raw, emitted
+
+
+# ---------------------------------------------------------------------------
+# minimizer position index (VertexIndex::buildIndexMinimizers,
+# vertex_index.cpp:389-497 + filterFrequentKmers :173-212)
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class MinimizerIndex:
+    """Per-kmer sorted global-position lists.
+
+    kmers (U,) uint32 canonical reps, ascending; offsets (U+1,) int64 into
+    positions; positions (P,) int64 sorted within each k-mer (the per-kmer
+    sort at vertex_index.cpp:476-482); repetitive (R,) uint32 reps dropped
+    by the frequency filter; mean_frequency as the reference logs it."""
+
+    kmers: np.ndarray
+    offsets: np.ndarray
+    positions: np.ndarray
+    repetitive: np.ndarray
+    mean_frequency: float
+
+    def lookup(self, rep: int) -> np.ndarray:
+        i = np.searchsorted(self.kmers, np.uint32(rep))
+        if i == len(self.kmers) or self.kmers[i] != np.uint32(rep):
+            return np.zeros(0, np.int64)
+        return self.positions[self.offsets[i] : self.offsets[i + 1]]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _minimizer_sites(seq, lengths, *, k, window):
+    """Device pass: (canonical rep, strand-adjusted in-read position) for
+    every minimizer site.  Returns (canon (B,L) u32, pos_std (B,L) i32,
+    mask (B,L) bool)."""
+    raw, mask = minimizer_mask(seq, lengths, k=k, window=window)
+    rc = revcomp(raw, k)
+    flip = rc < raw
+    canon = jnp.where(flip, rc, raw)
+    cols = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    # standardForm flips the position to the RC strand
+    # (vertex_index.cpp:441-446): pos' = seqLen - pos - k
+    pos_std = jnp.where(flip, lengths[:, None] - cols - k, cols)
+    return canon, pos_std, mask
+
+
+def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
+                           repeat_kmer_rate: float = 1.0,
+                           min_coverage: int = 1) -> MinimizerIndex:
+    """Flye minimizer index, TPU-formulated.
+
+    The reference's two cuckoo-hash passes (capacity upsert, then packed
+    position fill under striped locks) become: one device pass extracting
+    (canonical minimizer, strand-adjusted position) sites, one global
+    lexsort — which yields the per-kmer position lists already sorted —
+    and a vectorized frequency filter.  Deterministic, atomics-free,
+    same final index content.
+
+    Global positions are read_offset + in-read standard-strand position,
+    with read offsets = cumsum of read lengths (the analog of
+    SequenceContainer::globalPosition for the forward container)."""
+    seq_codes = np.asarray(seq_codes)
+    lengths = np.asarray(lengths, np.int32)
+    canon, pos_std, mask = jax.device_get(
+        _minimizer_sites(jnp.asarray(seq_codes), jnp.asarray(lengths),
+                         k=k, window=window)
+    )
+    rid, _ = np.nonzero(mask)
+    reps = canon[mask]
+    offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+    gpos = offs[rid] + pos_std[mask].astype(np.int64)
+
+    order = np.lexsort((gpos, reps))
+    reps, gpos = reps[order], gpos[order]
+    uniq, starts, counts = np.unique(reps, return_index=True, return_counts=True)
+
+    # filterFrequentKmers (vertex_index.cpp:173-212): mean over kmers with
+    # capacity >= minCoverage, denominator +1; drop capacity > rate*mean.
+    covered = counts >= min_coverage
+    mean_freq = counts[covered].sum() / (covered.sum() + 1)
+    threshold = repeat_kmer_rate * mean_freq
+    repetitive = uniq[counts > threshold]
+    keep = counts <= threshold
+
+    kmers = uniq[keep]
+    kept_counts = counts[keep]
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+    positions = np.empty(int(kept_counts.sum()), np.int64)
+    out_at = 0
+    for s, c in zip(starts[keep], kept_counts):
+        positions[out_at : out_at + c] = gpos[s : s + c]
+        out_at += c
+    return MinimizerIndex(
+        kmers=kmers, offsets=offsets, positions=positions,
+        repetitive=repetitive, mean_frequency=float(mean_freq),
+    )

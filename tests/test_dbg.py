@@ -54,3 +54,67 @@ class TestDbg:
         assert g.edges == want.edges
         # repeated kmers (period-4 sequence -> only 4 distinct 15-mers)
         assert g.node_count() == 4
+
+
+class TestCyclesAndVariantPaths:
+    """debruijn.cpp:923-1239 (cycle DFS + bubble extraction) — disabled in
+    the reference ROI but part of the component's capability surface."""
+
+    def _graph(self, ref, reads, k=5):
+        from genomicsbench_tpu.ops.dbg import build_window_graph_oracle
+
+        ref = np.asarray(ref, np.uint8)
+        rds = [(np.asarray(r, np.uint8), np.full(len(r), 30, np.uint8), False)
+               for r in reads]
+        return build_window_graph_oracle(ref, 0, rds, k=k, min_qual=20)
+
+    def test_acyclic_linear_graph(self):
+        from genomicsbench_tpu.ops.dbg import detect_cycles
+
+        k = 8
+        rng = np.random.default_rng(0)
+        while True:  # need a repeat-free reference (unique k-mers)
+            ref = rng.integers(0, 4, 60)
+            kmers = {tuple(ref[i : i + k]) for i in range(len(ref) - k + 1)}
+            if len(kmers) == len(ref) - k + 1:
+                break
+        g = self._graph(ref, [ref[5:40]], k=k)
+        assert not detect_cycles(g, min_weight=40)
+
+    def test_repeat_creates_cycle(self):
+        from genomicsbench_tpu.ops.dbg import detect_cycles
+
+        motif = np.array([0, 1, 2, 3, 0, 2] * 6, np.uint8)  # 6-periodic > k=5
+        g = self._graph(motif, [])
+        assert detect_cycles(g, min_weight=40)
+
+    def test_bubble_extraction(self):
+        from genomicsbench_tpu.ops.dbg import (
+            REF_AND_READ, find_bubbles, path_sequence,
+        )
+
+        rng = np.random.default_rng(1)
+        k = 5
+        ref = rng.integers(0, 4, 50)
+        # read = ref with one SNP in the middle -> a classic bubble
+        read = ref[5:45].copy()
+        snp_at = 20
+        read[snp_at] = (read[snp_at] + 1) % 4
+        reads = [read] * 3  # weight 3*30 >= min_weight 40 per edge
+        g = self._graph(ref, reads, k=k)
+        bubbles = find_bubbles(g, min_weight=40, k=k)
+        assert bubbles, "SNP bubble not found"
+        start, paths = bubbles[0]
+        assert g.nodes[start][0] == REF_AND_READ
+        # at least one closed path rejoining the reference
+        path, weight = paths[0]
+        assert g.nodes[path[-1]][0] == REF_AND_READ
+        seq = path_sequence(g, path, k)
+        assert len(seq) == len(path) and set(seq.tolist()) <= {0, 1, 2, 3}
+
+    def test_assemble_window_escalates_k(self):
+        from genomicsbench_tpu.ops.dbg import assemble_window
+
+        motif = np.tile(np.array([0, 1, 2, 3, 0, 2], np.uint8), 8)  # cycles at k=5
+        g, k_used, _ = assemble_window(motif, 0, [], k=5, detect_variants=False)
+        assert k_used > 5

@@ -168,3 +168,66 @@ class TestSeqIo:
         batch2 = load_fastx_batch(q)
         assert batch2.n == 5
         np.testing.assert_array_equal(batch2.codes, batch.codes)
+
+
+class TestMinimizerIndex:
+    """buildIndexMinimizers parity (vertex_index.cpp:389-497): compare the
+    device/sort formulation against a dict-based oracle built from the
+    minimizer oracle."""
+
+    def _oracle_index(self, seqs, lengths, k, window, rate, min_cov=1):
+        from genomicsbench_tpu.ops.kmer import yield_minimizers_oracle
+
+        def rc_rep(rep):
+            out = 0
+            for _ in range(k):
+                out = (out << 2) | (3 - (rep & 3))
+                rep >>= 2
+            return out
+
+        offs = np.concatenate([[0], np.cumsum(np.asarray(lengths, np.int64))])
+        table = {}
+        for b, s in enumerate(seqs):
+            for pos, rep in yield_minimizers_oracle(
+                    np.asarray(s[: lengths[b]]), k, window):
+                fwd = 0
+                for c in s[pos : pos + k]:
+                    fwd = (fwd << 2) | int(c)
+                rcv = rc_rep(fwd)
+                if rcv < fwd:
+                    std, p = rcv, lengths[b] - pos - k
+                else:
+                    std, p = fwd, pos
+                table.setdefault(std, []).append(int(offs[b]) + int(p))
+        counts = {r: len(v) for r, v in table.items()}
+        cov = [c for c in counts.values() if c >= min_cov]
+        mean = sum(cov) / (len(cov) + 1)
+        thr = rate * mean
+        kept = {r: sorted(v) for r, v in table.items() if counts[r] <= thr}
+        rep = sorted(r for r, c in counts.items() if c > thr)
+        return kept, rep, mean
+
+    def test_matches_oracle(self):
+        from genomicsbench_tpu.ops.kmer import build_index_minimizers
+
+        rng = np.random.default_rng(0)
+        k, w = 9, 5
+        lens = [70, 100, 55, 88]
+        L = 128
+        seqs = np.zeros((len(lens), L), np.uint8)
+        for i, ln in enumerate(lens):
+            seqs[i, :ln] = rng.integers(0, 4, ln)
+        # plant a repeat so the frequency filter fires
+        motif = rng.integers(0, 4, 12)
+        for i in range(len(lens)):
+            seqs[i, 10:22] = motif
+            seqs[i, 30:42] = motif
+        idx = build_index_minimizers(
+            seqs, np.array(lens, np.int32), k=k, window=w, repeat_kmer_rate=1.5)
+        want, want_rep, want_mean = self._oracle_index(
+            seqs, lens, k, w, 1.5)
+        assert idx.mean_frequency == pytest.approx(want_mean)
+        np.testing.assert_array_equal(idx.repetitive, np.array(want_rep, np.uint32))
+        assert list(idx.kmers) == sorted(want)
+        for rep, pos in want.items():
+            np.testing.assert_array_equal(idx.lookup(rep), pos)

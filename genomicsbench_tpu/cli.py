@@ -220,10 +220,15 @@ def cmd_dbg(args):
 # --------------------------------------------------------------------- grm
 def cmd_grm(args):
     """plink2 --maf --make-grm-bin --out (run-cpu.sh:53,84)."""
-    from genomicsbench_tpu.io.plink import read_bed
+    import os
+
+    from genomicsbench_tpu.io.plink import read_bed, read_pgen
     from genomicsbench_tpu.ops.grm import grm, write_grm_bin
 
-    geno, ids = read_bed(args.bfile)
+    if os.path.exists(args.bfile + ".pgen"):
+        geno, ids = read_pgen(args.bfile)
+    else:
+        geno, ids = read_bed(args.bfile)
     t0 = _t()
     mat, nobs = grm(geno, maf=args.maf)
     dt = _t() - t0

@@ -1,6 +1,7 @@
 """GRM kernel vs NumPy oracle + plink .bed IO."""
 
 import numpy as np
+import pytest
 
 from genomicsbench_tpu.io.plink import read_bed, write_bed
 from genomicsbench_tpu.ops.grm import grm, grm_oracle, write_grm_bin
@@ -48,3 +49,52 @@ class TestGrm:
         assert len(tri) == 16 * 17 // 2
         assert np.isclose(tri[0], mat[0, 0])
         assert np.isclose(tri[2], mat[1, 1])
+
+
+class TestPgenIo:
+    """plink2 .pgen/.pvar/.psam (io/plink.py) — the canonical grm input
+    format (run-cpu.sh:53,84)."""
+
+    def test_pgen_roundtrip_mode2(self, tmp_path):
+        from genomicsbench_tpu.io.plink import read_pgen, write_pgen
+
+        rng = np.random.default_rng(0)
+        geno = rng.integers(0, 4, size=(20, 13)).astype(np.uint8)
+        write_pgen(str(tmp_path / "x"), geno, ids=[f"id{i}" for i in range(13)])
+        back, ids = read_pgen(str(tmp_path / "x"))
+        np.testing.assert_array_equal(back, geno)
+        assert ids == [f"id{i}" for i in range(13)]
+
+    def test_pgen_mode1_matches_bed(self, tmp_path):
+        from genomicsbench_tpu.io.plink import read_bed, read_pgen, write_bed, write_pgen
+
+        rng = np.random.default_rng(1)
+        geno = rng.integers(0, 4, size=(8, 9)).astype(np.uint8)
+        write_bed(str(tmp_path / "b"), geno)
+        write_pgen(str(tmp_path / "p"), geno, mode=0x01)
+        bed, _ = read_bed(str(tmp_path / "b"))
+        pg, _ = read_pgen(str(tmp_path / "p"))
+        np.testing.assert_array_equal(bed, geno)
+        np.testing.assert_array_equal(pg, geno)
+
+    def test_unsupported_mode_raises(self, tmp_path):
+        from genomicsbench_tpu.io.plink import read_pgen, write_pgen
+
+        write_pgen(str(tmp_path / "x"), np.zeros((2, 3), np.uint8))
+        raw = bytearray((tmp_path / "x.pgen").read_bytes())
+        raw[2] = 0x10
+        (tmp_path / "x.pgen").write_bytes(bytes(raw))
+        with pytest.raises(NotImplementedError):
+            read_pgen(str(tmp_path / "x"))
+
+    def test_grm_from_pgen(self, tmp_path):
+        from genomicsbench_tpu.io.plink import write_pgen, read_pgen
+        from genomicsbench_tpu.ops.grm import grm, grm_oracle
+
+        rng = np.random.default_rng(2)
+        geno = rng.integers(0, 3, size=(60, 16)).astype(np.uint8)
+        write_pgen(str(tmp_path / "g"), geno)
+        loaded, _ = read_pgen(str(tmp_path / "g"))
+        got, _ = grm(loaded)
+        want, _ = grm_oracle(loaded)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

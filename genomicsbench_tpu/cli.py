@@ -212,7 +212,7 @@ def cmd_dbg(args):
     t0 = _t()
     graphs = dbg_from_bam(bam, fa, chrom, beg, end)
     dt = _t() - t0
-    nodes = sum(len(g.kmers) for g in graphs)
+    nodes = sum(g.node_count() for g in graphs)
     print(f"Kernel runtime: {dt:.2f} s  windows: {len(graphs)} nodes: {nodes}",
           file=sys.stderr)
 
@@ -397,6 +397,13 @@ def build_parser():
     s.add_argument("--input_fn", required=True)
     s.add_argument("--output_fn")
     s.set_defaults(fn=cmd_nn_variant)
+
+    s = sub.add_parser("suite", help="run every workload on a synthesized demo dataset")
+    s.add_argument("--dir", default="/tmp/gbench_demo")
+    s.add_argument("--only", nargs="*")
+    s.set_defaults(fn=lambda a: __import__(
+        "genomicsbench_tpu.suite", fromlist=["run_suite"]
+    ).run_suite(a.dir, only=a.only))
     return p
 
 

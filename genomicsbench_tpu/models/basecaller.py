@@ -269,10 +269,23 @@ def stitch_posteriors(preds, overlap):
 def beam_search_decode(probs, beamsize=5, threshold=1e-3):
     """CTC prefix beam search over posteriors (fast_ctc_decode semantics:
     basecall.py:100-106; blank = index 0, alphabet CTC_LABELS).  Returns
-    the decoded string."""
+    the decoded string.
+
+    Nanopore posteriors are blank-dominated, so runs of frames whose
+    non-blank probabilities are all below `threshold` (which the inner
+    loop would skip anyway) are collapsed in O(1): such a frame maps
+    every beam to (pb+pnb)*p_blank with pnb=0, preserving the ranking —
+    only the frames with an active non-blank symbol pay the per-beam
+    update.  Beam scores are renormalized per active frame so arbitrarily
+    long reads cannot underflow."""
+    probs = np.asarray(probs)
     T, L = probs.shape
+    active = np.nonzero(probs[:, 1:].max(axis=1) >= threshold)[0]
     beams = {(): (1.0, 0.0)}  # prefix -> (p_blank, p_nonblank)
-    for t in range(T):
+    prev_t = 0
+    for t in active:
+        if t > prev_t:  # collapse the blank-only run [prev_t, t)
+            beams = {p: (pb + pnb, 0.0) for p, (pb, pnb) in beams.items()}
         frame = probs[t]
         nxt: dict = {}
 
@@ -292,11 +305,16 @@ def beam_search_decode(probs, beamsize=5, threshold=1e-3):
                     add(prefix + (s,), 0.0, p * pb)  # new copy needs a blank gap
                 else:
                     add(prefix + (s,), 0.0, p * p_tot)
-        beams = dict(
-            sorted(nxt.items(), key=lambda kv: kv[1][0] + kv[1][1], reverse=True)[:beamsize]
-        )
+        top = sorted(nxt.items(), key=lambda kv: kv[1][0] + kv[1][1],
+                     reverse=True)[:beamsize]
+        norm = 1.0 / max(top[0][1][0] + top[0][1][1], 1e-300)
+        beams = {p: (pb * norm, pnb * norm) for p, (pb, pnb) in top}
+        prev_t = t + 1
     best = max(beams.items(), key=lambda kv: kv[1][0] + kv[1][1])[0]
     return "".join(CTC_LABELS[s] for s in best)
+
+
+_forward_jit = jax.jit(forward, static_argnames=("cfg", "train"))
 
 
 def model_stride(cfg: BasecallerConfig) -> int:
@@ -314,14 +332,14 @@ def basecall_signals(params, signals, cfg: BasecallerConfig = None,
     Returns list of base strings."""
     cfg = cfg or BasecallerConfig()
     stride = model_stride(cfg)
-    fwd = jax.jit(functools.partial(forward, cfg=cfg, train=False))
     out = []
     for raw in signals:
         sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
         chunks = chunk_signal(sig, chunksize, overlap)
         posts = []
         for s in range(0, len(chunks), batch_size):
-            lp = fwd(params, jnp.asarray(chunks[s : s + batch_size]))
+            lp = _forward_jit(params, jnp.asarray(chunks[s : s + batch_size]),
+                              cfg=cfg, train=False)
             posts.append(np.exp(np.asarray(lp, np.float32)))
         posts = np.concatenate(posts)
         stitched = stitch_posteriors(posts, overlap // stride // 2)

@@ -314,6 +314,89 @@ def cmd_nn_variant(args):
     print(f"Time taken: {dt:.4f} s", file=sys.stderr)
 
 
+# ---------------------------------------------------------- call-methylation
+def cmd_call_methylation(args):
+    """f5c call-methylation equivalent (main.c:49-117 mode 0): eventalign
+    each read, then score CpG groups with the profile HMM and emit
+    per-site log-likelihood ratios."""
+    from genomicsbench_tpu.io.msa_fasta import encode_seq
+    from genomicsbench_tpu.io.seqio import read_fastx
+    from genomicsbench_tpu.ops import abea as abea_ops
+    from genomicsbench_tpu.ops import methylation as meth
+    from genomicsbench_tpu.ops.eventalign import eventalign_reads
+
+    model_mean, model_stdv = (
+        abea_ops.load_model_tsv(args.model) if args.model
+        else abea_ops.synthetic_model(seed=0)
+    )
+    cpg_mean, cpg_stdv = (
+        abea_ops.load_model_tsv(args.cpg_model) if args.cpg_model
+        else meth.synthetic_cpg_model(seed=0)
+    )
+    sig = _load_signals(args.signals)
+    names, seqs, raws = [], [], []
+    for name, seq in read_fastx(args.reads):
+        if name in sig:
+            names.append(name)
+            seqs.append(encode_seq(seq.decode()))
+            raws.append(np.asarray(sig[name], np.float32))
+    t0 = _t()
+    results = eventalign_reads(raws, seqs, model_mean, model_stdv)
+    print("chromosome\tstart\tend\tread_name\tlog_lik_ratio\t"
+          "log_lik_methylated\tlog_lik_unmethylated\tnum_cpgs\tsequence")
+    n_sites = 0
+    site_maps = []
+    for b, res in enumerate(results):
+        if res.flag != 0 or res.alignment is None:
+            continue
+        seq_str = "".join("ACGT"[min(int(c), 3)] for c in seqs[b])
+        sites = meth.call_methylation_for_read(
+            seq_str, 0, res.alignment.ref_position, res.alignment.event_idx,
+            _detect_means(raws[b]),
+            res.scalings, cpg_mean, cpg_stdv, res.events_per_base,
+        )
+        site_maps.append(sites)
+        for pos, ss in sorted(sites.items()):
+            n_sites += 1
+            print(f"read\t{ss.start_position}\t{ss.end_position}\t{names[b]}\t"
+                  f"{ss.ll_ratio:.2f}\t{ss.ll_methylated:.2f}\t"
+                  f"{ss.ll_unmethylated:.2f}\t{ss.n_cpg}\t{ss.sequence}")
+    print(f"[call-methylation] {n_sites} site groups from "
+          f"{len(site_maps)} reads in {_t() - t0:.2f} sec", file=sys.stderr)
+
+
+def _detect_means(raw):
+    from genomicsbench_tpu.ops.abea import detect_events
+
+    return detect_events(raw)[2]
+
+
+# ----------------------------------------------------------------- meth-freq
+def cmd_meth_freq(args):
+    """f5c meth-freq equivalent (main.c:53): aggregate a call-methylation
+    TSV into per-site methylation frequencies."""
+    from genomicsbench_tpu.ops.methylation import ScoredSite, methylation_frequency
+
+    maps = []
+    with open(args.input) as f:
+        header = f.readline()
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if len(t) < 9:
+                continue
+            ss = ScoredSite(int(t[1]), int(t[2]), int(t[7]), t[8],
+                            float(t[6]), float(t[5]))
+            maps.append({ss.start_position: ss})
+    out = methylation_frequency(maps, call_threshold=args.call_threshold)
+    print("start\tend\tnum_cpgs_in_group\tcalled_sites\t"
+          "called_sites_methylated\tmethylated_frequency\tgroup_sequence")
+    for rec in out:
+        print(f"{rec['start']}\t{rec['end']}\t{rec['n_cpg']}\t"
+              f"{rec['called_sites']}\t{rec['called_sites_methylated']}\t"
+              f"{rec['methylated_frequency']:.3f}\t{rec['sequence']}")
+
+
+
 # ------------------------------------------------------------------ parser
 def build_parser():
     p = argparse.ArgumentParser(prog="gbench", description=__doc__)
@@ -397,6 +480,18 @@ def build_parser():
     s.add_argument("--input_fn", required=True)
     s.add_argument("--output_fn")
     s.set_defaults(fn=cmd_nn_variant)
+
+    s = sub.add_parser("call-methylation", help="CpG methylation calling")
+    s.add_argument("--signals", required=True)
+    s.add_argument("--reads", required=True)
+    s.add_argument("--model")
+    s.add_argument("--cpg-model")
+    s.set_defaults(fn=cmd_call_methylation)
+
+    s = sub.add_parser("meth-freq", help="methylation frequency aggregation")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-c", "--call-threshold", type=float, default=2.5)
+    s.set_defaults(fn=cmd_meth_freq)
 
     s = sub.add_parser("suite", help="run every workload on a synthesized demo dataset")
     s.add_argument("--dir", default="/tmp/gbench_demo")

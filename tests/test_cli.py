@@ -188,3 +188,32 @@ def test_basecall_pipeline_units():
     for t, s in enumerate([1, 0, 2, 2, 0, 3]):
         probs[t, s] = 0.96
     assert beam_search_decode(probs, beamsize=5) == "ACGT"[0:1] + "C" + "G"
+
+
+def test_cli_call_methylation_and_meth_freq(tmp_path, capsys):
+    from genomicsbench_tpu.ops.abea import kmer_ranks, synthetic_model
+
+    mm, _ = synthetic_model(seed=0)
+    rng = np.random.default_rng(11)
+    # a read with one CpG island in an otherwise CG-free sequence
+    left = "".join(rng.choice(list("ACT"), 30))
+    right = "".join(rng.choice(list("ACT"), 30))
+    seq_str = left + "CG" + right
+    codes = np.array([{"A": 0, "C": 1, "G": 2, "T": 3}[c] for c in seq_str], np.uint8)
+    # synthesize enough signal for calibration: tile the read 5x
+    big = np.tile(codes, 5)
+    lv = mm[kmer_ranks(big)]
+    raw = (np.repeat(lv, 8) + rng.normal(0, 0.3, len(lv) * 8)).astype(np.float32)
+    np.savez(tmp_path / "sig.npz", r0=raw)
+    with open(tmp_path / "reads.fa", "w") as f:
+        f.write(f">r0\n{''.join('ACGT'[c] for c in big)}\n")
+    main(["call-methylation", "--signals", str(tmp_path / "sig.npz"),
+          "--reads", str(tmp_path / "reads.fa")])
+    out = capsys.readouterr()
+    lines = out.out.strip().splitlines()
+    assert lines[0].startswith("chromosome\tstart")
+    (tmp_path / "calls.tsv").write_text(out.out)
+    if len(lines) > 1:  # sites were scored: aggregate them
+        main(["meth-freq", "-i", str(tmp_path / "calls.tsv")])
+        out2 = capsys.readouterr()
+        assert out2.out.startswith("start\tend")

@@ -210,8 +210,8 @@ def _abea_scan(
 ):
     """ranks (B, Kp) i32; ev_mean (B, Ep) f32; per-read scalars (B,) f32/i32.
 
-    Returns (trace (n_steps+2, B, W) u8, bll_e/bll_k (n_steps+2, B) i32,
-    best_score (B,), best_event (B,))."""
+    Returns (trace (n_steps, B, W//4) u8 2-bit packed, bll_e (n_steps, B)
+    i32, trace1 (B, W) u8, best_score (B,), best_event (B,))."""
     B, Kp = ranks.shape
     W = BW
     hbw = W // 2
@@ -380,11 +380,15 @@ def _abea_scan(
             best=best, best_ev=best_ev,
             band_idx=c["band_idx"] + 1,
         )
-        ys = (trace, jnp.where(live, bll_e, -1), jnp.where(live, bll_k, 0))
+        # 2-bit pack the trace row (values 0..2) along the band axis so the
+        # host fetch through the (slow, tunneled) PCIe path is 4x smaller
+        tp = (trace[:, 0::4] | (trace[:, 1::4] << 2)
+              | (trace[:, 2::4] << 4) | (trace[:, 3::4] << 6))
+        ys = (tp, jnp.where(live, bll_e, -1))
         return out, ys
 
-    final, (traces, bll_es, bll_ks) = jax.lax.scan(step, init, None, length=n_steps)
-    return traces, bll_es, bll_ks, trace1, final["best"], final["best_ev"]
+    final, (traces, bll_es) = jax.lax.scan(step, init, None, length=n_steps)
+    return traces, bll_es, trace1, final["best"], final["best_ev"]
 
 
 @dataclasses.dataclass
@@ -421,7 +425,7 @@ def align_batch(
     model_log_stdv = np.log(model_stdv.astype(np.float64)).astype(np.float32)
     n_steps = int((n_events + n_kmers + 2).max()) - 2
 
-    traces, bll_es, bll_ks, trace1, best, best_ev = jax.device_get(
+    traces, bll_es, trace1, best, best_ev = jax.device_get(
         _abea_scan(
             jnp.asarray(ranks), jnp.asarray(ev),
             jnp.asarray(n_kmers), jnp.asarray(n_events),
@@ -437,64 +441,71 @@ def align_batch(
     )
 
     hbw = BW // 2
+    # Backtrack, vectorized ACROSS reads: every read walks one band step per
+    # iteration (<= n_events + n_kmers steps total), all lookups are fancy
+    # gathers over the downloaded trace/band arrays.  Semantics identical to
+    # the per-read scalar walk (same visit order, same f32 emission adds).
+    mls = np.log(model_stdv.astype(np.float64)).astype(np.float32)
+    mmean32 = model_mean.astype(np.float32)
+    mstdv32 = model_stdv.astype(np.float32)
+    sc = scalings[:, 0].astype(np.float32)
+    sh = scalings[:, 1].astype(np.float32)
+
+    cur_e = best_ev.astype(np.int64)
+    cur_k = n_kmers.astype(np.int64) - 1
+    alive0 = np.isfinite(best)
+    active = alive0 & (cur_k >= 0) & (cur_e >= 0)
+    max_steps = int((n_events + n_kmers).max()) + 2
+    bidx = np.arange(B)
+    pair_buf = np.full((B, max_steps, 2), -1, np.int32)
+    n_pairs = np.zeros(B, np.int64)
+    sum_emission = np.zeros(B, np.float64)
+    curr_gap = np.zeros(B, np.int64)
+    max_gap = np.zeros(B, np.int64)
+    step = 0
+    while active.any():
+        a_ids = np.nonzero(active)[0]
+        ck, ce = cur_k[a_ids], cur_e[a_ids]
+        pair_buf[a_ids, step, 0] = ck
+        pair_buf[a_ids, step, 1] = ce
+        n_pairs[a_ids] += 1
+        r = ranks[a_ids, ck]
+        a = (ev[a_ids, ce] - (sc[a_ids] * mmean32[r] + sh[a_ids])) / mstdv32[r]
+        sum_emission[a_ids] += (
+            np.float32(-0.918938) - mls[r] + np.float32(-0.5) * a * a
+        ).astype(np.float64)
+        bi = (ce + 1) + (ck + 1)
+        big = np.clip(bi - 2, 0, traces.shape[0] - 1)
+        be = np.where(bi == 0, hbw - 1, np.where(bi == 1, hbw, bll_es[big, a_ids]))
+        off = np.clip(be - ce, 0, BW - 1)
+        packed = traces[big, a_ids, off >> 2]
+        frm_main = (packed >> (2 * (off & 3))) & 3
+        frm = np.where(
+            bi == 0, FROM_D * 0,
+            np.where(bi == 1, trace1[a_ids, off], frm_main),
+        )
+        is_d = frm == FROM_D
+        is_u = frm == FROM_U
+        is_l = ~is_d & ~is_u
+        cur_k[a_ids] = ck - np.where(is_u, 0, 1)
+        cur_e[a_ids] = ce - np.where(is_l, 0, 1)
+        curr_gap[a_ids] = np.where(is_l, curr_gap[a_ids] + 1, 0)
+        max_gap[a_ids] = np.maximum(max_gap[a_ids], curr_gap[a_ids])
+        active = alive0 & (cur_k >= 0) & (cur_e >= 0)
+        step += 1
+
     pairs_out, failed_out = [], []
     for b in range(B):
-        nk, ne = int(n_kmers[b]), int(n_events[b])
-        # reconstruct per-band trace/bll lookups
-        def band_bll(bi):
-            if bi == 0:
-                return hbw - 1, -1 - hbw
-            if bi == 1:
-                return hbw, -1 - hbw
-            return int(bll_es[bi - 2, b]), int(bll_ks[bi - 2, b])
-
-        def band_trace(bi, off):
-            if bi == 0:
-                return 0
-            if bi == 1:
-                return int(trace1[b, off])
-            return int(traces[bi - 2, b, off])
-
-        cur_e = int(best_ev[b])
-        cur_k = nk - 1
-        if not np.isfinite(best[b]):
+        if not alive0[b]:
             pairs_out.append(np.zeros((0, 2), np.int32))
             failed_out.append(True)
             continue
-        pairs = []
-        sum_emission = 0.0
-        curr_gap = max_gap = 0
-        mls = np.log(model_stdv.astype(np.float64)).astype(np.float32)
-        sc, sh = np.float32(scalings[b, 0]), np.float32(scalings[b, 1])
-        seq_ranks = ranks[b]
-        evm = ev[b]
-        while cur_k >= 0 and cur_e >= 0:
-            pairs.append((cur_k, cur_e))
-            r = seq_ranks[cur_k]
-            a = (evm[cur_e] - (sc * np.float32(model_mean[r]) + sh)) / np.float32(model_stdv[r])
-            sum_emission += float(np.float32(-0.918938) - mls[r]
-                                  + np.float32(-0.5) * a * a)
-            bi = (cur_e + 1) + (cur_k + 1)
-            be, bk = band_bll(bi)
-            off = be - cur_e
-            frm = band_trace(bi, off)
-            if frm == FROM_D:
-                cur_k -= 1
-                cur_e -= 1
-                curr_gap = 0
-            elif frm == FROM_U:
-                cur_e -= 1
-                curr_gap = 0
-            else:
-                cur_k -= 1
-                curr_gap += 1
-                max_gap = max(max_gap, curr_gap)
-        pairs.reverse()
-        pairs = np.array(pairs, np.int32).reshape(-1, 2)
-        n_aligned = len(pairs)
-        avg = sum_emission / max(n_aligned, 1)
-        spanned = n_aligned > 0 and pairs[0, 0] == 0 and pairs[-1, 0] == nk - 1
-        failed = (avg < -5.0) or (not spanned) or (max_gap > 50)
+        n = int(n_pairs[b])
+        pairs = pair_buf[b, :n][::-1].copy()
+        avg = sum_emission[b] / max(n, 1)
+        nk = int(n_kmers[b])
+        spanned = n > 0 and pairs[0, 0] == 0 and pairs[-1, 0] == nk - 1
+        failed = (avg < -5.0) or (not spanned) or (int(max_gap[b]) > 50)
         pairs_out.append(np.zeros((0, 2), np.int32) if failed else pairs)
         failed_out.append(bool(failed))
     return AbeaResult(pairs=pairs_out, failed=failed_out)

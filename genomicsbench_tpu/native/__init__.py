@@ -145,3 +145,26 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray | None:
     out = np.zeros((len(codes) + 31) // 32, np.uint64)
     lib.gb_pack_2bit(_u8p(codes), len(codes), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+def suffix_array(codes: np.ndarray, alphabet: int = 5) -> np.ndarray | None:
+    """Linear-time SA-IS suffix array (gbingest.cpp gb_sais); None if the
+    native library is unavailable.  Tie order: shorter suffix first
+    (implicit $ sentinel), matching the Python prefix-doubling fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "gb_sais"):
+        return None
+    lib.gb_sais.restype = ctypes.c_int64
+    lib.gb_sais.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.empty(len(codes), np.int32)
+    got = lib.gb_sais(_u8p(codes), len(codes), alphabet,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if got != len(codes):
+        raise ValueError(f"gb_sais failed ({got})")
+    return out.astype(np.int64)

@@ -303,3 +303,132 @@ int64_t gb_bgzf_raw_size(const uint8_t* data, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SA-IS suffix array (linear time) — the native index-construction path for
+// the FM-index (the reference's index build lives in bwa-mem2's C++; this is
+// a from-scratch implementation of the published SA-IS algorithm).
+// s: values in [0, K); out: suffix array of length n.  Internal sentinel
+// handling: caller passes s WITHOUT a sentinel; we treat position n as an
+// implicit unique smallest suffix (matching "shorter suffix first" order for
+// equal prefixes).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
+    // s must have a unique smallest sentinel at position n-1.
+    std::vector<bool> stype(n);
+    stype[n - 1] = true;
+    for (int32_t i = n - 2; i >= 0; i--)
+        stype[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && stype[i + 1]);
+    auto is_lms = [&](int32_t i) { return i > 0 && stype[i] && !stype[i - 1]; };
+
+    std::vector<int32_t> bkt(K + 1);
+    auto bucket_ends = [&](bool end) {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (int32_t i = 0; i < n; i++) bkt[s[i] + 1]++;
+        for (int32_t i = 0; i < K; i++) bkt[i + 1] += bkt[i];
+        if (end) {
+            // bkt[c] = end of bucket c (exclusive)
+            for (int32_t c = K; c >= 1; c--) bkt[c] = bkt[c];
+        }
+    };
+
+    std::vector<int32_t> bkt_start(K), bkt_end(K);
+    {
+        std::vector<int32_t> cnt(K, 0);
+        for (int32_t i = 0; i < n; i++) cnt[s[i]]++;
+        int32_t acc = 0;
+        for (int32_t c = 0; c < K; c++) {
+            bkt_start[c] = acc;
+            acc += cnt[c];
+            bkt_end[c] = acc;
+        }
+    }
+
+    auto induce = [&](const std::vector<int32_t>& lms_order) {
+        std::fill(sa, sa + n, -1);
+        std::vector<int32_t> e(bkt_end);
+        for (int32_t j = (int32_t)lms_order.size() - 1; j >= 0; j--) {
+            int32_t i = lms_order[j];
+            sa[--e[s[i]]] = i;
+        }
+        std::vector<int32_t> b(bkt_start);
+        for (int32_t k = 0; k < n; k++) {
+            int32_t j = sa[k];
+            if (j > 0 && !stype[j - 1]) sa[b[s[j - 1]]++] = j - 1;
+        }
+        std::vector<int32_t> e2(bkt_end);
+        for (int32_t k = n - 1; k >= 0; k--) {
+            int32_t j = sa[k];
+            if (j > 0 && stype[j - 1]) sa[--e2[s[j - 1]]] = j - 1;
+        }
+    };
+
+    std::vector<int32_t> lms;
+    for (int32_t i = 0; i < n; i++)
+        if (is_lms(i)) lms.push_back(i);
+    induce(lms);
+
+    // name LMS substrings in SA order
+    std::vector<int32_t> name(n, -1);
+    int32_t n_names = 0, prev = -1;
+    for (int32_t k = 0; k < n; k++) {
+        int32_t i = sa[k];
+        if (!is_lms(i)) continue;
+        if (prev >= 0) {
+            // compare LMS substrings prev vs i
+            int32_t a = prev, b = i;
+            bool same = true;
+            for (int32_t d = 0;; d++) {
+                if (s[a + d] != s[b + d] || stype[a + d] != stype[b + d]) {
+                    same = false;
+                    break;
+                }
+                if (d > 0 && (is_lms(a + d) || is_lms(b + d))) {
+                    same = is_lms(a + d) && is_lms(b + d);
+                    break;
+                }
+            }
+            if (!same) n_names++;
+        }
+        name[i] = n_names;
+        prev = i;
+    }
+    int32_t m = (int32_t)lms.size();
+    std::vector<int32_t> s1(m), sa1(m);
+    for (int32_t i = 0, j = 0; i < n; i++)
+        if (name[i] >= 0) s1[j++] = name[i];
+
+    std::vector<int32_t> lms_sorted(m);
+    if (n_names + 1 < m) {
+        sais_core(s1.data(), sa1.data(), m, n_names + 1);
+    } else {
+        for (int32_t i = 0; i < m; i++) sa1[s1[i]] = i;
+    }
+    for (int32_t i = 0; i < m; i++) lms_sorted[i] = lms[sa1[i]];
+    induce(lms_sorted);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of codes (values in [0, K)); writes n entries to out.
+// A unique sentinel smaller than all symbols is appended internally, so the
+// result orders shorter suffixes first on ties (bwa/$-convention).
+int64_t gb_sais(const uint8_t* s, int64_t n, int32_t K, int32_t* out) {
+    if (n <= 0) return 0;
+    if (n >= (1ll << 31) - 2) return -1;
+    std::vector<int32_t> t(n + 1);
+    for (int64_t i = 0; i < n; i++) t[i] = (int32_t)s[i] + 1;
+    t[n] = 0;  // sentinel
+    std::vector<int32_t> sa(n + 1);
+    sais_core(t.data(), sa.data(), (int32_t)n + 1, K + 2);
+    // drop the sentinel suffix (always first)
+    for (int64_t i = 0; i < n; i++) out[i] = sa[i + 1];
+    return n;
+}
+
+}  // extern "C"

@@ -46,8 +46,16 @@ BLOCK = 64  # BWT symbols per checkpoint block
 # ---------------------------------------------------------------------------
 
 def suffix_array(t: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (shorter suffixes sort first via
-    rank padding with -1, which matches appending a unique smallest $)."""
+    """Suffix array; shorter suffixes sort first on tied prefixes (the
+    implicit-$ convention).  Uses the native linear-time SA-IS
+    (native/gbingest.cpp gb_sais — the bwa-mem2-style C++ index-build
+    path) when available, else NumPy prefix doubling (O(n log^2 n))."""
+    from genomicsbench_tpu import native
+
+    if native.available() and len(t) > 1:
+        sa = native.suffix_array(np.asarray(t, np.uint8))
+        if sa is not None:
+            return sa
     n = len(t)
     rank = t.astype(np.int64)
     k = 1

@@ -109,3 +109,33 @@ def test_bam_reader_with_native_inflate(tmp_path):
     back = read_bam(str(p))
     assert back.records[0].name == "r0" and back.records[0].pos == 10
     np.testing.assert_array_equal(back.records[0].seq, seq)
+
+
+def test_sais_matches_prefix_doubling():
+    """gb_sais vs the NumPy prefix-doubling fallback (identical tie order)."""
+    rng = np.random.default_rng(7)
+
+    def pd(t):
+        n = len(t)
+        rank = t.astype(np.int64)
+        k = 1
+        while True:
+            second = np.full(n, -1, np.int64)
+            second[: n - k] = rank[k:]
+            order = np.lexsort((second, rank))
+            nr = np.empty(n, np.int64)
+            prev = (rank[order][1:] != rank[order][:-1]) | (
+                second[order][1:] != second[order][:-1])
+            nr[order] = np.concatenate([[0], np.cumsum(prev)])
+            rank = nr
+            if rank.max() == n - 1:
+                return order
+            k *= 2
+
+    cases = [rng.integers(0, 4, int(rng.integers(5, 800))).astype(np.uint8)
+             for _ in range(5)]
+    cases.append(np.tile(np.array([0, 1, 0, 1, 2], np.uint8), 100))
+    cases.append(np.zeros(257, np.uint8))
+    cases.append(np.array([3], np.uint8))
+    for t in cases:
+        np.testing.assert_array_equal(native.suffix_array(t), pd(t))

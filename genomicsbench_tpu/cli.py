@@ -448,7 +448,7 @@ def build_parser():
     s = sub.add_parser("pileup", help="pileup counts matrix")
     s.add_argument("bam"); s.add_argument("region")
     s.add_argument("dtypes", nargs="*", default=[])
-    s.add_argument("--num-homop", type=int, default=1)
+    s.add_argument("--num-homop", type=int, default=5)  # medaka_counts.c:503
     s.add_argument("--print-output", action="store_true")
     s.set_defaults(fn=cmd_pileup)
 

@@ -85,7 +85,7 @@ def _bsw_core(
     lanes so index qlen (== Q at worst) stays in range and aligned.
     """
     B, Q = query.shape
-    Qp = Q + 128
+    Qp = -(-(Q + 1) // 128) * 128  # lanes cover eh[0..qlen], 128-aligned
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
 
@@ -248,7 +248,7 @@ class BswScorer:
         self.n = batch.n
         self.mat = jnp.asarray(params.score_matrix(), dtype=jnp.int32)
         self.buckets = bucket_by_length(
-            (batch.tlen, batch.qlen), batch_size, multiple=(16, 128), sort_by=0
+            (batch.tlen, batch.qlen), batch_size, multiple=(16, 64), sort_by=0
         )
         idx_list = []
         for b in self.buckets:

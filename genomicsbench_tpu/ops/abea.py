@@ -391,6 +391,76 @@ def _abea_scan(
     return traces, bll_es, trace1, final["best"], final["best_ev"]
 
 
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _abea_backtrack_scan(traces, bll_es, trace1, best, best_ev,
+                         ranks, ev, n_kmers, scale, shift,
+                         model_mean, model_stdv, model_log_stdv,
+                         *, max_steps):
+    """On-device backtrack for every read in parallel — nothing but the
+    packed (kmer, event) path and QC scalars cross the (slow, tunneled)
+    host link.  Emission log-probs accumulate with Kahan compensation in
+    f32 (the TPU has no f64) to match the host's float64 sum of f32
+    terms to ~1 ulp over thousands of bands."""
+    B = ranks.shape[0]
+    hbw = BW // 2
+    S = traces.shape[0]
+    barange = jnp.arange(B, dtype=jnp.int32)
+    alive = jnp.isfinite(best)
+
+    def step(c, _):
+        cur_k, cur_e, sum_em, comp, curr_gap, max_gap = c
+        active = alive & (cur_k >= 0) & (cur_e >= 0)
+        ck = jnp.maximum(cur_k, 0)
+        ce = jnp.maximum(cur_e, 0)
+        pair = jnp.where(
+            active, (ck.astype(jnp.uint32) << 16) | ce.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        r = jnp.take_along_axis(ranks, ck[:, None], axis=1)[:, 0]
+        x = jnp.take_along_axis(ev, ce[:, None], axis=1)[:, 0]
+        a = (x - (scale * model_mean[r] + shift)) / model_stdv[r]
+        term = jnp.where(
+            active,
+            jnp.float32(-0.918938) - model_log_stdv[r] + jnp.float32(-0.5) * a * a,
+            0.0,
+        )
+        # Kahan
+        y = term - comp
+        t = sum_em + y
+        comp = (t - sum_em) - y
+        sum_em = t
+
+        bi = (ce + 1) + (ck + 1)
+        big = jnp.clip(bi - 2, 0, S - 1)
+        be = jnp.where(bi == 0, hbw - 1,
+                       jnp.where(bi == 1, hbw, bll_es[big, barange]))
+        off = jnp.clip(be - ce, 0, BW - 1)
+        packed = traces[big, barange, off >> 2]
+        frm_main = (packed >> (2 * (off & 3)).astype(jnp.uint8)) & 3
+        frm1 = jnp.take_along_axis(trace1, off[:, None], axis=1)[:, 0]
+        frm = jnp.where(bi == 0, 0, jnp.where(bi == 1, frm1, frm_main))
+        frm = frm.astype(jnp.int32)
+        is_u = frm == FROM_U
+        is_l = frm == FROM_L
+        cur_k = jnp.where(active, cur_k - jnp.where(is_u, 0, 1), cur_k)
+        cur_e = jnp.where(active, cur_e - jnp.where(is_l, 0, 1), cur_e)
+        curr_gap = jnp.where(active, jnp.where(is_l, curr_gap + 1, 0), curr_gap)
+        max_gap = jnp.maximum(max_gap, curr_gap)
+        return (cur_k, cur_e, sum_em, comp, curr_gap, max_gap), pair
+
+    init = (
+        n_kmers.astype(jnp.int32) - 1,
+        jnp.where(alive, best_ev, -1).astype(jnp.int32),
+        jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.float32),
+        jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+    )
+    (ck, ce, sum_em, _, _, max_gap), pairs = jax.lax.scan(
+        step, init, None, length=max_steps
+    )
+    return pairs, sum_em, max_gap
+
+
 @dataclasses.dataclass
 class AbeaResult:
     pairs: list        # per read: (n, 2) int array of (kmer_idx, event_idx)
@@ -425,84 +495,48 @@ def align_batch(
     model_log_stdv = np.log(model_stdv.astype(np.float64)).astype(np.float32)
     n_steps = int((n_events + n_kmers + 2).max()) - 2
 
-    traces, bll_es, trace1, best, best_ev = jax.device_get(
-        _abea_scan(
-            jnp.asarray(ranks), jnp.asarray(ev),
-            jnp.asarray(n_kmers), jnp.asarray(n_events),
-            jnp.asarray(scalings[:, 0].astype(np.float32)),
-            jnp.asarray(scalings[:, 1].astype(np.float32)),
-            jnp.asarray(model_mean.astype(np.float32)),
-            jnp.asarray(model_stdv.astype(np.float32)),
-            jnp.asarray(model_log_stdv),
-            jnp.asarray(lp_skip), jnp.asarray(lp_stay),
-            jnp.asarray(lp_step), jnp.asarray(lp_trim),
-            n_steps=n_steps,
-        )
+    dev_out = _abea_scan(
+        jnp.asarray(ranks), jnp.asarray(ev),
+        jnp.asarray(n_kmers), jnp.asarray(n_events),
+        jnp.asarray(scalings[:, 0].astype(np.float32)),
+        jnp.asarray(scalings[:, 1].astype(np.float32)),
+        jnp.asarray(model_mean.astype(np.float32)),
+        jnp.asarray(model_stdv.astype(np.float32)),
+        jnp.asarray(model_log_stdv),
+        jnp.asarray(lp_skip), jnp.asarray(lp_stay),
+        jnp.asarray(lp_step), jnp.asarray(lp_trim),
+        n_steps=n_steps,
     )
-
-    hbw = BW // 2
-    # Backtrack, vectorized ACROSS reads: every read walks one band step per
-    # iteration (<= n_events + n_kmers steps total), all lookups are fancy
-    # gathers over the downloaded trace/band arrays.  Semantics identical to
-    # the per-read scalar walk (same visit order, same f32 emission adds).
-    mls = np.log(model_stdv.astype(np.float64)).astype(np.float32)
-    mmean32 = model_mean.astype(np.float32)
-    mstdv32 = model_stdv.astype(np.float32)
-    sc = scalings[:, 0].astype(np.float32)
-    sh = scalings[:, 1].astype(np.float32)
-
-    cur_e = best_ev.astype(np.int64)
-    cur_k = n_kmers.astype(np.int64) - 1
-    alive0 = np.isfinite(best)
-    active = alive0 & (cur_k >= 0) & (cur_e >= 0)
+    traces_d, bll_es_d, trace1_d, best_d, best_ev_d = dev_out
     max_steps = int((n_events + n_kmers).max()) + 2
-    bidx = np.arange(B)
-    pair_buf = np.full((B, max_steps, 2), -1, np.int32)
-    n_pairs = np.zeros(B, np.int64)
-    sum_emission = np.zeros(B, np.float64)
-    curr_gap = np.zeros(B, np.int64)
-    max_gap = np.zeros(B, np.int64)
-    step = 0
-    while active.any():
-        a_ids = np.nonzero(active)[0]
-        ck, ce = cur_k[a_ids], cur_e[a_ids]
-        pair_buf[a_ids, step, 0] = ck
-        pair_buf[a_ids, step, 1] = ce
-        n_pairs[a_ids] += 1
-        r = ranks[a_ids, ck]
-        a = (ev[a_ids, ce] - (sc[a_ids] * mmean32[r] + sh[a_ids])) / mstdv32[r]
-        sum_emission[a_ids] += (
-            np.float32(-0.918938) - mls[r] + np.float32(-0.5) * a * a
-        ).astype(np.float64)
-        bi = (ce + 1) + (ck + 1)
-        big = np.clip(bi - 2, 0, traces.shape[0] - 1)
-        be = np.where(bi == 0, hbw - 1, np.where(bi == 1, hbw, bll_es[big, a_ids]))
-        off = np.clip(be - ce, 0, BW - 1)
-        packed = traces[big, a_ids, off >> 2]
-        frm_main = (packed >> (2 * (off & 3))) & 3
-        frm = np.where(
-            bi == 0, FROM_D * 0,
-            np.where(bi == 1, trace1[a_ids, off], frm_main),
-        )
-        is_d = frm == FROM_D
-        is_u = frm == FROM_U
-        is_l = ~is_d & ~is_u
-        cur_k[a_ids] = ck - np.where(is_u, 0, 1)
-        cur_e[a_ids] = ce - np.where(is_l, 0, 1)
-        curr_gap[a_ids] = np.where(is_l, curr_gap[a_ids] + 1, 0)
-        max_gap[a_ids] = np.maximum(max_gap[a_ids], curr_gap[a_ids])
-        active = alive0 & (cur_k >= 0) & (cur_e >= 0)
-        step += 1
+    pairs_dev, sum_em, max_gap = _abea_backtrack_scan(
+        traces_d, bll_es_d, trace1_d, best_d, best_ev_d,
+        jnp.asarray(ranks), jnp.asarray(ev), jnp.asarray(n_kmers),
+        jnp.asarray(scalings[:, 0].astype(np.float32)),
+        jnp.asarray(scalings[:, 1].astype(np.float32)),
+        jnp.asarray(model_mean.astype(np.float32)),
+        jnp.asarray(model_stdv.astype(np.float32)),
+        jnp.asarray(np.log(model_stdv.astype(np.float64)).astype(np.float32)),
+        max_steps=max_steps,
+    )
+    pairs_dev, sum_em, max_gap, best = jax.device_get(
+        (pairs_dev, sum_em, max_gap, best_d)
+    )
 
     pairs_out, failed_out = [], []
     for b in range(B):
-        if not alive0[b]:
+        if not np.isfinite(best[b]):
             pairs_out.append(np.zeros((0, 2), np.int32))
             failed_out.append(True)
             continue
-        n = int(n_pairs[b])
-        pairs = pair_buf[b, :n][::-1].copy()
-        avg = sum_emission[b] / max(n, 1)
+        col = pairs_dev[:, b]
+        valid = col != np.uint32(0xFFFFFFFF)
+        n = int(valid.sum())
+        packed = col[valid][::-1]
+        pairs = np.empty((n, 2), np.int32)
+        pairs[:, 0] = (packed >> np.uint32(16)).astype(np.int32)
+        pairs[:, 1] = (packed & np.uint32(0xFFFF)).astype(np.int32)
+        avg = float(sum_em[b]) / max(n, 1)
         nk = int(n_kmers[b])
         spanned = n > 0 and pairs[0, 0] == 0 and pairs[-1, 0] == nk - 1
         failed = (avg < -5.0) or (not spanned) or (int(max_gap[b]) > 50)

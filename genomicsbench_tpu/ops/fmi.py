@@ -88,11 +88,21 @@ class FmdIndex:
     sa: np.ndarray            # (n+1,) row -> text position (n = $)
 
     def device(self):
+        """Device tables: (C, packed occ "cacheline", sentinel row).
+
+        The per-block checkpoint + bit planes are fused into ONE
+        (n_blocks, 10) int32 row — cols 0-3 occ counts, 4-5 plane0,
+        6-7 plane1, 8-9 valid — so a rank query costs a single gather
+        (the TPU analog of bwa-mem2's one-cacheline occ layout,
+        fmi.cpp:44 CLMUL)."""
+        packed = np.concatenate([
+            self.occ_cp.astype(np.int32),
+            self.plane0.view(np.int32), self.plane1.view(np.int32),
+            self.valid.view(np.int32),
+        ], axis=1)
         return jax.device_put((
             jnp.asarray(self.C.astype(np.int32)),
-            jnp.asarray(self.occ_cp),
-            jnp.asarray(self.plane0), jnp.asarray(self.plane1),
-            jnp.asarray(self.valid), jnp.int32(self.sentinel_row),
+            jnp.asarray(packed), jnp.int32(self.sentinel_row),
         ))
 
 
@@ -160,14 +170,16 @@ def _popcount_below(word, nbits):
     return jax.lax.population_count(word & mask).astype(jnp.int32)
 
 
-def _rank4(occ_cp, plane0, plane1, valid, row):
-    """Counts of each base in BWT[0:row].  row (...,) -> (..., 4)."""
+def _rank4(table, row):
+    """Counts of each base in BWT[0:row].  row (...,) -> (..., 4).
+    table: packed (n_blocks, 10) int32 — one gather per query."""
     blk = row // BLOCK
     off = row % BLOCK
-    cp = occ_cp[blk]
-    w0 = plane0[blk]   # (..., 2)
-    w1 = plane1[blk]
-    va = valid[blk]
+    line = table[blk]  # (..., 10): the single fused gather
+    cp = line[..., 0:4]
+    w0 = jax.lax.bitcast_convert_type(line[..., 4:6], jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(line[..., 6:8], jnp.uint32)
+    va = jax.lax.bitcast_convert_type(line[..., 8:10], jnp.uint32)
     off_a = off
     off_b = off - 32
     ranks = []
@@ -180,9 +192,80 @@ def _rank4(occ_cp, plane0, plane1, valid, row):
     return jnp.stack(ranks, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _extend_lanes_init(C, query, qlen, start, min_intv):
+    """Initial (k, l, s, e, alive) lane state for forward extension."""
+    base0 = jnp.take_along_axis(
+        query, jnp.clip(start, 0, query.shape[1] - 1)[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+    counts = (C[1:5] - C[:4]).astype(jnp.int32)
+    b0 = jnp.clip(base0, 0, 3)
+    k0 = jnp.take(C[:4], b0)
+    s0 = jnp.take(counts, b0)
+    l0 = jnp.take(C[:4], 3 - b0)
+    alive0 = (base0 < 4) & (start < qlen) & (start >= 0) & (s0 >= min_intv)
+    return dict(
+        k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+        e=jnp.where(alive0, start + 1, start),
+        alive=alive0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _extend_lanes_run(
+    C, table, sent_row,
+    query, qlen, min_intv, max_e, state, *, steps,
+):
+    """Continue extension from `state` for up to `steps` more bases."""
+    N = query.shape[0]
+
+    def rank4(row):
+        return _rank4(table, row)
+
+    def back_ext(k, l, s):
+        r_lo = rank4(k)
+        r_hi = rank4(k + s)
+        s_new = r_hi - r_lo
+        k_new = C[:4][None, :] + r_lo
+        sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
+        l_new = jnp.zeros_like(s_new)
+        acc = l + sent_cnt
+        for c in (3, 2, 1, 0):
+            l_new = l_new.at[:, c].set(acc)
+            acc = acc + s_new[:, c]
+        return k_new, l_new, s_new
+
+    def fwd_ext_all(k, l, s):
+        k2, l2, s2 = back_ext(l, k, s)
+        return l2[:, ::-1], k2[:, ::-1], s2[:, ::-1]
+
+    def step(c, _):
+        pos = c["e"]
+        in_read = (pos < qlen) & (pos < max_e)
+        nb = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, query.shape[1] - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        can = c["alive"] & in_read & (nb < 4)
+        kf, lf, sf = fwd_ext_all(c["k"], c["l"], c["s"])
+        sel = jnp.clip(nb, 0, 3)[:, None]
+        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
+        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        ok = can & (s_n >= min_intv)
+        return dict(
+            k=jnp.where(ok, k_n, c["k"]),
+            l=jnp.where(ok, l_n, c["l"]),
+            s=jnp.where(ok, s_n, c["s"]),
+            e=jnp.where(ok, pos + 1, c["e"]),
+            alive=ok,
+        ), None
+
+    final, _ = jax.lax.scan(step, state, None, length=steps)
+    return final
+
+
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _extend_lanes(
-    C, occ_cp, plane0, plane1, valid, sent_row,
+    C, table, sent_row,
     query, qlen, start, min_intv, max_e, *, steps,
 ):
     """Forward-extend all lanes from their start positions until the
@@ -194,7 +277,7 @@ def _extend_lanes(
     N = query.shape[0]
 
     def rank4(row):
-        return _rank4(occ_cp, plane0, plane1, valid, row)
+        return _rank4(table, row)
 
     def back_ext(k, l, s):
         """Backward extension by all bases: (N,) -> (N, 4) k/l/s."""
@@ -305,14 +388,59 @@ class FmiPipeline:
         self.max_mem_intv = max_mem_intv
         self.split_len = int(min_seed_len * split_factor + 0.499)
 
+    # chunked extension with live-lane compaction: most lanes' intervals
+    # die after ~log_4(ref) bases, so run the scan in CHUNK-step slices and,
+    # when the live fraction drops, gather the survivors into a (power-of-2
+    # padded) smaller batch and continue — the device never steps dead
+    # lanes for long.  Exactly equivalent to one long scan.
+    CHUNK = 24
+    COMPACT_BELOW = 0.5
+
     def _extend(self, lanes_q, lanes_len, starts, min_intv, max_e, steps):
-        e, k, l, s = _extend_lanes(
-            *self.dev, jnp.asarray(lanes_q), jnp.asarray(lanes_len),
-            jnp.asarray(starts.astype(np.int32)),
-            jnp.asarray(min_intv.astype(np.int32)),
-            jnp.asarray(max_e.astype(np.int32)), steps=steps,
-        )
-        return jax.device_get((e, k, s))
+        N = len(starts)
+        out_e = np.zeros(N, np.int32)
+        out_k = np.zeros(N, np.int64)
+        out_s = np.zeros(N, np.int64)
+        q = np.ascontiguousarray(lanes_q)
+        ql = np.asarray(lanes_len, np.int32)
+        mi = np.asarray(min_intv, np.int32)
+        me = np.asarray(max_e, np.int32)
+        st = np.asarray(starts, np.int32)
+        idx = np.arange(N, dtype=np.int64)  # -1 marks pad rows
+        state = jax.device_get(_extend_lanes_init(
+            self.dev[0], jnp.asarray(q), jnp.asarray(ql), jnp.asarray(st),
+            jnp.asarray(mi)))
+        done_steps = 0
+        while True:
+            run = min(self.CHUNK, steps - done_steps)
+            if run > 0 and len(idx):
+                state = jax.device_get(_extend_lanes_run(
+                    *self.dev, jnp.asarray(q), jnp.asarray(ql),
+                    jnp.asarray(mi), jnp.asarray(me),
+                    {kk: jnp.asarray(vv) for kk, vv in state.items()},
+                    steps=run,
+                ))
+                done_steps += run
+            alive = state["alive"]
+            finished = done_steps >= steps or not alive.any()
+            if finished or alive.mean() < self.COMPACT_BELOW:
+                flush = np.ones(len(idx), bool) if finished else ~alive
+                sel = np.nonzero(flush & (idx >= 0))[0]
+                out_e[idx[sel]] = state["e"][sel]
+                out_k[idx[sel]] = state["k"][sel]
+                out_s[idx[sel]] = state["s"][sel]
+                if finished:
+                    break
+                keep = np.nonzero(alive & (idx >= 0))[0]
+                m = len(keep)
+                cap = max(128, 1 << max(m - 1, 0).bit_length())
+                kp = np.concatenate([keep, np.zeros(cap - m, np.int64)])
+                idx = np.concatenate([idx[keep], np.full(cap - m, -1, np.int64)])
+                q = q[kp]
+                ql, mi, me = ql[kp], mi[kp], me[kp]
+                state = {kk: vv[kp] for kk, vv in state.items()}
+                state["alive"][m:] = False
+        return out_e, out_k, out_s
 
     def _e_table(self, query, qlen, min_intv_per_read, steps):
         """e_b / interval tables for every (read, position) lane."""

@@ -401,34 +401,33 @@ class FmiPipeline:
         out_e = np.zeros(N, np.int32)
         out_k = np.zeros(N, np.int64)
         out_s = np.zeros(N, np.int64)
-        q = np.ascontiguousarray(lanes_q)
-        ql = np.asarray(lanes_len, np.int32)
-        mi = np.asarray(min_intv, np.int32)
-        me = np.asarray(max_e, np.int32)
-        st = np.asarray(starts, np.int32)
-        idx = np.arange(N, dtype=np.int64)  # -1 marks pad rows
-        state = jax.device_get(_extend_lanes_init(
-            self.dev[0], jnp.asarray(q), jnp.asarray(ql), jnp.asarray(st),
-            jnp.asarray(mi)))
+        # device-resident state: only the tiny alive bitmap crosses the
+        # (slow, tunneled) host link per chunk; e/k/s rows come back once,
+        # at flush points.
+        q_d = jnp.asarray(np.ascontiguousarray(lanes_q))
+        ql_d = jnp.asarray(np.asarray(lanes_len, np.int32))
+        mi_d = jnp.asarray(np.asarray(min_intv, np.int32))
+        me_d = jnp.asarray(np.asarray(max_e, np.int32))
+        st_d = jnp.asarray(np.asarray(starts, np.int32))
+        idx = np.arange(N, dtype=np.int64)
+        state = _extend_lanes_init(self.dev[0], q_d, ql_d, st_d, mi_d)
         done_steps = 0
         while True:
             run = min(self.CHUNK, steps - done_steps)
             if run > 0 and len(idx):
-                state = jax.device_get(_extend_lanes_run(
-                    *self.dev, jnp.asarray(q), jnp.asarray(ql),
-                    jnp.asarray(mi), jnp.asarray(me),
-                    {kk: jnp.asarray(vv) for kk, vv in state.items()},
-                    steps=run,
-                ))
+                state = _extend_lanes_run(
+                    *self.dev, q_d, ql_d, mi_d, me_d, state, steps=run)
                 done_steps += run
-            alive = state["alive"]
+            alive = np.asarray(state["alive"])
             finished = done_steps >= steps or not alive.any()
             if finished or alive.mean() < self.COMPACT_BELOW:
+                e_h, k_h, s_h = jax.device_get(
+                    (state["e"], state["k"], state["s"]))
                 flush = np.ones(len(idx), bool) if finished else ~alive
                 sel = np.nonzero(flush & (idx >= 0))[0]
-                out_e[idx[sel]] = state["e"][sel]
-                out_k[idx[sel]] = state["k"][sel]
-                out_s[idx[sel]] = state["s"][sel]
+                out_e[idx[sel]] = e_h[sel]
+                out_k[idx[sel]] = k_h[sel]
+                out_s[idx[sel]] = s_h[sel]
                 if finished:
                     break
                 keep = np.nonzero(alive & (idx >= 0))[0]
@@ -436,10 +435,13 @@ class FmiPipeline:
                 cap = max(128, 1 << max(m - 1, 0).bit_length())
                 kp = np.concatenate([keep, np.zeros(cap - m, np.int64)])
                 idx = np.concatenate([idx[keep], np.full(cap - m, -1, np.int64)])
-                q = q[kp]
-                ql, mi, me = ql[kp], mi[kp], me[kp]
-                state = {kk: vv[kp] for kk, vv in state.items()}
-                state["alive"][m:] = False
+                kp_d = jnp.asarray(kp)
+                q_d = jnp.take(q_d, kp_d, axis=0)
+                ql_d = jnp.take(ql_d, kp_d)
+                mi_d = jnp.take(mi_d, kp_d)
+                me_d = jnp.take(me_d, kp_d)
+                state = {kk: jnp.take(vv, kp_d, axis=0) for kk, vv in state.items()}
+                state["alive"] = state["alive"] & jnp.asarray(np.arange(cap) < m)
         return out_e, out_k, out_s
 
     def _e_table(self, query, qlen, min_intv_per_read, steps):
@@ -465,6 +467,27 @@ class FmiPipeline:
         return mask
 
     def pass1(self, query, qlen):
+        """Monotone-jump enumeration (one device program); falls back to
+        the e-table + containment mask on pathological inputs (round cap).
+        Both paths emit identical SMEM sets in identical order."""
+        B, L = query.shape
+        max_rounds = 8 * L
+        sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+            *self.dev, jnp.asarray(query),
+            jnp.asarray(qlen.astype(np.int32)),
+            jnp.ones(B, jnp.int32), jnp.zeros(B, jnp.int32),
+            min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+        ))
+        if int(rounds) >= max_rounds:
+            return self._pass1_etable(query, qlen)
+        rid = np.repeat(np.arange(B), count)
+        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
+            if len(rid) else np.zeros(0, np.int64)
+        m = sm_m[rid, cols]
+        return _mk_smem(rid, m, sm_e[rid, cols] - 1, sm_k[rid, cols],
+                        sm_s[rid, cols])
+
+    def _pass1_etable(self, query, qlen):
         B, L = query.shape
         e, k, s = self._e_table(query, qlen, np.ones(B, np.int32),
                                 steps=int(qlen.max()))
@@ -484,10 +507,28 @@ class FmiPipeline:
         mintv = parents.s[sel] + 1
         pq = query[prid]
         plen = qlen[prid]
+        P, L = pq.shape
+        max_rounds = 8 * L
+        sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+            *self.dev, jnp.asarray(pq), jnp.asarray(plen.astype(np.int32)),
+            jnp.asarray(mintv.astype(np.int32)),
+            jnp.asarray(pivots.astype(np.int32)),
+            min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+            has_pivot=True,
+        ))
+        if int(rounds) >= max_rounds:
+            return self._pass2_etable(pq, plen, prid, pivots, mintv)
+        pi = np.repeat(np.arange(P), count)
+        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
+            if len(pi) else np.zeros(0, np.int64)
+        m = sm_m[pi, cols]
+        return _mk_smem(prid[pi], m, sm_e[pi, cols] - 1, sm_k[pi, cols],
+                        sm_s[pi, cols])
+
+    def _pass2_etable(self, pq, plen, prid, pivots, mintv):
         e, k, s = self._e_table(pq, plen, mintv.astype(np.int32),
                                 steps=int(plen.max()))
         mask = self._smem_mask(e, plen, self.min_seed_len)
-        # covering constraint: b <= pivot < e_b
         P, L = e.shape
         pos = np.arange(L)[None, :]
         mask &= (pos <= pivots[:, None]) & (e > pivots[:, None])
@@ -498,14 +539,12 @@ class FmiPipeline:
         """bwt_seed_strategy1 orbit (bwa semantics): from x, extend; at the
         first i with s < maxMemIntv AND i-x >= minSeedLen+1, emit the
         interval of [x, i+1) (even if its size is 0) and hop to i+1; an
-        ambiguous base or the read end stops the walk without emission."""
+        ambiguous base or the read end stops the walk without emission.
+        The walk runs on device (_pass3_jump); the emitted segments'
+        intervals come from one small batched extension."""
         B, L = query.shape
         n_arr = qlen.astype(np.int64)
-        e20, _, _ = self._e_table(query, qlen,
-                                  np.full(B, self.max_mem_intv, np.int32),
-                                  steps=int(qlen.max()))
         min_len = self.min_seed_len + 1
-        # next ambiguous-base position at or after p
         is_n = query >= 4
         nxt = np.full((B, L + 1), 0, np.int64)
         nxt[:, L] = n_arr
@@ -513,24 +552,19 @@ class FmiPipeline:
             nxt[:, p] = np.where(is_n[:, p], p, nxt[:, p + 1])
         nxt = np.minimum(nxt, n_arr[:, None])
 
-        em_rid, em_m, em_n = [], [], []
-        for b in range(B):
-            n = int(n_arr[b])
-            x = 0
-            while x < n:
-                if query[b, x] > 3:
-                    x += 1
-                    continue
-                nn = int(nxt[b, x + 1]) if x + 1 <= L - 1 else n
-                i_star = max(int(e20[b, x]), x + min_len)
-                if i_star < min(nn, n):
-                    em_rid.append(b); em_m.append(x); em_n.append(i_star)
-                    x = i_star + 1
-                else:
-                    x = nn + 1 if nn < n else n
-        if not em_rid:
+        max_rounds = 2 * L
+        em_m_a, em_n_a, count, rounds = jax.device_get(_pass3_jump(
+            *self.dev, jnp.asarray(query), jnp.asarray(qlen.astype(np.int32)),
+            jnp.asarray(nxt.astype(np.int32)), self.max_mem_intv,
+            min_len=min_len, max_rounds=max_rounds,
+        ))
+        assert int(rounds) < max_rounds  # walk advances >= 1/round: always terminates
+        em_rid = np.repeat(np.arange(B), count)
+        if len(em_rid) == 0:
             return _mk_smem([], [], [], [], [])
-        em_rid = np.array(em_rid); em_m = np.array(em_m); em_n = np.array(em_n)
+        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64)
+        em_m = em_m_a[em_rid, cols].astype(np.int64)
+        em_n = em_n_a[em_rid, cols].astype(np.int64)
         # interval of [x, i*+1), no floor (s may legitimately reach 0)
         e, k, s = self._extend(
             query[em_rid], qlen[em_rid], em_m,
@@ -545,3 +579,194 @@ class FmiPipeline:
         p2 = self.pass2(query, qlen, p1)
         p3 = self.pass3(query, qlen)
         return p1, p2, p3, p1.count + p2.count + p3.count
+
+
+# ---------------------------------------------------------------------------
+# pass-1 SMEM enumeration by monotone jumps (device-resident)
+#
+# e(b) — the farthest forward-extension end from b — is non-decreasing in b,
+# and SMEM starts are exactly the positions where e strictly increases.  So
+# instead of extending from EVERY position (O(L) lanes x O(L) steps, the
+# e-table path), each read walks: probe e at the current start candidate,
+# then binary-search the smallest b' with e(b') > e0 inside (b0, e0+1].
+# Everything (probe extensions, binary-search state machine, output
+# scatter) runs inside one jit — no host round-trips through the tunnel.
+# Identical output to the e-table + containment-mask formulation.
+# ---------------------------------------------------------------------------
+
+def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
+    """Forward extension from positions p (B,) to completion (fori over the
+    read length; per-lane min_intv floor).  Returns (e, k, s) — same
+    semantics as _extend_lanes; shared by the jump kernels."""
+    B, L = query.shape
+    state = _extend_lanes_init(C, query, qlen, p, min_intv)
+
+    def rank4(row):
+        return _rank4(table, row)
+
+    def body(_, c):
+        pos = c["e"]
+        in_read = pos < qlen
+        nb = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        can = c["alive"] & in_read & (nb < 4)
+        r_lo = rank4(c["l"])
+        r_hi = rank4(c["l"] + c["s"])
+        s_new4 = r_hi - r_lo
+        k2 = C[:4][None, :] + r_lo
+        sent_cnt = ((sent_row >= c["l"]) & (sent_row < c["l"] + c["s"])).astype(jnp.int32)
+        l2 = jnp.zeros_like(s_new4)
+        acc = c["k"] + sent_cnt
+        for cc in (3, 2, 1, 0):
+            l2 = l2.at[:, cc].set(acc)
+            acc = acc + s_new4[:, cc]
+        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
+        sel = jnp.clip(nb, 0, 3)[:, None]
+        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
+        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        ok = can & (s_n >= min_intv)
+        return dict(
+            k=jnp.where(ok, k_n, c["k"]), l=jnp.where(ok, l_n, c["l"]),
+            s=jnp.where(ok, s_n, c["s"]), e=jnp.where(ok, pos + 1, c["e"]),
+            alive=ok,
+        )
+
+    final = jax.lax.fori_loop(0, L, body, state)
+    return final["e"], final["k"], final["s"]
+
+
+@functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds", "has_pivot"))
+def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
+                *, min_seed_len, max_rounds, has_pivot=False):
+    B, L = query.shape
+
+    def extend_from(p):
+        return _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv)
+
+    PROBE, SEARCH = 0, 1
+    if has_pivot:
+        # start by binary-searching b_min = smallest b with e(b) > pivot
+        # (monotone e), then jump-walk only [b_min, pivot].
+        init_mode = jnp.ones(B, jnp.int32)
+        init_e0 = pivot
+        init_lo = jnp.zeros(B, jnp.int32)
+        init_hi = jnp.minimum(pivot, qlen - 1) + 1
+    else:
+        init_mode = jnp.zeros(B, jnp.int32)
+        init_e0 = jnp.zeros(B, jnp.int32)
+        init_lo = jnp.zeros(B, jnp.int32)
+        init_hi = jnp.zeros(B, jnp.int32)
+    init = dict(
+        mode=init_mode, b=jnp.zeros(B, jnp.int32),
+        lo=init_lo, hi=init_hi,
+        e0=init_e0, done=qlen < jnp.int32(1),
+        count=jnp.zeros(B, jnp.int32),
+        sm_m=jnp.full((B, L), -1, jnp.int32),
+        sm_e=jnp.zeros((B, L), jnp.int32),
+        sm_k=jnp.zeros((B, L), jnp.int32),
+        sm_s=jnp.zeros((B, L), jnp.int32),
+        round=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (~c["done"]).any() & (c["round"] < max_rounds)
+
+    def step(c):
+        probing = c["mode"] == PROBE
+        p = jnp.where(probing, c["b"], (c["lo"] + c["hi"]) // 2)
+        p = jnp.clip(p, 0, L - 1)
+        e_p, k_p, s_p = extend_from(p)
+
+        # PROBE lanes: p is a true start (e(p) > e of everything before it)
+        accept = probing & ~c["done"] & (e_p - p >= min_seed_len) & (p < qlen)
+        if has_pivot:  # pass-2 covering rule: b <= pivot < e_b
+            accept = accept & (p <= pivot) & (e_p > pivot)
+        slot = jnp.clip(c["count"], 0, L - 1)
+        write = lambda buf, v: buf.at[jnp.arange(B), slot].set(
+            jnp.where(accept, v, buf[jnp.arange(B), slot]))
+        sm_m = write(c["sm_m"], p)
+        sm_e = write(c["sm_e"], e_p)
+        sm_k = write(c["sm_k"], k_p.astype(jnp.int32))
+        sm_s = write(c["sm_s"], s_p.astype(jnp.int32))
+        count = c["count"] + accept.astype(jnp.int32)
+
+        # after a probe: set up the search window for the next start
+        e0_n = jnp.where(probing, e_p, c["e0"])
+        probe_done = probing & ((e_p >= qlen) | (p + 1 >= qlen))
+        lo_n = jnp.where(probing, p + 1, c["lo"])
+        hi_n = jnp.where(probing, jnp.minimum(e_p + 1, qlen - 1) + 1, c["hi"])
+
+        # SEARCH lanes: shrink the window
+        searching = (c["mode"] == SEARCH) & ~c["done"]
+        gt = e_p > c["e0"]
+        lo_n = jnp.where(searching, jnp.where(gt, c["lo"], p + 1), lo_n)
+        hi_n = jnp.where(searching, jnp.where(gt, p, c["hi"]), hi_n)
+
+        converged = lo_n >= hi_n
+        mode_n = jnp.where(probing, SEARCH, c["mode"])
+        mode_n = jnp.where(searching | probing, jnp.where(converged, PROBE, SEARCH), mode_n)
+        b_n = jnp.where(converged, lo_n, c["b"])
+        # a converged window past the read is done
+        done_n = c["done"] | probe_done | (converged & (lo_n >= qlen))
+        if has_pivot:  # starts beyond the pivot can never cover it
+            done_n = done_n | (converged & (lo_n > pivot)) | (probing & (p > pivot))
+
+        return dict(
+            mode=mode_n, b=b_n, lo=lo_n, hi=hi_n, e0=e0_n, done=done_n,
+            count=count, sm_m=sm_m, sm_e=sm_e, sm_k=sm_k, sm_s=sm_s,
+            round=c["round"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, step, init)
+    return (final["sm_m"], final["sm_e"], final["sm_k"], final["sm_s"],
+            final["count"], final["round"])
+
+
+@functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))
+def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
+                *, min_len, max_rounds):
+    """Device walk for pass 3 (bwt_seed_strategy1): from x, probe the
+    min_intv-floored extension end e(x); emit [x, i*+1) with
+    i* = max(e(x), x+min_len) when i* < min(next_N, qlen), hop to i*+1,
+    else to next_N+1.  nxt (B, L+1): next ambiguous position at/after p.
+    Returns (em_m, em_n, count, rounds)."""
+    B, L = query.shape
+    mi = jnp.full((B,), min_intv_val, jnp.int32)
+
+    init = dict(
+        x=jnp.zeros(B, jnp.int32), done=qlen < 1,
+        count=jnp.zeros(B, jnp.int32),
+        em_m=jnp.full((B, L), -1, jnp.int32),
+        em_n=jnp.zeros((B, L), jnp.int32),
+        round=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (~c["done"]).any() & (c["round"] < max_rounds)
+
+    def step(c):
+        x = jnp.clip(c["x"], 0, L - 1)
+        base = jnp.take_along_axis(query, x[:, None], axis=1)[:, 0]
+        is_n_base = base > 3
+        e_x, _, _ = _extend_forward_fori(C, table, sent_row, query, qlen, x, mi)
+        nn = jnp.take_along_axis(nxt, jnp.clip(x + 1, 0, L)[:, None], axis=1)[:, 0]
+        nn = jnp.minimum(nn, qlen)
+        i_star = jnp.maximum(e_x, x + min_len)
+        emit = ~c["done"] & ~is_n_base & (i_star < jnp.minimum(nn, qlen))
+        slot = jnp.clip(c["count"], 0, L - 1)
+        rows = jnp.arange(B)
+        em_m = c["em_m"].at[rows, slot].set(
+            jnp.where(emit, x, c["em_m"][rows, slot]))
+        em_n = c["em_n"].at[rows, slot].set(
+            jnp.where(emit, i_star, c["em_n"][rows, slot]))
+        count = c["count"] + emit.astype(jnp.int32)
+        x_next = jnp.where(is_n_base, c["x"] + 1,
+                           jnp.where(emit, i_star + 1,
+                                     jnp.where(nn < qlen, nn + 1, qlen)))
+        x_next = jnp.where(c["done"], c["x"], x_next)
+        return dict(x=x_next, done=c["done"] | (x_next >= qlen), count=count,
+                    em_m=em_m, em_n=em_n, round=c["round"] + 1)
+
+    final = jax.lax.while_loop(cond, step, init)
+    return final["em_m"], final["em_n"], final["count"], final["round"]

@@ -171,3 +171,69 @@ class TestSmemPasses:
         p1, p2, p3, total = pipe.run(q, lens)
         assert total == p1.count + p2.count + p3.count
         assert p1.count > 0
+
+
+class TestPass1Jump:
+    """Monotone-jump pass1 must emit exactly the e-table formulation's
+    SMEM set (same order, same intervals), including N bases and short
+    reads."""
+
+    def test_jump_equals_etable(self):
+        from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+
+        rng = np.random.default_rng(11)
+        ref = rng.integers(0, 4, 20000).astype(np.uint8)
+        idx = build_fmd_index(ref)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        B, L = 24, 128
+        reads = np.zeros((B, L), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for b in range(B):
+            ln = int(rng.integers(30, 128))
+            s = int(rng.integers(0, len(ref) - ln))
+            r = ref[s : s + ln].copy()
+            # mutations + Ns
+            mut = rng.integers(0, ln, 3)
+            r[mut] = rng.integers(0, 4, 3)
+            if b % 3 == 0:
+                r[rng.integers(0, ln)] = 4
+            reads[b, :ln] = r
+            lens[b] = ln
+        got = pipe.pass1(reads, lens)
+        want = pipe._pass1_etable(reads, lens)
+        assert got.sorted_tuples(with_interval=True) == want.sorted_tuples(with_interval=True)
+        # order parity too (read-major, start-ascending)
+        np.testing.assert_array_equal(got.rid, want.rid)
+        np.testing.assert_array_equal(got.m, want.m)
+        np.testing.assert_array_equal(got.k, want.k)
+
+    def test_pass2_jump_equals_etable(self):
+        from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+
+        rng = np.random.default_rng(13)
+        # repetitive reference so pass-1 SMEMs have s <= splitWidth parents
+        core = rng.integers(0, 4, 4000).astype(np.uint8)
+        ref = np.concatenate([core, core[:2000], core])  # duplicated content
+        idx = build_fmd_index(ref)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        B, L = 16, 128
+        reads = np.zeros((B, L), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for b in range(B):
+            ln = int(rng.integers(60, 128))
+            s = int(rng.integers(0, len(core) - ln))
+            r = core[s : s + ln].copy()
+            r[rng.integers(0, ln, 2)] = rng.integers(0, 4, 2)
+            reads[b, :ln] = r
+            lens[b] = ln
+        p1 = pipe.pass1(reads, lens)
+        got = pipe.pass2(reads, lens, p1)
+        sel = np.nonzero((p1.n + 1 - p1.m >= pipe.split_len)
+                         & (p1.s <= pipe.split_width))[0]
+        if len(sel) == 0:
+            return  # nothing to reseed in this draw; pass-1 parity covered above
+        prid = p1.rid[sel].astype(np.int64)
+        pivots = (p1.m[sel] + p1.n[sel] + 1) >> 1
+        mintv = p1.s[sel] + 1
+        want = pipe._pass2_etable(reads[prid], lens[prid], prid, pivots, mintv)
+        assert got.sorted_tuples(with_interval=True) == want.sorted_tuples(with_interval=True)

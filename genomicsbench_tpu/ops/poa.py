@@ -242,9 +242,18 @@ def align_batch(graphs, seqs, params: PoaParams):
     """Align seqs[i] to graphs[i] on device; returns (scores, alignments)."""
     assert len(graphs) == len(seqs)
     b = len(graphs)
-    n_pad = _round_up(max(len(g.nodes) for g in graphs) + 1, 64)
-    p_pad = _round_up(max(max_in_degree(g) for g in graphs), 2)
-    q_pad = _round_up(max(len(s) for s in seqs) + 1, 128)
+    # power-of-two-ish buckets: graphs grow every MSA round, so fine-grained
+    # padding would recompile the DP for every round; coarse buckets keep
+    # the jit cache hot across rounds and windows.
+    def bucket(x, base):
+        v = base
+        while v < x:
+            v *= 2
+        return v
+
+    n_pad = bucket(max(len(g.nodes) for g in graphs) + 1, 128)
+    p_pad = bucket(max(max_in_degree(g) for g in graphs), 2)
+    q_pad = bucket(max(len(s) for s in seqs) + 1, 128)
     base = np.zeros((b, n_pad), np.int32)
     pred = np.zeros((b, n_pad, p_pad), np.int32)
     pmask = np.zeros((b, n_pad, p_pad), bool)

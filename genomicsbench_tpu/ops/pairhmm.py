@@ -168,12 +168,17 @@ def pairhmm_batch(reads, haps, pairs=None):
     out = np.empty(B, np.float64)
     ok = scaled >= MIN_ACCEPTED
     out[ok] = np.log10(scaled[ok].astype(np.float64)) - INITIAL_EXP_F32 * LOG10_2
-    for k in np.nonzero(~ok)[0]:
-        r, h = pairs[k]
-        rd = reads[r]
-        f64 = pairhmm_forward_scaled(
-            rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"],
-            dtype=np.float64,
-        )
-        out[k] = np.log10(f64) - 1020 * LOG10_2
+    fail = np.nonzero(~ok)[0]
+    if len(fail):
+        # one BATCHED float64 pass over every underflowed pair (GKL runs its
+        # double AVX kernel here; a per-pair Python DP would dominate)
+        from genomicsbench_tpu.oracle.pairhmm import pairhmm_forward_scaled_many
+
+        cases = []
+        for k in fail:
+            r, h = pairs[k]
+            rd = reads[r]
+            cases.append((rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"]))
+        f64 = pairhmm_forward_scaled_many(cases, dtype=np.float64)
+        out[fail] = np.log10(f64) - 1020 * LOG10_2
     return out

@@ -129,3 +129,78 @@ def pairhmm_forward_oracle(
         return float(np.log10(f32) - 120 * np.log10(2.0))
     f64 = pairhmm_forward_scaled(read, hap, q, ins, dele, cont, dtype=np.float64)
     return float(np.log10(f64) - 1020 * np.log10(2.0))
+
+
+def pairhmm_forward_scaled_many(testcases, dtype=np.float64):
+    """Batched forward pass over many (read, hap, q, i, d, c) testcases —
+    the same recurrences as pairhmm_forward_scaled, vectorized across
+    pairs (rows loop in Python, per-row ops over the (P, H) batch; the
+    sequential Y recurrence loops j with (P,) vector steps).  Used for
+    the float64 underflow-fallback batch, where a per-pair Python DP
+    would dominate the kernel runtime.  Matches the per-pair naive-loop
+    results bit-for-bit (same op order per pair).
+    """
+    dtype = np.dtype(dtype)
+    ph2pr = _PH2PR_F32 if dtype == np.float32 else _PH2PR_F64
+    E = 120 if dtype == np.float32 else 1020
+    P = len(testcases)
+    rl = np.array([len(t[0]) for t in testcases])
+    hl = np.array([len(t[1]) for t in testcases])
+    R, H = int(rl.max()), int(hl.max())
+    one = dtype.type(1.0)
+
+    read = np.full((P, R), AMBIG, np.uint8)
+    q = np.zeros((P, R), np.int64)
+    ins = np.zeros((P, R), np.int64)
+    dele = np.zeros((P, R), np.int64)
+    cont = np.zeros((P, R), np.int64)
+    hap = np.full((P, H), AMBIG, np.uint8)
+    for p, (rd, hp, qq, ii, dd, cc) in enumerate(testcases):
+        read[p, : rl[p]] = rd
+        q[p, : rl[p]] = qq
+        ins[p, : rl[p]] = ii
+        dele[p, : rl[p]] = dd
+        cont[p, : rl[p]] = cc
+        hap[p, : hl[p]] = hp
+
+    mm = one - np.minimum(one, ph2pr[ins] + ph2pr[dele])
+    gapm = one - ph2pr[cont]
+    mx, xx = ph2pr[ins], ph2pr[cont]
+    my, yy = ph2pr[dele], ph2pr[cont]
+    qprob = ph2pr[q]
+
+    cols = np.arange(H)
+    col_ok = cols[None, :] < hl[:, None]           # (P, H)
+    init_y = (np.ldexp(one, E) / hl.astype(dtype))[:, None]
+
+    M_prev = np.zeros((P, H + 1), dtype)
+    X_prev = np.zeros((P, H + 1), dtype)
+    Y_prev = np.broadcast_to(init_y, (P, H + 1)).astype(dtype)
+
+    M_out = np.zeros((P, H + 1), dtype)
+    X_out = np.zeros((P, H + 1), dtype)
+    for i in range(1, R + 1):
+        live = (i <= rl)[:, None]
+        is_match = (read[:, i - 1 : i] == hap) | (read[:, i - 1 : i] == AMBIG) | (hap == AMBIG)
+        prior = np.where(is_match, one - qprob[:, i - 1 : i],
+                         qprob[:, i - 1 : i] / dtype.type(TRISTATE_CORRECTION)).astype(dtype)
+        prior = np.where(col_ok, prior, dtype.type(0.0))
+        t_mm, t_gapm = mm[:, i - 1 : i], gapm[:, i - 1 : i]
+        t_mx, t_xx = mx[:, i - 1 : i], xx[:, i - 1 : i]
+        t_my, t_yy = my[:, i - 1], yy[:, i - 1]
+        M_cur = np.zeros((P, H + 1), dtype)
+        X_cur = np.zeros((P, H + 1), dtype)
+        Y_cur = np.zeros((P, H + 1), dtype)
+        M_cur[:, 1:] = prior * (
+            t_mm * M_prev[:, :-1] + t_gapm * (X_prev[:, :-1] + Y_prev[:, :-1])
+        )
+        X_cur[:, 1:] = t_mx * M_prev[:, 1:] + t_xx * X_prev[:, 1:]
+        for j in range(1, H + 1):
+            Y_cur[:, j] = t_my * M_cur[:, j - 1] + t_yy * Y_cur[:, j - 1]
+        M_prev = np.where(live, M_cur, M_prev)
+        X_prev = np.where(live, X_cur, X_prev)
+        Y_prev = np.where(live, Y_cur, Y_prev)
+        at_end = (i == rl)[:, None]
+        M_out = np.where(at_end, M_cur, M_out)
+        X_out = np.where(at_end, X_cur, X_out)
+    return (M_out[:, 1:] + X_out[:, 1:]).sum(axis=1)

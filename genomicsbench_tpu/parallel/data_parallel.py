@@ -103,14 +103,17 @@ def pairhmm_sharded(mesh: Mesh, reads, haps, pairs=None):
     out[ok] = (
         np.log10(scaled[ok].astype(np.float64)) - ph.INITIAL_EXP_F32 * ph.LOG10_2
     )
-    for k in np.nonzero(~ok)[0]:
-        r, h = pairs[k]
-        rd = reads[r]
-        f64 = ph.pairhmm_forward_scaled(
-            rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"],
-            dtype=np.float64,
-        )
-        out[k] = np.log10(f64) - 1020 * ph.LOG10_2
+    fail = np.nonzero(~ok)[0]
+    if len(fail):
+        from genomicsbench_tpu.oracle.pairhmm import pairhmm_forward_scaled_many
+
+        cases = []
+        for k in fail:
+            r, h = pairs[k]
+            rd = reads[r]
+            cases.append((rd["bases"], haps[h], rd["q"], rd["i"], rd["d"], rd["c"]))
+        f64 = pairhmm_forward_scaled_many(cases, dtype=np.float64)
+        out[fail] = np.log10(f64) - 1020 * ph.LOG10_2
     return out
 
 

@@ -83,3 +83,33 @@ class TestPairHmmKernel:
                 want = pairhmm_forward_oracle(r["bases"], h, r["q"], r["i"], r["d"], r["c"])
                 assert got[k] == pytest.approx(want, abs=2e-3), (len(r["bases"]), len(h))
                 k += 1
+
+
+def test_forward_scaled_many_matches_per_pair():
+    """The batched f64 fallback must match the per-pair naive-loop forward
+    bit-for-bit (including length padding and the underflow regime)."""
+    from genomicsbench_tpu.oracle.pairhmm import (
+        pairhmm_forward_scaled, pairhmm_forward_scaled_many,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = []
+    for _ in range(6):
+        rl, hl = int(rng.integers(8, 40)), int(rng.integers(15, 60))
+        cases.append((
+            rng.integers(0, 5, rl).astype(np.uint8),
+            rng.integers(0, 5, hl).astype(np.uint8),
+            rng.integers(10, 50, rl), rng.integers(30, 45, rl),
+            rng.integers(30, 45, rl), rng.integers(5, 15, rl),
+        ))
+    got = pairhmm_forward_scaled_many(cases, dtype=np.float64)
+    for g, c in zip(got, cases):
+        # per-pair path with the pure-Python Y loop (no lfilter) = same op order
+        import genomicsbench_tpu.oracle.pairhmm as orc
+        lf = orc._lfilter
+        orc._lfilter = None
+        try:
+            want = pairhmm_forward_scaled(*c, dtype=np.float64)
+        finally:
+            orc._lfilter = lf
+        assert g == want or abs(g - want) <= 1e-300 or g == pytest.approx(want, rel=1e-15)

@@ -222,3 +222,77 @@ def import_weights(flat: dict, cfg: ClairConfig):
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# training (reference: clair/model.py — default_loss_function = "FocalLoss"
+# (param.py:29), focal_loss at model.py:783-805, task_loss_weights
+# model.py:64-70, Adam @ 1e-3 param.py:17-28, L2 lambda 0.005 param.py:23)
+# ---------------------------------------------------------------------------
+
+def focal_loss(logits, target, gamma=2.0):
+    """Exact reference formula (model.py:783-805): per-entry
+    -( (z-p)^g·log(clip(p)) [z=1]  +  p^g·log(clip(1-p)) [z=0] ), summed."""
+    p = jax.nn.softmax(logits, axis=-1)
+    pos = jnp.where(target > 0, target - p, 0.0)
+    neg = jnp.where(target > 0, 0.0, p)
+    ent = -(
+        pos**gamma * jnp.log(jnp.clip(p, 1e-8, 1.0))
+        + neg**gamma * jnp.log(jnp.clip(1.0 - p, 1e-8, 1.0))
+    )
+    return jnp.sum(ent)
+
+
+def _forward_logits(params, x, cfg: ClairConfig):
+    """Forward up to the four SELU'd logit heads (pre-softmax)."""
+    b = x.shape[0]
+    x = x.astype(cfg.dtype).reshape(b, cfg.seq_len, cfg.input_feats)
+    h = _bilstm(params["lstm1_fw"], params["lstm1_bw"], x, cfg.lstm_units)
+    h = _bilstm(params["lstm2_fw"], params["lstm2_bw"], h, cfg.lstm_units)
+    l3 = jax.nn.selu(
+        jnp.einsum("btc,ctu->buc", h, params["l3"]["w"]) + params["l3"]["b"].T[None]
+    )
+    flat = l3.reshape(b, -1)
+    l4 = jax.nn.selu(flat @ params["l4"]["w"] + params["l4"]["b"])
+    out = {}
+    for name in HEAD_NAMES:
+        l5 = jax.nn.selu(l4 @ params[f"l5_{name}"]["w"] + params[f"l5_{name}"]["b"])
+        out[name] = jax.nn.selu(
+            l5 @ params[f"head_{name}"]["w"] + params[f"head_{name}"]["b"]
+        )
+    return out
+
+
+def clair_loss(params, x, labels, cfg: ClairConfig,
+               task_weights=(1.0, 1.0, 1.0, 1.0), l2_lambda=0.005):
+    """Total loss: focal loss per head (one-hot labels split by
+    output_label_split, model.py:172-177 + 625-700) + L2 regularization."""
+    logits = _forward_logits(params, x, cfg)
+    splits = np.cumsum(cfg.head_sizes)[:-1]
+    parts = jnp.split(labels, splits, axis=1)
+    loss = 0.0
+    for w, name, tgt in zip(task_weights, HEAD_NAMES, parts):
+        loss = loss + w * focal_loss(logits[name], tgt)
+    l2 = sum(jnp.sum(p**2) for p in jax.tree_util.tree_leaves(params))
+    return loss + l2_lambda * l2
+
+
+def make_train_step(cfg: ClairConfig, learning_rate=1e-3):
+    """Adam train step (param.py:17, default_optimizer Adam param.py:28).
+    Returns (init_fn, step_fn)."""
+    import optax
+
+    opt = optax.adam(learning_rate)
+
+    def init(key, sample_x):
+        params = init_params(key, cfg)
+        return params, opt.init(params)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, opt_state, x, labels):
+        loss, grads = jax.value_and_grad(clair_loss)(params, x, labels, cfg)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init, step

@@ -106,3 +106,25 @@ def test_import_weights_roundtrip(params):
     np.testing.assert_array_equal(np.asarray(p2["l4"]["w"]), flat["l4/w"])
     with pytest.raises(AssertionError):
         vc.import_weights({"l4/w": np.ones((3, 3), np.float32)}, CFG)
+
+
+def test_training_step_reduces_focal_loss():
+    """Clair focal-loss training (reference default, model.py:783-805 +
+    param.py) must run and reduce the loss on a small synthetic batch."""
+    cfg = vc.ClairConfig(lstm_units=16, l3_units=8, l4_units=32, l5_units=16)
+    init, step = vc.make_train_step(cfg, learning_rate=3e-3)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32, cfg.seq_len, cfg.rows, cfg.channels)).astype(np.float32)
+    labels = np.zeros((32, sum(cfg.head_sizes)), np.float32)
+    offs = np.cumsum((0,) + cfg.head_sizes)[:-1]
+    for b in range(32):
+        for o, hs in zip(offs, cfg.head_sizes):
+            labels[b, o + rng.integers(0, hs)] = 1.0
+    params, opt_state = init(jax.random.key(0), x)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(x),
+                                       jnp.asarray(labels))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses

@@ -397,6 +397,49 @@ def cmd_meth_freq(args):
 
 
 
+
+# ------------------------------------------------------------------- index
+def cmd_index(args):
+    """f5c index equivalent (main.c:49-117): build a readname -> signal
+    source map (readdb) from a FASTA/Q + fast5 dir or .npz — the
+    nanopolish_index.c analog."""
+    import os
+
+    from genomicsbench_tpu.io.seqio import read_fastx
+
+    sig = _load_signals(args.signals)
+    n = 0
+    with open(args.reads + ".index.readdb", "w") as out:
+        for name, _ in read_fastx(args.reads):
+            if name in sig:
+                out.write(f"{name}\t{os.path.abspath(args.signals)}\n")
+                n += 1
+    print(f"[index] {n} reads mapped", file=sys.stderr)
+
+
+# -------------------------------------------------------------- freq-merge
+def cmd_freq_merge(args):
+    """f5c freq-merge (main.c:54): merge per-run meth-freq TSVs by site,
+    summing called/methylated counts and recomputing frequencies."""
+    agg = {}
+    for path in args.inputs:
+        with open(path) as f:
+            header = f.readline()
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                if len(t) < 7:
+                    continue
+                key = (int(t[0]), int(t[1]))
+                rec = agg.setdefault(key, [int(t[2]), 0, 0, t[6]])
+                rec[1] += int(t[3])
+                rec[2] += int(t[4])
+    print("start\tend\tnum_cpgs_in_group\tcalled_sites\t"
+          "called_sites_methylated\tmethylated_frequency\tgroup_sequence")
+    for (start, end), (ncpg, called, meth, seq) in sorted(agg.items()):
+        freq = meth / called if called else 0.0
+        print(f"{start}\t{end}\t{ncpg}\t{called}\t{meth}\t{freq:.3f}\t{seq}")
+
+
 # ------------------------------------------------------------------ parser
 def build_parser():
     p = argparse.ArgumentParser(prog="gbench", description=__doc__)
@@ -492,6 +535,15 @@ def build_parser():
     s.add_argument("-i", "--input", required=True)
     s.add_argument("-c", "--call-threshold", type=float, default=2.5)
     s.set_defaults(fn=cmd_meth_freq)
+
+    s = sub.add_parser("index", help="readname -> signal source map (f5c index)")
+    s.add_argument("--reads", required=True)
+    s.add_argument("--signals", required=True)
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("freq-merge", help="merge meth-freq outputs")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_freq_merge)
 
     s = sub.add_parser("suite", help="run every workload on a synthesized demo dataset")
     s.add_argument("--dir", default="/tmp/gbench_demo")

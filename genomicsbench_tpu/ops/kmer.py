@@ -425,3 +425,112 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
         kmers=kmers, offsets=offsets, positions=positions,
         repetitive=repetitive, mean_frequency=float(mean_freq),
     )
+
+
+# ---------------------------------------------------------------------------
+# metagenome (uneven coverage) index: yieldFrequentKmers +
+# buildIndexUnevenCoverage (vertex_index.cpp:316-358 and 25-125;
+# config keys meta_read_top_kmer_rate / meta_read_filter_kmer_freq,
+# kmer_cnt.cpp:214-215)
+# ---------------------------------------------------------------------------
+
+def yield_frequent_kmers(codes, length, k, global_freq_lookup,
+                         select_rate: float, tandem_freq: int):
+    """Per-read top-kmer selection (vertex_index.cpp:316-358).
+
+    Selection is the set {k-mers with global freq >= minFreq} where
+    minFreq is the (maxKmers+1)-th largest per-occurrence freq (the
+    reference's unstable sort + prefix-erase computes exactly this set),
+    minus k-mers occurring more than tandem_freq times within the read.
+    Returns (positions, forward reps, canonical reps, freqs) in position
+    order."""
+    codes = np.asarray(codes[:length])
+    k_ = k
+    fwd = np.zeros(max(length - k_ + 1, 0), np.uint32)
+    if len(fwd) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint32), np.zeros(0, np.int64))
+    v = 0
+    mask = (1 << (2 * k_)) - 1
+    out = []
+    for i, c in enumerate(codes):
+        v = ((v << 2) | int(c)) & mask
+        if i >= k_ - 1:
+            out.append(v)
+    fwd = np.array(out, np.uint32)
+    rc = np.asarray(jax.device_get(revcomp(jnp.asarray(fwd), k_)))
+    canon = np.minimum(fwd, rc)
+    freqs = global_freq_lookup(canon)
+    order_desc = np.sort(freqs)[::-1]
+    max_kmers = int(select_rate * len(freqs))
+    min_freq = order_desc[min(max_kmers, len(freqs) - 1)]
+    keep = freqs >= min_freq
+    if tandem_freq > 0:
+        uniq, counts = np.unique(canon, return_counts=True)
+        local = counts[np.searchsorted(uniq, canon)]
+        keep &= local <= tandem_freq
+    pos = np.nonzero(keep)[0].astype(np.int64)
+    return pos, fwd[keep], canon[keep], freqs[keep]
+
+
+def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
+                                global_min_freq: int = 2,
+                                select_rate: float = 0.01,
+                                tandem_freq: int = 10,
+                                repeat_kmer_rate: float = 1.0) -> MinimizerIndex:
+    """Flye metagenome-mode index (vertex_index.cpp:25-125): per-read
+    frequent-kmer selection against the global counter, capacity count,
+    frequency filter (minCoverage = global_min_freq), position fill for
+    k-mers with global_min_freq <= global freq <= repetitive threshold,
+    per-kmer position sort."""
+    seq_codes = np.asarray(seq_codes)
+    lengths = np.asarray(lengths, np.int64)
+    uniq_all, counts_all = count_kmers(seq_codes, lengths.astype(np.int32), k)
+
+    def lookup(reps):
+        idx = np.searchsorted(uniq_all, reps)
+        idx = np.clip(idx, 0, len(uniq_all) - 1)
+        hit = uniq_all[idx] == reps
+        return np.where(hit, counts_all[idx], 0).astype(np.int64)
+
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    reps_sel, gpos_sel, freq_sel = [], [], []
+    for b in range(len(lengths)):
+        pos, fwd, canon, freqs = yield_frequent_kmers(
+            seq_codes[b], int(lengths[b]), k, lookup, select_rate, tandem_freq)
+        ok = freqs >= global_min_freq
+        pos, fwd, canon, freqs = pos[ok], fwd[ok], canon[ok], freqs[ok]
+        flip = canon != fwd
+        pos_std = np.where(flip, lengths[b] - pos - k, pos)
+        reps_sel.append(canon)
+        gpos_sel.append(offs[b] + pos_std)
+        freq_sel.append(freqs)
+    reps = np.concatenate(reps_sel) if reps_sel else np.zeros(0, np.uint32)
+    gpos = np.concatenate(gpos_sel) if gpos_sel else np.zeros(0, np.int64)
+    gfreq = np.concatenate(freq_sel) if freq_sel else np.zeros(0, np.int64)
+
+    order = np.lexsort((gpos, reps))
+    reps, gpos, gfreq = reps[order], gpos[order], gfreq[order]
+    uniq, starts, caps = np.unique(reps, return_index=True, return_counts=True)
+
+    covered = caps >= global_min_freq
+    mean_freq = caps[covered].sum() / (covered.sum() + 1)
+    threshold = repeat_kmer_rate * mean_freq
+    repetitive = uniq[caps > threshold]
+    # position fill also requires the GLOBAL freq <= threshold
+    # (vertex_index.cpp:73-74) and index membership
+    keep_kmer = caps <= threshold
+    kmers, offsets, positions = [], [0], []
+    for u, s, c in zip(uniq[keep_kmer], starts[keep_kmer], caps[keep_kmer]):
+        g = gfreq[s]
+        if g > threshold:
+            continue
+        kmers.append(u)
+        positions.extend(gpos[s : s + c])
+        offsets.append(len(positions))
+    return MinimizerIndex(
+        kmers=np.array(kmers, np.uint32),
+        offsets=np.array(offsets, np.int64),
+        positions=np.array(positions, np.int64),
+        repetitive=repetitive, mean_frequency=float(mean_freq),
+    )

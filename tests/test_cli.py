@@ -217,3 +217,22 @@ def test_cli_call_methylation_and_meth_freq(tmp_path, capsys):
         main(["meth-freq", "-i", str(tmp_path / "calls.tsv")])
         out2 = capsys.readouterr()
         assert out2.out.startswith("start\tend")
+
+
+def test_cli_index_and_freq_merge(tmp_path, capsys):
+    rng = np.random.default_rng(12)
+    np.savez(tmp_path / "sig.npz", r0=rng.normal(size=100).astype(np.float32))
+    _write_fasta(tmp_path / "reads.fa", ["ACGT" * 10])
+    main(["index", "--reads", str(tmp_path / "reads.fa"),
+          "--signals", str(tmp_path / "sig.npz")])
+    assert "1 reads mapped" in capsys.readouterr().err
+    db = (tmp_path / "reads.fa.index.readdb").read_text()
+    assert db.startswith("r0\t")
+
+    hdr = ("start\tend\tnum_cpgs_in_group\tcalled_sites\t"
+           "called_sites_methylated\tmethylated_frequency\tgroup_sequence\n")
+    (tmp_path / "a.tsv").write_text(hdr + "100\t100\t1\t3\t2\t0.667\tSEQ\n")
+    (tmp_path / "b.tsv").write_text(hdr + "100\t100\t1\t1\t0\t0.000\tSEQ\n")
+    main(["freq-merge", str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")])
+    out = capsys.readouterr().out
+    assert "100\t100\t1\t4\t2\t0.500\tSEQ" in out

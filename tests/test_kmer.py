@@ -231,3 +231,59 @@ class TestMinimizerIndex:
         assert list(idx.kmers) == sorted(want)
         for rep, pos in want.items():
             np.testing.assert_array_equal(idx.lookup(rep), pos)
+
+
+class TestUnevenCoverageIndex:
+    """Metagenome-mode index (vertex_index.cpp:25-125 + 316-358)."""
+
+    def test_frequent_kmer_selection_rule(self):
+        from genomicsbench_tpu.ops.kmer import yield_frequent_kmers
+
+        k = 7
+        rng = np.random.default_rng(0)
+        seq = rng.integers(0, 4, 100).astype(np.uint8)
+        # global freqs: make one motif "hot"
+        freq_map = {}
+
+        def lookup(reps):
+            return np.array([freq_map.get(int(r), 1) for r in reps], np.int64)
+
+        # mark k-mers at positions 10..19 as high-frequency
+        from genomicsbench_tpu.ops.kmer import revcomp
+        import jax.numpy as jnp
+        import jax
+        def canon_at(p):
+            v = 0
+            for c in seq[p:p+k]:
+                v = (v << 2) | int(c)
+            rc = int(jax.device_get(revcomp(jnp.asarray([v], jnp.uint32), k))[0])
+            return min(v, rc)
+        for p in range(10, 20):
+            freq_map[canon_at(p)] = 50
+        pos, fwd, canon, freqs = yield_frequent_kmers(
+            seq, 100, k, lookup, select_rate=0.1, tandem_freq=0)
+        # ~10% of 94 kmers -> the hot ones selected
+        assert (freqs >= 50).all()
+        assert len(pos) >= 9
+
+    def test_uneven_index_end_to_end(self):
+        from genomicsbench_tpu.ops.kmer import build_index_uneven_coverage
+
+        rng = np.random.default_rng(1)
+        k = 9
+        motif = rng.integers(0, 4, 30).astype(np.uint8)
+        seqs = np.zeros((6, 256), np.uint8)
+        lens = np.full(6, 256, np.int32)
+        for i in range(6):
+            row = rng.integers(0, 4, 256).astype(np.uint8)
+            row[40:70] = motif  # shared motif across reads -> high global freq
+            seqs[i] = row
+        idx = build_index_uneven_coverage(
+            seqs, lens, k=k, global_min_freq=2, select_rate=0.15,
+            tandem_freq=10, repeat_kmer_rate=50.0)
+        assert len(idx.kmers) > 0
+        assert idx.offsets[-1] == len(idx.positions)
+        # positions sorted within each kmer
+        for i in range(len(idx.kmers)):
+            seg = idx.positions[idx.offsets[i]:idx.offsets[i+1]]
+            assert (np.diff(seg) >= 0).all()

@@ -110,3 +110,52 @@ class TestBswPallasBackend:
             match=1, mismatch=4, ambig=-1, interpret=True, **kw)
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+class TestBswExtremes:
+    """Reference length limits: target up to 2048, query up to 256
+    (main_banded.cpp:55-58); h0=0; all-mismatch z-drop paths."""
+
+    def test_max_length_pair(self):
+        from genomicsbench_tpu.config import BswParams
+        from genomicsbench_tpu.oracle.bsw import banded_sw_oracle
+        from genomicsbench_tpu.ops.bsw import banded_sw_batch
+
+        rng = np.random.default_rng(0)
+        Q, T = 255, 2047
+        q = rng.integers(0, 4, Q).astype(np.uint8)
+        t = np.zeros(T, np.uint8)
+        t[:Q] = q
+        t[Q:] = rng.integers(0, 4, T - Q)
+        mut = rng.integers(0, Q, 12)
+        t[mut] = rng.integers(0, 4, 12)
+        params = BswParams()
+        query = np.zeros((8, 256), np.uint8)
+        target = np.zeros((8, 2047), np.uint8)
+        query[0, :Q] = q
+        target[0] = t
+        qlen = np.array([Q] + [4] * 7, np.int32)
+        tlen = np.array([T] + [4] * 7, np.int32)
+        h0 = np.array([0] + [10] * 7, np.int32)  # h0 = 0 edge too
+        res = banded_sw_batch(query, target, qlen, tlen, h0, params)
+        want = banded_sw_oracle(q, t, params.score_matrix(), h0=0)
+        assert res.row(0) == want.as_tuple()
+
+    def test_all_mismatch_zdrop(self):
+        from genomicsbench_tpu.config import BswParams
+        from genomicsbench_tpu.oracle.bsw import banded_sw_oracle
+        from genomicsbench_tpu.ops.bsw import banded_sw_batch
+
+        q = np.zeros(100, np.uint8)           # AAAA...
+        t = np.full(200, 1, np.uint8)         # CCCC... (all mismatch)
+        query = np.zeros((8, 128), np.uint8)
+        target = np.zeros((8, 208), np.uint8)
+        query[0, :100] = q
+        target[0, :200] = t
+        params = BswParams()
+        res = banded_sw_batch(query, target,
+                              np.array([100] + [4] * 7, np.int32),
+                              np.array([200] + [4] * 7, np.int32),
+                              np.array([25] + [5] * 7, np.int32), params)
+        want = banded_sw_oracle(q, t, params.score_matrix(), h0=25)
+        assert res.row(0) == want.as_tuple()

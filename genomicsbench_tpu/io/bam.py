@@ -65,6 +65,44 @@ class BamRecord:
     def is_qcfail(self):
         return bool(self.flag & 512)
 
+    def get_array_tag(self, name: str):
+        """Parse a 'B'-type aux array tag (e.g. medaka's WL/WK float arrays,
+        medaka_counts.c:236-259).  Returns a numpy array or None."""
+        import struct
+
+        t = self.tags
+        i = 0
+        sizes = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+        fmts = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}
+        while i + 3 <= len(t):
+            tag = t[i : i + 2].decode()
+            typ = chr(t[i + 2])
+            i += 3
+            if typ == "B":
+                sub = chr(t[i])
+                n = struct.unpack_from("<I", t, i + 1)[0]
+                payload = i + 5
+                if tag == name:
+                    return np.frombuffer(
+                        t[payload : payload + n * sizes[sub]], dtype="<" + fmts[sub]
+                    ).copy()
+                i = payload + n * sizes[sub]
+            elif typ in "cCsSiIf":
+                if tag == name:
+                    import struct as _s
+                    return np.array(
+                        [_s.unpack_from("<" + fmts[typ], t, i)[0]]
+                    )
+                i += sizes[typ]
+            elif typ in ("Z", "H"):
+                end = t.index(b"\x00", i)
+                i = end + 1
+            elif typ == "A":
+                i += 1
+            else:
+                break
+        return None
+
     def end_pos(self):
         """Reference end (exclusive) from the CIGAR."""
         end = self.pos
@@ -238,3 +276,13 @@ class FastaIndex:
 
     def length(self, name: str) -> int:
         return len(self.seqs[name])
+
+
+def encode_array_tag(name: str, sub: str, values) -> bytes:
+    """Encode a 'B'-type aux array tag (test/fixture helper)."""
+    import struct
+
+    fmts = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}
+    vals = list(values)
+    body = b"".join(struct.pack("<" + fmts[sub], v) for v in vals)
+    return name.encode() + b"B" + sub.encode() + struct.pack("<I", len(vals)) + body

@@ -51,7 +51,9 @@ class PileupResult:
 
 
 def _read_events(rec, start, end, num_homop):
-    """Per-read pileup observations: (pos, minor_j, feature, qstrat)."""
+    """Per-read pileup observations: (pos, minor_j, feature, qual, qidx)
+    with qidx = query index of the base (-1 for deletions), the
+    p->qpos + indel the Weibull path reads its WL/WK values at."""
     out = []
     rp = rec.pos
     qp = 0
@@ -66,7 +68,7 @@ def _read_events(rec, start, end, num_homop):
                     if base <= 3:
                         f = (base + 4) if not rev else base
                         q = int(rec.qual[qp + t]) if len(rec.qual) else 0
-                        out.append((pos, 0, f, q))
+                        out.append((pos, 0, f, q, qp + t))
             rp += ln
             qp += ln
             prev_aligned = True
@@ -81,14 +83,14 @@ def _read_events(rec, start, end, num_homop):
                     if base <= 3:
                         f = (base + 4) if not rev else base
                         q = int(rec.qual[qp + j - 1]) if len(rec.qual) else 0
-                        out.append((anchor, j, f, q))
+                        out.append((anchor, j, f, q, qp + j - 1))
         # an insertion does not change what the "previous" aligned op was
             qp += ln
         elif op == "D":
             for t in range(ln):
                 pos = rp + t
                 if start <= pos < end:
-                    out.append((pos, 0, FWD_DEL if not rev else REV_DEL, 0))
+                    out.append((pos, 0, FWD_DEL if not rev else REV_DEL, 0, -1))
             rp += ln
             prev_aligned = False
         elif op == "N":
@@ -100,12 +102,27 @@ def _read_events(rec, start, end, num_homop):
     return out
 
 
+def _weibull_fractions(scale, shape, num_homop):
+    """medaka_counts.c:262-268: Weibull CDF mass per homopolymer bin."""
+    x = np.arange(1, num_homop + 1, dtype=np.float64)
+    a = ((x - 1) / scale) ** shape
+    b = (x / scale) ** shape
+    return np.maximum(0.0, -np.exp(-a) * np.expm1(a - b))
+
+
 def pileup_counts(
     bam, region: str, num_dtypes: int = 1, num_homop: int = 1,
-    min_mapq: int = 1, dtype_of=None,
+    min_mapq: int = 1, dtype_of=None, weibull_summation: bool = False,
 ) -> PileupResult:
     """bam: io.bam.BamFile; region "chr:start-end" (1-based inclusive, as
-    parsed by hts_parse_reg)."""
+    parsed by hts_parse_reg).
+
+    weibull_summation (medaka_counts.c:440-447): base observations add
+    10000x the read's Weibull homopolymer fraction (from WL/WK aux tags)
+    into every qstrat bin instead of a quality-stratified +1.  Missing
+    tags contribute zeros (reference behavior).  Fractions accumulate in
+    float64 and truncate once at the end (the C code truncates per add
+    into a size_t — equal whenever the products are exact)."""
     chrom, se = region.rsplit(":", 1)
     s, e = se.split("-")
     start, end = int(s) - 1, int(e)
@@ -113,11 +130,23 @@ def pileup_counts(
     plane = FEATLEN * num_dtypes * num_homop
     covered = {}
     events = []
+    wb_events = []  # (pos, j, base_feature_index, fractions)
     for rec in bam.fetch(chrom, start, end):
         if rec.mapq < min_mapq or rec.is_unmapped:
             continue
         dtype = dtype_of(rec) if dtype_of else 0
-        for pos, j, feat, q in _read_events(rec, start, end, num_homop):
+        wl = rec.get_array_tag("WL") if weibull_summation else None
+        wk = rec.get_array_tag("WK") if weibull_summation else None
+        for pos, j, feat, q, qidx in _read_events(rec, start, end, num_homop):
+            if weibull_summation and feat < 8 and qidx >= 0:
+                base_idx = feat + FEATLEN * num_homop * dtype
+                if wl is None or wk is None or qidx >= len(wl) or qidx >= len(wk):
+                    frac = np.zeros(num_homop)
+                else:
+                    frac = _weibull_fractions(float(wl[qidx]), float(wk[qidx]),
+                                              num_homop)
+                wb_events.append((pos, j, base_idx, 10000.0 * frac))
+                continue
             if num_homop > 1 and feat < 8:
                 qstrat = max(0, min(q, num_homop) - 1)
             else:
@@ -127,13 +156,17 @@ def pileup_counts(
         for pos in range(max(rec.pos, start), min(rec.end_pos(), end)):
             cur = covered.get(pos, 0)
             covered[pos] = cur
-    if not events and not covered:
+    if not events and not wb_events and not covered:
         return PileupResult(np.zeros((0, plane), np.int64),
                             np.zeros(0, np.int64), np.zeros(0, np.int64))
 
     # max insertion per covered position
     max_ins = {}
     for pos, j, _f in events:
+        if j > max_ins.get(pos, 0):
+            max_ins[pos] = j
+        covered.setdefault(pos, 0)
+    for pos, j, _f, _fr in wb_events:
         if j > max_ins.get(pos, 0):
             max_ins[pos] = j
         covered.setdefault(pos, 0)
@@ -155,6 +188,12 @@ def pileup_counts(
     if len(keys):
         uk, counts = _count_keys(keys)
         matrix[uk] = counts
+    if wb_events:
+        fmat = np.zeros(n_cols * plane, np.float64)
+        for pos, j, base_idx, frac in wb_events:
+            col = col_of[(pos, j)] * plane + base_idx
+            fmat[col : col + FEATLEN * len(frac) : FEATLEN] += frac
+        matrix += fmat.astype(np.int64)
     return PileupResult(
         matrix.reshape(n_cols, plane),
         np.array(major, np.int64), np.array(minor, np.int64),

@@ -112,3 +112,53 @@ class TestPileup:
         # qual 1 -> plane 0; qual 50 -> plane min(50,3)-1 = 2
         assert res.matrix[0, 4] == 1
         assert res.matrix[1, 2 * FEATLEN + 4] == 1
+
+
+class TestWeibullSummation:
+    """medaka weibull_summation path (medaka_counts.c:236-268, 440-447):
+    Weibull CDF homopolymer fractions from WL/WK aux tags, x10000."""
+
+    def test_fractions_formula(self):
+        from genomicsbench_tpu.ops.pileup import _weibull_fractions
+
+        scale, shape, H = 2.0, 1.5, 5
+        got = _weibull_fractions(scale, shape, H)
+        x = np.arange(1, H + 1, dtype=np.float64)
+        a = ((x - 1) / scale) ** shape
+        b = (x / scale) ** shape
+        want = np.maximum(0.0, np.exp(-a) - np.exp(-b))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert got.sum() < 1.0 and (got >= 0).all()
+
+    def test_pileup_with_tags(self):
+        from genomicsbench_tpu.io.bam import encode_array_tag
+        from genomicsbench_tpu.ops.pileup import (
+            FEATLEN, _weibull_fractions, pileup_counts,
+        )
+
+        n = 12
+        seq = np.tile(np.array([0, 1, 2, 3], np.uint8), 3)
+        wl = np.full(n, 2.0, np.float32)
+        wk = np.full(n, 1.5, np.float32)
+        tags = (encode_array_tag("WL", "f", wl)
+                + encode_array_tag("WK", "f", wk))
+        rec = mk_rec("w0", 5, [("M", n)], seq)
+        rec.tags = tags
+        bam = mk_bam([rec], ref_len=100)
+        H = 3
+        res = pileup_counts(bam, "chr1:1-40", num_homop=H,
+                            weibull_summation=True)
+        frac = 10000.0 * _weibull_fractions(2.0, 1.5, H)
+        # first column: base seq[0]=A forward -> feature index 4 ('A')
+        col = list(res.major).index(5)
+        for qs in range(H):
+            assert res.matrix[col, 4 + FEATLEN * qs] == int(frac[qs])
+
+    def test_missing_tags_count_zero(self):
+        from genomicsbench_tpu.ops.pileup import pileup_counts
+
+        rec = mk_rec("w1", 5, [("M", 8)], np.zeros(8, np.uint8))
+        bam = mk_bam([rec], ref_len=100)
+        res = pileup_counts(bam, "chr1:1-40", num_homop=3,
+                            weibull_summation=True)
+        assert res.matrix.sum() == 0  # zeros, like the reference's warning path

@@ -24,3 +24,25 @@ Layering (see SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+# ---------------------------------------------------------------------------
+# Persistent compilation cache: every CLI invocation is a fresh process, and
+# on this machine's tunneled TPU a single XLA compile costs 30s+ through the
+# remote-compile service.  Cache compiled executables on disk so the suite's
+# kernels compile once per machine, not once per process.  Opt out with
+# GENOMICSBENCH_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("GENOMICSBENCH_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "GENOMICSBENCH_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/genomicsbench_tpu/jax_cache"),
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass

@@ -338,9 +338,17 @@ def basecall_signals(params, signals, cfg: BasecallerConfig = None,
         chunks = chunk_signal(sig, chunksize, overlap)
         posts = []
         for s in range(0, len(chunks), batch_size):
-            lp = _forward_jit(params, jnp.asarray(chunks[s : s + batch_size]),
-                              cfg=cfg, train=False)
-            posts.append(np.exp(np.asarray(lp, np.float32)))
+            cb = chunks[s : s + batch_size]
+            # pad the chunk batch to a power of two: reads produce variable
+            # chunk counts and every distinct batch shape would recompile
+            # the whole conv net (expensive on the remote-compile path)
+            bp = max(1, 1 << (len(cb) - 1).bit_length())
+            if bp != len(cb):
+                cb = np.concatenate([cb, np.zeros((bp - len(cb),) + cb.shape[1:],
+                                                  cb.dtype)])
+            lp = _forward_jit(params, jnp.asarray(cb), cfg=cfg, train=False)
+            posts.append(np.exp(np.asarray(lp[: len(chunks[s : s + batch_size])],
+                                           np.float32)))
         posts = np.concatenate(posts)
         stitched = stitch_posteriors(posts, overlap // stride // 2)
         stitched = stitched[: len(sig) // stride]

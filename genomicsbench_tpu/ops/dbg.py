@@ -118,7 +118,9 @@ def _device_sort_pairs(wids: np.ndarray, keys: np.ndarray):
     import jax.numpy as jnp
 
     n = len(keys)
-    pad = -(-max(n, 1) // 128) * 128
+    # power-of-two padding: every distinct length would otherwise compile a
+    # fresh sort executable (regions produce a different k-mer total each)
+    pad = max(128, 1 << (max(n, 1) - 1).bit_length())
     kb = np.full(pad, np.iinfo(np.uint32).max, np.uint32)
     kb[:n] = keys.astype(np.uint32)
     wb = np.full(pad, np.iinfo(np.int32).max, np.int32)

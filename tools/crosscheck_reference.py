@@ -1,0 +1,100 @@
+"""Live cross-check: fresh random workloads through the compiled reference
+kernels AND our device kernels, diffed bit-for-bit.
+
+Usage:
+    bash tools/build_reference.sh        # -> /tmp/refbuild/{bsw,chain}_gold
+    python tools/crosscheck_reference.py [seed]
+
+Unlike tests/golden (committed fixtures), this generates NEW inputs every
+run, so it can't go stale — the strongest parity evidence available.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REFBUILD = "/tmp/refbuild"
+
+
+def crosscheck_bsw(rng, n=500):
+    from genomicsbench_tpu.ops.bsw import banded_sw_batch
+
+    lines = [str(n)]
+    cases = []
+    for _ in range(n):
+        ql = int(rng.integers(20, 250))
+        tl = int(rng.integers(ql, min(2 * ql, 500)))
+        q = rng.integers(0, 4, ql)
+        t = np.concatenate([q[: min(ql, tl)], rng.integers(0, 4, max(0, tl - ql))])[:tl].copy()
+        idx = rng.integers(0, min(ql, tl), max(1, ql // 10))
+        t[idx] = rng.integers(0, 4, len(idx))
+        h0 = int(rng.integers(0, 50))
+        cases.append((q, t, h0))
+        lines += [str(h0), str(tl), str(ql), "".join(map(str, t)), "".join(map(str, q))]
+    open("/tmp/xc_bsw.in", "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([f"{REFBUILD}/bsw_gold", "/tmp/xc_bsw.in"],
+                         capture_output=True, text=True, check=True).stdout
+    exp = np.array(out.split(), np.int64).reshape(n, 6)
+
+    Q = max(len(q) for q, _, _ in cases)
+    T = max(len(t) for _, t, _ in cases)
+    Qp = -(-Q // 128) * 128
+    query = np.zeros((n, Qp), np.uint8)
+    target = np.zeros((n, T), np.uint8)
+    qlen = np.zeros(n, np.int32)
+    tlen = np.zeros(n, np.int32)
+    h0 = np.zeros(n, np.int32)
+    for i, (q, t, h) in enumerate(cases):
+        query[i, : len(q)] = q
+        target[i, : len(t)] = t
+        qlen[i], tlen[i], h0[i] = len(q), len(t), h
+    res = banded_sw_batch(query, target, qlen, tlen, h0)
+    got = np.stack([res.score, res.qle, res.tle, res.gtle, res.gscore, res.max_off], 1)
+    assert np.array_equal(got, exp), "bsw mismatch vs reference binary"
+    print(f"bsw: {n} fresh pairs bit-exact vs reference binary")
+
+
+def crosscheck_chain(rng, n_reads=24):
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import chain_batch
+
+    calls, lines = [], []
+    for _ in range(n_reads):
+        nn = int(rng.integers(50, 400))
+        xs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
+        qs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
+        span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
+        avg = round(float(rng.uniform(10, 20)), 4)
+        calls.append(AnchorCall(x=xs, y=qs | span, avg_qspan=avg,
+                                max_dist_x=5000, max_dist_y=5000, bw=500, n_segs=1))
+        lines.append(f"{nn} {avg} 5000 5000 500 1")
+        for x, y in zip(xs, qs | span):
+            lines.append(f"{int(x)} {int(y)}")
+    open("/tmp/xc_chain.in", "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([f"{REFBUILD}/chain_gold", "/tmp/xc_chain.in"],
+                         capture_output=True, text=True, check=True).stdout
+    res = chain_batch(calls)
+    toks = out.split()
+    pos = 0
+    for r, c in enumerate(calls):
+        for i in range(c.n):
+            s, p = int(toks[pos]), int(toks[pos + 1])
+            pos += 3  # score parent peak
+            assert s == res.scores[r, i] and p == res.parents[r, i], (r, i)
+        assert toks[pos] == "EOR"
+        pos += 1
+    total = sum(c.n for c in calls)
+    print(f"chain: {n_reads} fresh reads / {total} anchors bit-exact vs reference binary")
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
+    print(f"seed = {seed}")
+    rng = np.random.default_rng(seed)
+    crosscheck_bsw(rng)
+    crosscheck_chain(rng)
+    print("ALL CROSS-CHECKS PASSED")

@@ -93,9 +93,12 @@ def _bsw_core(
 
     qlen_c = qlen[:, None]
     qpad = jnp.pad(query.astype(jnp.int32), ((0, 0), (0, Qp - Q)))
-    # Query profile qp[b, k, c] = mat[k, query[b, c]].
-    qp = jnp.take(mat, qpad, axis=1)                     # (5, B, Qp)
-    qp = jnp.transpose(qp, (1, 0, 2)).astype(jnp.int32)  # (B, 5, Qp)
+    # bwa_fill_scmat structure (main_banded.cpp:73-81): diag = match,
+    # off-diag = -mismatch, any comparison involving base 4 = ambig —
+    # computed arithmetically instead of a 5-way profile select.
+    m_match = mat[0, 0].astype(jnp.int32)
+    m_mis = mat[0, 1].astype(jnp.int32)
+    m_ambig = mat[4, 0].astype(jnp.int32)
 
     # First row seeded from h0 (bandedSWA.cpp:154-157).
     h0_c = h0[:, None]
@@ -128,12 +131,11 @@ def _bsw_core(
             beg_i == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
         ).astype(jnp.int32)
 
-        # Substitution scores for this target row (5-way select, VPU-only).
+        # Substitution scores for this target row (arithmetic, VPU-only).
         t_i = jax.lax.dynamic_index_in_dim(target, i, axis=1, keepdims=False)
         t_i = t_i.astype(jnp.int32)[:, None]
-        S = jnp.zeros((B, Qp), jnp.int32)
-        for k in range(5):
-            S = jnp.where(t_i == k, qp[:, k, :], S)
+        S = jnp.where(qpad == t_i, m_match, m_mis)
+        S = jnp.where((qpad == 4) | (t_i == 4), m_ambig, S)
 
         M = c["Hs"]              # M[c] = H(i-1, c-1)
         Ecur = c["E"]            # E(i, c)
@@ -153,9 +155,17 @@ def _bsw_core(
         # a tie (h == running max, including the 0 baseline) moves mj to the
         # latest column (bandedSWA.cpp:200-201), so the final mj is the last
         # in-band column achieving m (H >= 0 always inside the band).
-        Hb = jnp.where(in_band, H, NEG)
-        m = jnp.maximum(jnp.max(Hb, axis=1), 0)
-        mj = jnp.max(jnp.where(in_band & (H == m[:, None]), js, -1), axis=1)
+        # one packed reduce yields the row max AND its latest argmax:
+        # pack = H*Qp + js; ties prefer larger js = the reference's
+        # latest-column update.  |H| <= 2^15 (bandedSWA.h:84) so the pack
+        # fits int32 for Qp <= 2^15.
+        packed = jnp.where(in_band, H * jnp.int32(Qp) + js, NEG)
+        pmax = jnp.max(packed, axis=1)
+        m_raw = pmax // jnp.int32(Qp)   # floor div: exact for packed values
+        mj_raw = pmax - m_raw * jnp.int32(Qp)
+        got_any = pmax > NEG // 2
+        m = jnp.maximum(jnp.where(got_any, m_raw, 0), 0)
+        mj = jnp.where(got_any & (m_raw >= 0), mj_raw, -1)
 
         # Write-back with the reference's exact index pattern:
         # eh[j].h = H(i, j-1) for j in [beg, end]; eh[end] = (h1, 0).

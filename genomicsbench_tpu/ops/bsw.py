@@ -119,6 +119,13 @@ def _bsw_core(
         active=jnp.ones((B,), jnp.bool_),
     )
 
+    UNROLL = 2  # 2x is the sweet spot (4x measured flat, longer compiles)
+
+    def row_pair(c, i2):
+        for u in range(UNROLL):
+            c = row_step(c, i2 * UNROLL + u)[0]
+        return c, None
+
     def row_step(c, i):
         run = c["active"] & (i < tlen)
         beg_i = jnp.maximum(c["beg"], i - w_eff)
@@ -230,7 +237,11 @@ def _bsw_core(
         )
         return out, None
 
-    final, _ = jax.lax.scan(row_step, init, jnp.arange(t_steps, dtype=jnp.int32))
+    # several rows per scan step: slashes the loop-carry HBM round trips
+    # (the i >= tlen guard inside row_step keeps tail rows a no-op)
+    final, _ = jax.lax.scan(
+        row_pair, init, jnp.arange(-(-t_steps // 2), dtype=jnp.int32)
+    )
     return (
         final["best"], final["best_j"] + 1, final["best_i"] + 1,
         final["max_ie"] + 1, final["gscore"], final["max_off"],

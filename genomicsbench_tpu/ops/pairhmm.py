@@ -103,9 +103,15 @@ def _phmm_scan(read, hap, rslen, haplen, mm, gapm, mx, xx, my, yy, qprob, *, r_s
         acc = jnp.where(i + 1 == rslen, row_sum, acc)
         return (M_cur, X_cur, Y_cur, acc), None
 
+    def row2(c, i2):
+        c, _ = row(c, i2 * 2)
+        return row(c, i2 * 2 + 1)
+
+    # two read rows per scan iteration (halves loop-carry HBM round trips;
+    # rows past rslen leave the carry unchanged, so the odd tail is a no-op)
     (_, _, _, acc), _ = jax.lax.scan(
-        row, (M_prev, X_prev, Y_prev, jnp.zeros((B,), jnp.float32)),
-        jnp.arange(r_steps, dtype=jnp.int32),
+        row2, (M_prev, X_prev, Y_prev, jnp.zeros((B,), jnp.float32)),
+        jnp.arange(-(-r_steps // 2), dtype=jnp.int32),
     )
     return acc
 

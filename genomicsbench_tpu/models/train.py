@@ -73,3 +73,39 @@ def place_params(params, opt_state, mesh):
 
     opt_state = jax.tree.map(put_opt, opt_state)
     return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (SURVEY.md §5.4: the reference's compute benchmarks are
+# stateless, but its NN workloads LOAD checkpoints — bonito torch tars
+# basecall.py:260-285, Clair TF ckpts prediction.py:66.  Import converters
+# live next to each model; this is the framework's own save/resume for
+# training runs, via orbax)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path, params, opt_state=None, step: int = 0):
+    """Write an orbax checkpoint of (params[, opt_state], step)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {"params": params, "step": step}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint(path, like=None):
+    """Restore a checkpoint; `like` (same pytree structure) restores with
+    matching shardings/dtypes.  Returns the saved dict."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, like)
+        return ckptr.restore(path)

@@ -1,0 +1,41 @@
+"""Checkpoint/resume (models/train.py save/load via orbax) — SURVEY §5.4."""
+
+import jax
+import numpy as np
+
+from genomicsbench_tpu.models import basecaller as bc
+from genomicsbench_tpu.models.train import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = bc.BasecallerConfig.tiny()
+    params = bc.init_params(jax.random.key(0), cfg)
+    save_checkpoint(str(tmp_path / "ckpt"), params, step=7)
+    back = load_checkpoint(str(tmp_path / "ckpt"))
+    assert int(np.asarray(back["step"])) == 7
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_training(tmp_path):
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    from genomicsbench_tpu.models import variant_caller as vc
+
+    cfg = vc.ClairConfig.tiny()
+    init, step = vc.make_train_step(cfg)
+    x = rng.normal(size=(8, cfg.seq_len, cfg.rows, cfg.channels)).astype(np.float32)
+    labels = np.zeros((8, sum(cfg.head_sizes)), np.float32)
+    labels[np.arange(8), rng.integers(0, 21, 8)] = 1.0
+    params, opt = init(jax.random.key(0), x)
+    params, opt, l1 = step(params, opt, jnp.asarray(x), jnp.asarray(labels))
+    save_checkpoint(str(tmp_path / "c2"), params, opt_state=opt, step=1)
+    back = load_checkpoint(str(tmp_path / "c2"), like={"params": params,
+                                                       "opt_state": opt, "step": 1})
+    p2, o2, l2 = step(back["params"], back["opt_state"],
+                      jnp.asarray(x), jnp.asarray(labels))
+    assert np.isfinite(float(l2))

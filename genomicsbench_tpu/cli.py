@@ -545,6 +545,17 @@ def build_parser():
     s.add_argument("inputs", nargs="+")
     s.set_defaults(fn=cmd_freq_merge)
 
+    s = sub.add_parser("verify", help="bit-exact cross-check vs compiled reference kernels")
+    s.add_argument("--seed", type=int, default=0)
+    def _verify(a):
+        import pathlib
+        import subprocess as sp
+        tools = pathlib.Path(__file__).resolve().parent.parent / "tools"
+        sp.run(["bash", str(tools / "build_reference.sh")], check=True)
+        sp.run([sys.executable, str(tools / "crosscheck_reference.py"),
+                str(a.seed)], check=True)
+    s.set_defaults(fn=_verify)
+
     s = sub.add_parser("suite", help="run every workload on a synthesized demo dataset")
     s.add_argument("--dir", default="/tmp/gbench_demo")
     s.add_argument("--only", nargs="*")

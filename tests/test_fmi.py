@@ -237,3 +237,38 @@ class TestPass1Jump:
         mintv = p1.s[sel] + 1
         want = pipe._pass2_etable(reads[prid], lens[prid], prid, pivots, mintv)
         assert got.sorted_tuples(with_interval=True) == want.sorted_tuples(with_interval=True)
+
+    def test_jump_stress_edges(self):
+        """All-N reads, reads shorter than minSeedLen, single-base reads,
+        and high-repeat references (many jump rounds) — jump == e-table."""
+        from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+
+        rng = np.random.default_rng(99)
+        motif = rng.integers(0, 4, 64).astype(np.uint8)
+        ref = np.tile(motif, 40)  # highly repetitive -> dense SMEM jumps
+        idx = build_fmd_index(ref)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        L = 128
+        reads = np.zeros((6, L), np.uint8)
+        lens = np.zeros(6, np.int32)
+        reads[0, :50] = 4          # all ambiguous
+        lens[0] = 50
+        reads[1, :10] = motif[:10]  # shorter than minSeedLen
+        lens[1] = 10
+        reads[2, 0] = 2             # single base
+        lens[2] = 1
+        reads[3, :120] = np.tile(motif, 2)[:120]  # pure repeat read
+        lens[3] = 120
+        r4 = np.tile(motif, 2)[:100].copy()
+        r4[::17] = 4                # N-riddled
+        reads[4, :100] = r4
+        lens[4] = 100
+        reads[5, :64] = motif
+        lens[5] = 64
+        got = pipe.pass1(reads, lens)
+        want = pipe._pass1_etable(reads, lens)
+        assert got.sorted_tuples(with_interval=True) == \
+            want.sorted_tuples(with_interval=True)
+        # full pipeline also runs clean on these
+        p1, p2, p3, total = pipe.run(reads, lens)
+        assert total >= 0

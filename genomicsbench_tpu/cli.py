@@ -26,6 +26,18 @@ def _t():
     return time.perf_counter()
 
 
+def _open_bam(path):
+    """IndexedBam when a .bai sits next to the file (targeted region
+    decompression), else the whole-file reader."""
+    import os
+
+    from genomicsbench_tpu.io.bam import IndexedBam, read_bam
+
+    if os.path.exists(path + ".bai"):
+        return IndexedBam(path)
+    return read_bam(path)
+
+
 def _load_signals(path):
     """Raw signals from .npz (name -> float array) or fast5 file/dir
     (the reference's input format, run-gpu.sh:28,34)."""
@@ -186,10 +198,9 @@ def cmd_kmer_cnt(args):
 # ------------------------------------------------------------------ pileup
 def cmd_pileup(args):
     """pileup <bam> <region> [dtypes...] (medaka_counts.c:487)."""
-    from genomicsbench_tpu.io.bam import read_bam
     from genomicsbench_tpu.ops.pileup import pileup_counts
 
-    bam = read_bam(args.bam)
+    bam = _open_bam(args.bam)
     t0 = _t()
     res = pileup_counts(bam, args.region, num_dtypes=max(1, len(args.dtypes)),
                         num_homop=args.num_homop)
@@ -202,10 +213,10 @@ def cmd_pileup(args):
 # --------------------------------------------------------------------- dbg
 def cmd_dbg(args):
     """dbg file.bam chr:start-stop ref.fa (debruijn.cpp:1442)."""
-    from genomicsbench_tpu.io.bam import FastaIndex, read_bam
+    from genomicsbench_tpu.io.bam import FastaIndex
     from genomicsbench_tpu.ops.dbg import dbg_from_bam
 
-    bam = read_bam(args.bam)
+    bam = _open_bam(args.bam)
     fa = FastaIndex(args.ref)
     chrom, se = args.region.rsplit(":", 1)
     beg, end = (int(x) for x in se.split("-"))

@@ -286,3 +286,289 @@ def encode_array_tag(name: str, sub: str, values) -> bytes:
     vals = list(values)
     body = b"".join(struct.pack("<" + fmts[sub], v) for v in vals)
     return name.encode() + b"B" + sub.encode() + struct.pack("<I", len(vals)) + body
+
+
+# ---------------------------------------------------------------------------
+# BAI index: targeted region access (the htslib bam_index_load/hts_itr path
+# the reference uses — debruijn.cpp:1458-1462, medaka_bamiter.c).  read_bam
+# loads the whole (small) file; open_indexed_bam decompresses ONLY the BGZF
+# blocks a region's BAI chunks cover — O(region), not O(file).
+# ---------------------------------------------------------------------------
+
+def reg2bins(beg: int, end: int):
+    """All BAI bins overlapping [beg, end) (5-level binning scheme)."""
+    end -= 1
+    bins = [0]
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin containing [beg, end) (SAM spec reg2bin)."""
+    end -= 1
+    for shift, base in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        if beg >> shift == end >> shift:
+            return base + (beg >> shift)
+    return 0
+
+
+def read_bai(path: str):
+    """Parse a .bai: per-ref {bin: [(chunk_beg, chunk_end) voffsets]} +
+    linear index."""
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"BAI\x01", "not a .bai"
+    n_ref = struct.unpack_from("<i", raw, 4)[0]
+    off = 8
+    refs = []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", raw, off)[0]
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", raw, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", raw, off)
+                off += 16
+                chunks.append((cb, ce))
+            bins[b] = chunks
+        n_intv = struct.unpack_from("<i", raw, off)[0]
+        off += 4
+        ioffs = struct.unpack_from(f"<{n_intv}Q", raw, off)
+        off += 8 * n_intv
+        refs.append((bins, list(ioffs)))
+    return refs
+
+
+class IndexedBam:
+    """Region reader over a BAM + BAI: decompresses only the BGZF blocks
+    the region's index chunks cover."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data = open(path, "rb").read()
+        self.index = read_bai(path + ".bai")
+        # block table: compressed offset -> (raw offset len) lazily
+        self._block_at = {}
+        pos = 0
+        n = len(self.data)
+        self._blocks = []
+        while pos + 18 <= n:
+            xlen = struct.unpack_from("<H", self.data, pos + 10)[0]
+            extra = self.data[pos + 12 : pos + 12 + xlen]
+            e = 0
+            bsize = None
+            while e < xlen:
+                si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
+                if si1 == 66 and si2 == 67:
+                    bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+                e += 4 + slen
+            self._blocks.append(pos)
+            pos += bsize
+        self._block_set = set(self._blocks)
+        # header: decompress leading blocks until refs parsed
+        hdr_raw = b""
+        bi = 0
+        while True:
+            hdr_raw += self._read_block(self._blocks[bi])
+            bi += 1
+            try:
+                self.ref_names, self.ref_lens, self._hdr_end = self._parse_header(hdr_raw)
+                break
+            except (struct.error, IndexError):
+                if bi >= len(self._blocks):
+                    raise
+
+    def _read_block(self, coff: int) -> bytes:
+        got = self._block_at.get(coff)
+        if got is not None:
+            return got
+        xlen = struct.unpack_from("<H", self.data, coff + 10)[0]
+        extra = self.data[coff + 12 : coff + 12 + xlen]
+        e = 0
+        bsize = None
+        while e < xlen:
+            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+            e += 4 + slen
+        comp = self.data[coff + 12 + xlen : coff + bsize - 8]
+        raw = zlib.decompress(comp, -15)
+        self._block_at[coff] = raw
+        return raw
+
+    @staticmethod
+    def _parse_header(raw: bytes):
+        assert raw[:4] == b"BAM\x01"
+        l_text = struct.unpack_from("<i", raw, 4)[0]
+        off = 8 + l_text
+        n_ref = struct.unpack_from("<i", raw, off)[0]
+        off += 4
+        names, lens = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", raw, off)[0]
+            names.append(raw[off + 4 : off + 4 + l_name - 1].decode())
+            lens.append(struct.unpack_from("<i", raw, off + 4 + l_name)[0])
+            off += 8 + l_name
+        return names, lens, off
+
+    def fetch(self, ref_name: str, start: int, stop: int):
+        """Records overlapping [start, stop) using the BAI chunks."""
+        rid = self.ref_names.index(ref_name)
+        bins, _linear = self.index[rid]
+        chunks = []
+        for b in reg2bins(start, stop):
+            chunks.extend(bins.get(b, []))
+        if not chunks:
+            return
+        chunks.sort()
+        seen = set()
+        for cbeg, cend in chunks:
+            coff, uoff = cbeg >> 16, cbeg & 0xFFFF
+            # walk blocks until past cend
+            bi = self._blocks.index(coff) if coff in self._block_set else None
+            if bi is None:
+                continue
+            buf = b""
+            base = bi
+            while True:
+                buf += self._read_block(self._blocks[base])
+                # stop growing when the buffer passes the chunk end
+                if (self._blocks[base] > (cend >> 16)) or base + 1 >= len(self._blocks):
+                    break
+                base += 1
+            pos = uoff
+            while pos + 4 <= len(buf):
+                block_size = struct.unpack_from("<i", buf, pos)[0]
+                if pos + 4 + block_size > len(buf):
+                    break
+                key = (self._blocks[bi], pos)
+                pos_rec = pos
+                pos += 4 + block_size
+                if key in seen:
+                    continue
+                seen.add(key)
+                rec = _parse_record(buf[pos_rec + 4 : pos_rec + 4 + block_size])
+                if rec.ref_id != rid or rec.is_unmapped:
+                    continue
+                if rec.pos >= stop:
+                    return
+                if rec.end_pos() > start:
+                    yield rec
+
+
+def _parse_record(body: bytes) -> BamRecord:
+    (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np, _tl) = (
+        struct.unpack_from("<iiBBHHHiiii", body, 0)
+    )
+    p = 32
+    name = body[p : p + l_rn - 1].decode()
+    p += l_rn
+    cig = []
+    for i in range(n_cig):
+        v = struct.unpack_from("<I", body, p + 4 * i)[0]
+        cig.append((CIGAR_OPS[v & 15], v >> 4))
+    p += 4 * n_cig
+    nseq = (l_seq + 1) // 2
+    packed = np.frombuffer(body[p : p + nseq], dtype=np.uint8)
+    codes = np.empty(nseq * 2, np.uint8)
+    codes[0::2] = NIB_TO_CODE[packed >> 4]
+    codes[1::2] = NIB_TO_CODE[packed & 15]
+    seq = codes[:l_seq].copy()
+    p += nseq
+    qual = np.frombuffer(body[p : p + l_seq], dtype=np.uint8).copy()
+    p += l_seq
+    return BamRecord(name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+                     cigar=cig, seq=seq, qual=qual, tags=bytes(body[p:]))
+
+
+def write_bai(bam_path: str):
+    """Build a .bai for a BAM written by write_bam (records sorted by pos).
+
+    Tracks each record's virtual offset while re-walking the BGZF blocks."""
+    data = open(bam_path, "rb").read()
+    # block boundaries
+    blocks = []
+    pos = 0
+    n = len(data)
+    while pos + 18 <= n:
+        xlen = struct.unpack_from("<H", data, pos + 10)[0]
+        extra = data[pos + 12 : pos + 12 + xlen]
+        e = 0
+        bsize = None
+        while e < xlen:
+            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from("<H", extra, e + 2)[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+            e += 4 + slen
+        blocks.append((pos, bsize))
+        pos += bsize
+    raw_parts = []
+    raw_starts = []  # raw offset of each block
+    total = 0
+    for coff, bsize in blocks:
+        xlen = struct.unpack_from("<H", data, coff + 10)[0]
+        comp = data[coff + 12 + xlen : coff + bsize - 8]
+        part = zlib.decompress(comp, -15)
+        raw_parts.append(part)
+        raw_starts.append(total)
+        total += len(part)
+    raw = b"".join(raw_parts)
+
+    def voffset(raw_off: int) -> int:
+        import bisect
+
+        bi = bisect.bisect_right(raw_starts, raw_off) - 1
+        return (blocks[bi][0] << 16) | (raw_off - raw_starts[bi])
+
+    # walk header
+    l_text = struct.unpack_from("<i", raw, 4)[0]
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", raw, off)[0]
+        off += 8 + l_name
+    per_ref = [dict() for _ in range(n_ref)]
+    linear = [dict() for _ in range(n_ref)]
+    while off < len(raw):
+        v_beg = voffset(off)
+        block_size = struct.unpack_from("<i", raw, off)[0]
+        body = raw[off + 4 : off + 4 + block_size]
+        off += 4 + block_size
+        v_end = voffset(off)
+        ref_id, pos_ = struct.unpack_from("<ii", body, 0)
+        if ref_id < 0:
+            continue
+        rec = _parse_record(body)
+        end = max(rec.end_pos(), rec.pos + 1)
+        b = reg2bin(rec.pos, end)
+        per_ref[ref_id].setdefault(b, []).append((v_beg, v_end))
+        for w in range(rec.pos >> 14, ((end - 1) >> 14) + 1):
+            cur = linear[ref_id].get(w)
+            if cur is None or v_beg < cur:
+                linear[ref_id][w] = v_beg
+    out = [b"BAI\x01", struct.pack("<i", n_ref)]
+    for rid in range(n_ref):
+        bins = per_ref[rid]
+        out.append(struct.pack("<i", len(bins)))
+        for b, chunks in sorted(bins.items()):
+            # merge adjacent chunks
+            merged = []
+            for cb, ce in sorted(chunks):
+                if merged and cb <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+                else:
+                    merged.append((cb, ce))
+            out.append(struct.pack("<Ii", b, len(merged)))
+            for cb, ce in merged:
+                out.append(struct.pack("<QQ", cb, ce))
+        nv = (max(linear[rid]) + 1) if linear[rid] else 0
+        out.append(struct.pack("<i", nv))
+        last = 0
+        for w in range(nv):
+            last = linear[rid].get(w, last)
+            out.append(struct.pack("<Q", last))
+    open(bam_path + ".bai", "wb").write(b"".join(out))

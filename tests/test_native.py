@@ -139,3 +139,36 @@ def test_sais_matches_prefix_doubling():
     cases.append(np.array([3], np.uint8))
     for t in cases:
         np.testing.assert_array_equal(native.suffix_array(t), pd(t))
+
+
+def test_bai_indexed_fetch(tmp_path):
+    """BAI write/read + targeted region fetch (the htslib bam_index_load/
+    hts_itr analog, debruijn.cpp:1458-1462) must return exactly the records
+    the linear-scan reader returns."""
+    from genomicsbench_tpu.io.bam import (
+        BamFile, BamRecord, IndexedBam, read_bam, write_bai, write_bam,
+    )
+
+    rng = np.random.default_rng(4)
+    recs = []
+    for i in range(300):
+        pos = int(rng.integers(0, 200000))
+        ln = int(rng.integers(30, 150))
+        recs.append(BamRecord(
+            name=f"r{i}", flag=0, ref_id=0, pos=pos, mapq=50,
+            cigar=[("M", ln)], seq=rng.integers(0, 4, ln).astype(np.uint8),
+            qual=np.full(ln, 30, np.uint8),
+        ))
+    recs.sort(key=lambda r: r.pos)
+    bam = BamFile(header_text="@HD\tVN:1.6\n", ref_names=["chr1"],
+                  ref_lens=[300000], records=recs)
+    p = tmp_path / "big.bam"
+    write_bam(str(p), bam)
+    write_bai(str(p))
+    assert (tmp_path / "big.bam.bai").exists()
+    ib = IndexedBam(str(p))
+    lin = read_bam(str(p))
+    for (s, e) in ((0, 5000), (100000, 101000), (150000, 250000), (299000, 300000)):
+        want = sorted((r.name for r in lin.fetch("chr1", s, e)))
+        got = sorted((r.name for r in ib.fetch("chr1", s, e)))
+        assert got == want, (s, e, len(got), len(want))

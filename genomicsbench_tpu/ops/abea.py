@@ -380,14 +380,16 @@ def _abea_scan(
             best=best, best_ev=best_ev,
             band_idx=c["band_idx"] + 1,
         )
-        # 2-bit pack the trace row (values 0..2) along the band axis so the
-        # host fetch through the (slow, tunneled) PCIe path is 4x smaller
-        tp = (trace[:, 0::4] | (trace[:, 1::4] << 2)
-              | (trace[:, 2::4] << 4) | (trace[:, 3::4] << 6))
-        ys = (tp, jnp.where(live, bll_e, -1))
+        ys = (trace, jnp.where(live, bll_e, -1))
         return out, ys
 
-    final, (traces, bll_es) = jax.lax.scan(step, init, None, length=n_steps)
+    final, (traces_u8, bll_es) = jax.lax.scan(step, init, None, length=n_steps)
+    # 2-bit pack the traces ONCE after the scan (values 0..2; per-step
+    # strided lane slices inside the scan body were pure relayout overhead);
+    # the packed form keeps the host fetch through the tunnel 4x smaller.
+    t4 = traces_u8.reshape(n_steps, B, BW // 4, 4)
+    traces = (t4[..., 0] | (t4[..., 1] << 2) | (t4[..., 2] << 4)
+              | (t4[..., 3] << 6))
     return traces, bll_es, trace1, final["best"], final["best_ev"]
 
 

@@ -173,7 +173,7 @@ def cmd_kmer_cnt(args):
     """kmer-cnt --reads f --config cfg [--kmer k] (kmer_cnt.cpp:31-106)."""
     from genomicsbench_tpu.config import load_keyvalue_config
     from genomicsbench_tpu.io.seqio import load_fastx_batch
-    from genomicsbench_tpu.ops.kmer import count_kmers, minimizer_mask
+    from genomicsbench_tpu.ops.kmer import count_kmers_stats, minimizer_mask
 
     cfg = load_keyvalue_config(args.config) if args.config else {}
     k = args.kmer or int(cfg.get("kmer_size", 15))
@@ -190,9 +190,9 @@ def cmd_kmer_cnt(args):
         n = int(mask.sum())
         print(f"Kernel time: {_t() - t0:.3f} sec  minimizers: {n}", file=sys.stderr)
     else:
-        uniq, counts = count_kmers(batch.codes, batch.lengths, k)
-        print(f"Kernel time: {_t() - t0:.3f} sec  unique kmers: {len(uniq)}  "
-              f"total: {int(counts.sum())}", file=sys.stderr)
+        uniq, total = count_kmers_stats(batch.codes, batch.lengths, k)
+        print(f"Kernel time: {_t() - t0:.3f} sec  unique kmers: {uniq}  "
+              f"total: {total}", file=sys.stderr)
 
 
 # ------------------------------------------------------------------ pileup

@@ -534,3 +534,25 @@ def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
         positions=np.array(positions, np.int64),
         repetitive=repetitive, mean_frequency=float(mean_freq),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _count_stats_device(seq, lengths, *, k):
+    km, _ = _canonical_kmers(seq, lengths, k=k)
+    s = jnp.sort(km.reshape(-1))
+    valid = s != SENTINEL
+    n_total = jnp.sum(valid)
+    new_run = jnp.concatenate([s[:1] != SENTINEL,
+                               (s[1:] != s[:-1]) & valid[1:]])
+    return jnp.sum(new_run), n_total
+
+
+def count_kmers_stats(seq_codes: np.ndarray, lengths: np.ndarray, k: int):
+    """(unique, total) canonical k-mer counts with NOTHING but two scalars
+    leaving the device — the whole-table fetch in count_kmers dominates on
+    slow host links when only the summary is needed (the kmer-cnt binary
+    prints exactly this, kmer_cnt.cpp:243-248)."""
+    u, t = _count_stats_device(
+        jnp.asarray(seq_codes), jnp.asarray(np.asarray(lengths, np.int32)), k=k
+    )
+    return int(u), int(t)

@@ -287,3 +287,14 @@ class TestUnevenCoverageIndex:
         for i in range(len(idx.kmers)):
             seg = idx.positions[idx.offsets[i]:idx.offsets[i+1]]
             assert (np.diff(seg) >= 0).all()
+
+
+def test_count_stats_matches_full_count():
+    from genomicsbench_tpu.ops.kmer import count_kmers, count_kmers_stats
+
+    rng = np.random.default_rng(3)
+    seqs = rng.integers(0, 4, (16, 256)).astype(np.uint8)
+    lens = rng.integers(50, 256, 16).astype(np.int32)
+    uniq, counts = count_kmers(seqs, lens, 15)
+    u, t = count_kmers_stats(seqs, lens, 15)
+    assert u == len(uniq) and t == int(counts.sum())

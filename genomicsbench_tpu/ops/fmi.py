@@ -263,83 +263,6 @@ def _extend_lanes_run(
     return final
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
-def _extend_lanes(
-    C, table, sent_row,
-    query, qlen, start, min_intv, max_e, *, steps,
-):
-    """Forward-extend all lanes from their start positions until the
-    bi-interval size drops below min_intv (or read end / ambiguous base).
-
-    query (N, Lq) u8; qlen/start/min_intv (N,) int32.
-    Returns (e, k, l, s): end positions (exclusive) of the longest
-    surviving match and its bi-interval."""
-    N = query.shape[0]
-
-    def rank4(row):
-        return _rank4(table, row)
-
-    def back_ext(k, l, s):
-        """Backward extension by all bases: (N,) -> (N, 4) k/l/s."""
-        r_lo = rank4(k)
-        r_hi = rank4(k + s)
-        s_new = r_hi - r_lo
-        k_new = C[:4][None, :] + r_lo
-        sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
-        # l'[a] = l + sent + sum_{b > a} s'[b]  (bwa bwt_extend ordering)
-        l_new = jnp.zeros_like(s_new)
-        acc = l + sent_cnt
-        for c in (3, 2, 1, 0):
-            l_new = l_new.at[:, c].set(acc)
-            acc = acc + s_new[:, c]
-        return k_new, l_new, s_new
-
-    def fwd_ext_all(k, l, s):
-        """Forward extension by base c == backward extension of the reverse
-        interval with complement(c); columns come back reversed."""
-        k2, l2, s2 = back_ext(l, k, s)
-        return l2[:, ::-1], k2[:, ::-1], s2[:, ::-1]
-
-    base0 = jnp.take_along_axis(
-        query, jnp.clip(start, 0, query.shape[1] - 1)[:, None], axis=1
-    )[:, 0].astype(jnp.int32)
-    counts = (C[1:5] - C[:4]).astype(jnp.int32)
-    b0 = jnp.clip(base0, 0, 3)
-    k0 = jnp.take(C[:4], b0)
-    s0 = jnp.take(counts, b0)
-    l0 = jnp.take(C[:4], 3 - b0)
-    alive0 = (base0 < 4) & (start < qlen) & (start >= 0) & (s0 >= min_intv)
-
-    init = dict(
-        k=k0, l=l0, s=jnp.where(alive0, s0, 0),
-        e=jnp.where(alive0, start + 1, start),
-        alive=alive0,
-    )
-
-    def step(c, _):
-        pos = c["e"]
-        in_read = (pos < qlen) & (pos < max_e)
-        nb = jnp.take_along_axis(
-            query, jnp.clip(pos, 0, query.shape[1] - 1)[:, None], axis=1
-        )[:, 0].astype(jnp.int32)
-        can = c["alive"] & in_read & (nb < 4)
-        kf, lf, sf = fwd_ext_all(c["k"], c["l"], c["s"])
-        sel = jnp.clip(nb, 0, 3)[:, None]
-        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
-        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
-        ok = can & (s_n >= min_intv)
-        return dict(
-            k=jnp.where(ok, k_n, c["k"]),
-            l=jnp.where(ok, l_n, c["l"]),
-            s=jnp.where(ok, s_n, c["s"]),
-            e=jnp.where(ok, pos + 1, c["e"]),
-            alive=ok,
-        ), None
-
-    final, _ = jax.lax.scan(step, init, None, length=steps)
-    return final["e"], final["k"], final["l"], final["s"]
-
-
 # ---------------------------------------------------------------------------
 # SMEM assembly (the three passes)
 # ---------------------------------------------------------------------------

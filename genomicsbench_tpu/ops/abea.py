@@ -470,11 +470,15 @@ class AbeaResult:
 
 
 def align_batch(
-    sequences, event_means, model_mean, model_stdv, scalings,
+    sequences, event_means, model_mean, model_stdv, scalings, mesh=None,
 ) -> AbeaResult:
     """sequences: list of 0..3-coded arrays; event_means: list of f32
     arrays; scalings: (B, 2) [scale, shift].  Returns per-read aligned
-    (kmer, event) pairs after QC — align.c semantics."""
+    (kmer, event) pairs after QC — align.c semantics.
+
+    With `mesh`, the read batch shards over the mesh's "data" axis (the
+    pore model replicates) and both scans compile SPMD — the multi-chip
+    analog of f5c's batch dispatch.  B must be a multiple of the axis."""
     B = len(sequences)
     n_kmers = np.array([len(s) - KMER + 1 for s in sequences], np.int32)
     n_events = np.array([len(e) for e in event_means], np.int32)
@@ -497,11 +501,19 @@ def align_batch(
     model_log_stdv = np.log(model_stdv.astype(np.float64)).astype(np.float32)
     n_steps = int((n_events + n_kmers + 2).max()) - 2
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
+        put = lambda a: jax.device_put(jnp.asarray(a), shard)
+    else:
+        put = jnp.asarray
+
     dev_out = _abea_scan(
-        jnp.asarray(ranks), jnp.asarray(ev),
-        jnp.asarray(n_kmers), jnp.asarray(n_events),
-        jnp.asarray(scalings[:, 0].astype(np.float32)),
-        jnp.asarray(scalings[:, 1].astype(np.float32)),
+        put(ranks), put(ev),
+        put(n_kmers), put(n_events),
+        put(scalings[:, 0].astype(np.float32)),
+        put(scalings[:, 1].astype(np.float32)),
         jnp.asarray(model_mean.astype(np.float32)),
         jnp.asarray(model_stdv.astype(np.float32)),
         jnp.asarray(model_log_stdv),
@@ -513,9 +525,9 @@ def align_batch(
     max_steps = int((n_events + n_kmers).max()) + 2
     pairs_dev, sum_em, max_gap = _abea_backtrack_scan(
         traces_d, bll_es_d, trace1_d, best_d, best_ev_d,
-        jnp.asarray(ranks), jnp.asarray(ev), jnp.asarray(n_kmers),
-        jnp.asarray(scalings[:, 0].astype(np.float32)),
-        jnp.asarray(scalings[:, 1].astype(np.float32)),
+        put(ranks), put(ev), put(n_kmers),
+        put(scalings[:, 0].astype(np.float32)),
+        put(scalings[:, 1].astype(np.float32)),
         jnp.asarray(model_mean.astype(np.float32)),
         jnp.asarray(model_stdv.astype(np.float32)),
         jnp.asarray(np.log(model_stdv.astype(np.float64)).astype(np.float32)),

@@ -132,3 +132,22 @@ def chain_sharded(mesh: Mesh, calls, **kwargs):
         scores=out.scores[: len(calls)], parents=out.parents[: len(calls)],
         peak_scores=out.peak_scores[: len(calls)], n=out.n[: len(calls)],
     )
+
+
+def abea_sharded(mesh: Mesh, sequences, event_means, model_mean, model_stdv,
+                 scalings):
+    """Data-parallel ABEA over the mesh's "data" axis (reads shard, the
+    pore model replicates); same results as ops.abea.align_batch."""
+    from genomicsbench_tpu.ops import abea as ab
+
+    n_dev = mesh.shape["data"]
+    B = len(sequences)
+    scalings = np.asarray(scalings, np.float32)
+    if B % n_dev:
+        pad = n_dev - B % n_dev
+        sequences = list(sequences) + [sequences[-1]] * pad
+        event_means = list(event_means) + [event_means[-1]] * pad
+        scalings = np.concatenate([scalings, np.repeat(scalings[-1:], pad, 0)])
+    res = ab.align_batch(sequences, event_means, model_mean, model_stdv,
+                         scalings, mesh=mesh)
+    return ab.AbeaResult(pairs=res.pairs[:B], failed=res.failed[:B])

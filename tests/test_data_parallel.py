@@ -75,3 +75,24 @@ def test_chain_sharded_matches_single(mesh):
         n = int(want.n[r])
         np.testing.assert_array_equal(got.scores[r, :n], want.scores[r, :n])
         np.testing.assert_array_equal(got.parents[r, :n], want.parents[r, :n])
+
+
+def test_abea_sharded_matches_single(mesh):
+    from genomicsbench_tpu.ops.abea import align_batch, kmer_ranks, synthetic_model
+    from genomicsbench_tpu.parallel.data_parallel import abea_sharded
+
+    mm, ms = synthetic_model(seed=0)
+    rng = np.random.default_rng(4)
+    seqs, evs = [], []
+    for _ in range(5):  # not a multiple of 8
+        seq = rng.integers(0, 4, 260).astype(np.uint8)
+        lv = mm[kmer_ranks(seq)]
+        ev = (np.repeat(lv, 2) + rng.normal(0, 0.4, len(lv) * 2)).astype(np.float32)
+        seqs.append(seq)
+        evs.append(ev)
+    sc = np.tile(np.array([[1.0, 0.0]], np.float32), (5, 1))
+    want = align_batch(seqs, evs, mm, ms, sc)
+    got = abea_sharded(mesh, seqs, evs, mm, ms, sc)
+    assert got.failed == want.failed
+    for g, w in zip(got.pairs, want.pairs):
+        np.testing.assert_array_equal(g, w)

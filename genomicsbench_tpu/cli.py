@@ -293,15 +293,23 @@ def cmd_nn_base(args):
     sig = _load_signals(args.signals)
     names = list(sig.keys())
     t0 = _t()
-    seqs = basecall_signals(
-        params, [np.asarray(sig[n], np.float32) for n in names], cfg,
-        chunksize=args.chunksize, overlap=args.overlap,
-        beamsize=args.beamsize,
-    )
+    raws = [np.asarray(sig[n], np.float32) for n in names]
+    if args.beamsize <= 1:  # viterbi path emits real per-base qualities
+        from genomicsbench_tpu.models.basecaller import basecall_with_quals
+
+        pairs = basecall_with_quals(params, raws, cfg,
+                                    chunksize=args.chunksize,
+                                    overlap=args.overlap)
+        seqs = [s for s, _ in pairs]
+        quals = [q for _, q in pairs]
+    else:
+        seqs = basecall_signals(params, raws, cfg, chunksize=args.chunksize,
+                                overlap=args.overlap, beamsize=args.beamsize)
+        quals = ["I" * len(s) for s in seqs]
     dt = _t() - t0
     n_samples = sum(len(sig[n]) for n in names)
-    for n, s in zip(names, seqs):
-        print(f"@{n}\n{s}\n+\n{'I' * len(s)}")
+    for n, s, q in zip(names, seqs, quals):
+        print(f"@{n}\n{s}\n+\n{q}")
     print(f"> completed reads: {len(names)}", file=sys.stderr)
     print(f"> samples per second {n_samples / dt:.1E}", file=sys.stderr)
 

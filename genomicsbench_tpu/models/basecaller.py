@@ -425,3 +425,45 @@ def import_torch_state_dict(state, cfg: BasecallerConfig = None):
     if leftover:
         raise ValueError(f"{leftover} unconsumed tensors in state dict")
     return params
+
+
+def decode_with_quals(probs, qscale: float = 1.0, qbias: float = 0.0):
+    """Viterbi-style greedy decode with per-base phred qualities
+    (basecall.py:100-106 viterbi_search(qscores=True) semantics: emitted
+    base quality = phred of its posterior at the emitting frame, scaled
+    by qscale/qbias).  probs: (T, L) posteriors.  Returns (seq, qstring)."""
+    ids = np.argmax(probs, axis=-1)
+    prev = np.concatenate([[-1], ids[:-1]])
+    keep = (ids != 0) & (ids != prev)
+    frames = np.nonzero(keep)[0]
+    seq = "".join(CTC_LABELS[i] for i in ids[frames])
+    p = probs[frames, ids[frames]]
+    q = -10.0 * np.log10(np.clip(1.0 - p, 1e-5, 1.0)) * qscale + qbias
+    q = np.clip(q, 0, 60).astype(np.int32)
+    qstring = "".join(chr(33 + int(v)) for v in q)
+    return seq, qstring
+
+
+def basecall_with_quals(params, signals, cfg: BasecallerConfig = None,
+                        chunksize=6000, overlap=300, batch_size=64,
+                        normalize=True):
+    """Greedy basecalls + phred qstrings per read (the reference's
+    beamsize==1 / qscores path)."""
+    cfg = cfg or BasecallerConfig()
+    stride = model_stride(cfg)
+    out = []
+    for raw in signals:
+        sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
+        chunks = chunk_signal(sig, chunksize, overlap)
+        posts = []
+        for s in range(0, len(chunks), batch_size):
+            cb = chunks[s : s + batch_size]
+            bp = max(1, 1 << (len(cb) - 1).bit_length())
+            if bp != len(cb):
+                cb = np.concatenate([cb, np.zeros((bp - len(cb),) + cb.shape[1:], cb.dtype)])
+            lp = _forward_jit(params, jnp.asarray(cb), cfg=cfg, train=False)
+            posts.append(np.exp(np.asarray(lp[: len(chunks[s : s + batch_size])], np.float32)))
+        posts = np.concatenate(posts)
+        stitched = stitch_posteriors(posts, overlap // stride // 2)
+        out.append(decode_with_quals(stitched[: len(sig) // stride]))
+    return out

@@ -236,3 +236,17 @@ def test_cli_index_and_freq_merge(tmp_path, capsys):
     main(["freq-merge", str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")])
     out = capsys.readouterr().out
     assert "100\t100\t1\t4\t2\t0.500\tSEQ" in out
+
+
+def test_cli_nn_base_greedy_quals(tmp_path, capsys):
+    rng = np.random.default_rng(13)
+    np.savez(tmp_path / "sig.npz", r0=rng.normal(size=3000).astype(np.float32))
+    main(["nn-base", "--signals", str(tmp_path / "sig.npz"),
+          "--chunksize", "2000", "--overlap", "200", "--beamsize", "1"])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "@r0" and out[2] == "+"
+    assert len(out[3]) == len(out[1])            # qstring matches seq length
+    # real posterior-derived phred values (random-init model on noise gives
+    # uniform ~0.2 posteriors -> q ~ 1), not the beam path's 'I' filler
+    assert all(33 <= ord(c) <= 93 for c in out[3])
+    assert set(out[3]) != {"I"}

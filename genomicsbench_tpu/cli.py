@@ -585,8 +585,19 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
-    args.fn(args)
+    parser = build_parser()
+    parser.add_argument("--trace-dir", default=None,
+                        help="write a jax.profiler trace of the run "
+                             "(the vtune.pc.sh collection analog)")
+    args = parser.parse_args(argv)
+    if args.trace_dir:
+        import jax
+
+        with jax.profiler.trace(args.trace_dir):
+            args.fn(args)
+        print(f"[trace] written to {args.trace_dir}", file=sys.stderr)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

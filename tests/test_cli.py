@@ -250,3 +250,15 @@ def test_cli_nn_base_greedy_quals(tmp_path, capsys):
     # uniform ~0.2 posteriors -> q ~ 1), not the beam path's 'I' filler
     assert all(33 <= ord(c) <= 93 for c in out[3])
     assert set(out[3]) != {"I"}
+
+
+def test_cli_trace_flag(tmp_path, capsys):
+    from genomicsbench_tpu.io.plink import write_bed
+
+    rng = np.random.default_rng(14)
+    write_bed(str(tmp_path / "x"), rng.integers(0, 3, size=(20, 8)).astype(np.int8))
+    main(["--trace-dir", str(tmp_path / "trace"),
+          "grm", "--bfile", str(tmp_path / "x")])
+    err = capsys.readouterr().err
+    assert "[trace] written" in err
+    assert any((tmp_path / "trace").rglob("*"))

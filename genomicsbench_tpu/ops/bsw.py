@@ -9,7 +9,8 @@ TPU-first design (NOT a translation of the AVX2 kernel's 16-lane SoA loop):
 * Inter-pair parallelism across the batch dimension B (pairs-in-lanes, the
   same strategy the reference vector kernels use, but VPU-shaped: (B, Qp)
   int32 tiles with B a multiple of 8 and Qp a multiple of 128).
-* One `lax.scan` step per target row.  Within a row, the column dependency
+* Two target rows per `lax.scan` step (halves loop-carry HBM round
+  trips).  Within a row, the column dependency
   chain of the scalar loop is broken algebraically:
     -  E(i+1,c) = max(M(i,c) - oe_del, 0, E(i,c) - e_del)   -- elementwise
     -  F(i,c+1) = max(M(i,c) - oe_ins, 0, F(i,c) - e_ins)   -- a max-plus

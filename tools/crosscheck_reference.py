@@ -91,10 +91,78 @@ def crosscheck_chain(rng, n_reads=24):
     print(f"chain: {n_reads} fresh reads / {total} anchors bit-exact vs reference binary")
 
 
+
+
+def crosscheck_abea(rng, n_cases=16):
+    """Fresh ABEA alignments vs the compiled reference align() driver."""
+    from genomicsbench_tpu.ops.abea import align_batch, kmer_ranks, synthetic_model
+
+    mean, stdv = synthetic_model(0)
+    cases = []
+    for c in range(n_cases):
+        slen = int(rng.integers(60, 400))
+        seq = rng.integers(0, 4, slen).astype(np.uint8)
+        ranks = kmer_ranks(seq)
+        scale = float(rng.uniform(0.9, 1.1))
+        shift = float(rng.uniform(-5, 5))
+        evs = []
+        for r in ranks:
+            if rng.random() < 0.05:
+                continue
+            for _ in range(int(rng.integers(1, 4)) if rng.random() > 0.3 else 1):
+                evs.append(mean[r] * scale + shift + rng.normal(0, stdv[r] * 0.5))
+        if c % 5 == 4:
+            evs = rng.uniform(60, 140, len(evs))
+        cases.append((seq, np.array(evs, np.float32), scale, shift))
+
+    # run the reference driver on the same (truncated-precision) inputs it
+    # parses: round-trip everything through the text format so both sides
+    # see bit-identical float32 values
+    path = "/tmp/xc_abea.in"
+    with open(path, "w") as f:
+        f.write("align\n")
+        f.write(f"{len(cases)}\n")
+        for m, s in zip(mean, stdv):
+            f.write(f"{m:.6f} {s:.6f}\n")
+        for seq, evs, scale, shift in cases:
+            f.write(f"{len(seq)}\n")
+            f.write("".join("ACGT"[b] for b in seq) + "\n")
+            f.write(f"{len(evs)}\n")
+            for e in evs:
+                f.write(f"{e:.6f} 1.0\n")
+            f.write(f"{scale:.6f} {shift:.6f}\n")
+    out = subprocess.run([f"{REFBUILD}/abea_gold", path],
+                         capture_output=True, text=True, check=True).stdout
+    toks = out.split()
+    pos = 0
+    expected = []
+    for _ in cases:
+        m = int(toks[pos]); pos += 1
+        arr = np.array(toks[pos : pos + 2 * m], np.int64).reshape(m, 2)
+        pos += 2 * m
+        expected.append(arr)
+
+    mean_t = np.array([float(f"{m:.6f}") for m in mean], np.float32)
+    stdv_t = np.array([float(f"{s:.6f}") for s in stdv], np.float32)
+    seqs = [c[0] for c in cases]
+    evs = [np.array([float(f"{e:.6f}") for e in c[1]], np.float32) for c in cases]
+    scalings = np.array([[float(f"{c[2]:.6f}"), float(f"{c[3]:.6f}")] for c in cases],
+                        np.float32)
+    res = align_batch(seqs, evs, mean_t, stdv_t, scalings)
+    for b, exp in enumerate(expected):
+        got = res.pairs[b]
+        assert got.shape[0] == exp.shape[0] and (
+            got.shape[0] == 0 or np.array_equal(got, exp)), f"read {b}"
+    n_fail = sum(res.failed)
+    print(f"abea: {n_cases} fresh reads ({n_fail} QC-failed on both sides) "
+          f"bit-exact vs reference binary")
+
+
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
     print(f"seed = {seed}")
     rng = np.random.default_rng(seed)
     crosscheck_bsw(rng)
     crosscheck_chain(rng)
+    crosscheck_abea(rng)
     print("ALL CROSS-CHECKS PASSED")

@@ -280,6 +280,12 @@ def beam_search_decode(probs, beamsize=5, threshold=1e-3):
     long reads cannot underflow."""
     probs = np.asarray(probs)
     T, L = probs.shape
+    from genomicsbench_tpu import native
+
+    if native.available():  # C++ decoder (the fast_ctc_decode analog)
+        ids = native.ctc_beam_search(probs, beamsize, threshold)
+        if ids is not None:
+            return "".join(CTC_LABELS[int(s)] for s in ids)
     active = np.nonzero(probs[:, 1:].max(axis=1) >= threshold)[0]
     beams = {(): (1.0, 0.0)}  # prefix -> (p_blank, p_nonblank)
     prev_t = 0

@@ -168,3 +168,29 @@ def suffix_array(codes: np.ndarray, alphabet: int = 5) -> np.ndarray | None:
     if got != len(codes):
         raise ValueError(f"gb_sais failed ({got})")
     return out.astype(np.int64)
+
+
+def ctc_beam_search(probs: np.ndarray, beamsize: int = 5,
+                    threshold: float = 1e-3):
+    """Native CTC prefix beam search (gbingest.cpp gb_ctc_beam_search);
+    returns decoded class ids (1-based) or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_ctc_beam_search"):
+        return None
+    lib.gb_ctc_beam_search.restype = ctypes.c_int64
+    lib.gb_ctc_beam_search.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    probs = np.ascontiguousarray(probs, np.float32)
+    T, L = probs.shape
+    out = np.empty(T + 1, np.int32)
+    n = lib.gb_ctc_beam_search(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, L,
+        beamsize, threshold,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(out),
+    )
+    if n < 0:
+        raise ValueError("decoded sequence overflow")
+    return out[:n].copy()

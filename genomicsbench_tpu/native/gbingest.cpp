@@ -17,6 +17,7 @@
 #include <cstring>
 #include <algorithm>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 #include <zlib.h>
 
@@ -429,6 +430,106 @@ int64_t gb_sais(const uint8_t* s, int64_t n, int32_t K, int32_t* out) {
     // drop the sentinel suffix (always first)
     for (int64_t i = 0; i < n; i++) out[i] = sa[i + 1];
     return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CTC prefix beam search (the fast_ctc_decode analog the reference basecaller
+// links as a Rust extension — basecall.py:28).  Semantics mirror the Python
+// fallback in models/basecaller.py exactly: blank = class 0, sub-threshold
+// symbols skipped, blank-only frames collapsed, per-frame renormalization,
+// stable top-k (ties keep first-inserted candidate).
+// ---------------------------------------------------------------------------
+
+namespace {
+struct PrefixNode { int32_t parent; int32_t symbol; };
+}
+
+extern "C" {
+
+// probs: (T, L) row-major float32.  Writes <= out_cap symbols (1-based class
+// ids) to out_seq; returns the decoded length (or -1 on overflow).
+int64_t gb_ctc_beam_search(const float* probs, int64_t T, int32_t L,
+                           int32_t beamsize, float threshold,
+                           int32_t* out_seq, int64_t out_cap) {
+    std::vector<PrefixNode> tree;
+    tree.push_back({-1, -1});  // root = empty prefix
+    struct Beam { int32_t node; double pb, pnb; };
+    std::vector<Beam> beams{{0, 1.0, 0.0}};
+
+    struct Cand { int32_t node; double pb, pnb; };
+    std::vector<Cand> cands;
+    std::vector<std::pair<int64_t, int32_t>> edge_cache;  // (node, cand idx)
+    std::unordered_map<int64_t, int32_t> children;        // (node<<8|sym) -> node
+
+    bool pending_blank_run = false;
+    for (int64_t t = 0; t < T; t++) {
+        const float* row = probs + t * L;
+        float max_sym = 0.0f;
+        for (int32_t s = 1; s < L; s++) max_sym = std::max(max_sym, row[s]);
+        if (max_sym < threshold) { pending_blank_run = true; continue; }
+        if (pending_blank_run) {
+            for (auto& b : beams) { b.pb = b.pb + b.pnb; b.pnb = 0.0; }
+            pending_blank_run = false;
+        }
+
+        cands.clear();
+        edge_cache.clear();
+        auto add = [&](int32_t node, double pb, double pnb) {
+            for (auto& ec : edge_cache) {
+                if (ec.first == node) { cands[ec.second].pb += pb; cands[ec.second].pnb += pnb; return; }
+            }
+            edge_cache.push_back({node, (int32_t)cands.size()});
+            cands.push_back({node, pb, pnb});
+        };
+        auto child = [&](int32_t node, int32_t sym) -> int32_t {
+            int64_t key = ((int64_t)node << 8) | sym;
+            auto it = children.find(key);
+            if (it != children.end()) return it->second;
+            tree.push_back({node, sym});
+            int32_t id = (int32_t)tree.size() - 1;
+            children.emplace(key, id);
+            return id;
+        };
+
+        for (auto& b : beams) {
+            double p_tot = b.pb + b.pnb;
+            add(b.node, (double)row[0] * p_tot, 0.0);  // blank
+            int32_t last = tree[b.node].symbol;
+            for (int32_t s = 1; s < L; s++) {
+                double p = row[s];
+                if (p < threshold) continue;
+                if (last == s) {
+                    add(b.node, 0.0, p * b.pnb);             // repeat absorbed
+                    add(child(b.node, s), 0.0, p * b.pb);    // new copy after blank
+                } else {
+                    add(child(b.node, s), 0.0, p * p_tot);
+                }
+            }
+        }
+        std::stable_sort(cands.begin(), cands.end(),
+                         [](const Cand& a, const Cand& b)
+                         { return a.pb + a.pnb > b.pb + b.pnb; });
+        size_t k = std::min((size_t)beamsize, cands.size());
+        double norm = 1.0 / std::max(cands[0].pb + cands[0].pnb, 1e-300);
+        beams.clear();
+        for (size_t i = 0; i < k; i++)
+            beams.push_back({cands[i].node, cands[i].pb * norm, cands[i].pnb * norm});
+    }
+
+    // best beam
+    const Beam* best = &beams[0];
+    for (auto& b : beams)
+        if (b.pb + b.pnb > best->pb + best->pnb) best = &b;
+    // walk prefix backwards
+    std::vector<int32_t> rev;
+    for (int32_t n = best->node; n > 0; n = tree[n].parent)
+        rev.push_back(tree[n].symbol);
+    if ((int64_t)rev.size() > out_cap) return -1;
+    for (size_t i = 0; i < rev.size(); i++)
+        out_seq[i] = rev[rev.size() - 1 - i];
+    return (int64_t)rev.size();
 }
 
 }  // extern "C"

@@ -172,3 +172,29 @@ def test_bai_indexed_fetch(tmp_path):
         want = sorted((r.name for r in lin.fetch("chr1", s, e)))
         got = sorted((r.name for r in ib.fetch("chr1", s, e)))
         assert got == want, (s, e, len(got), len(want))
+
+
+def test_ctc_beam_search_matches_python():
+    """gb_ctc_beam_search vs the pure-Python prefix beam search: identical
+    decodes across random posterior streams."""
+    import genomicsbench_tpu.models.basecaller as bc
+
+    rng = np.random.default_rng(8)
+    for trial in range(6):
+        T = int(rng.integers(20, 400))
+        logits = rng.normal(0, 2 if trial % 2 else 0.5, (T, 5))
+        probs = np.exp(logits)
+        probs /= probs.sum(1, keepdims=True)
+        if trial >= 4:  # blank-dominated stream (the nanopore regime)
+            probs[:, 0] += 5.0
+            probs /= probs.sum(1, keepdims=True)
+        got_ids = native.ctc_beam_search(probs.astype(np.float32), 5, 1e-3)
+        got = "".join(bc.CTC_LABELS[int(s)] for s in got_ids)
+        # python reference path (bypass the native shortcut)
+        avail = native.available
+        native.available = lambda: False
+        try:
+            want = bc.beam_search_decode(probs.astype(np.float32), 5, 1e-3)
+        finally:
+            native.available = avail
+        assert got == want, trial

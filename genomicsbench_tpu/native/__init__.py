@@ -194,3 +194,38 @@ def ctc_beam_search(probs: np.ndarray, beamsize: int = 5,
     if n < 0:
         raise ValueError("decoded sequence overflow")
     return out[:n].copy()
+
+
+def pairhmm_f64(cases):
+    """Native float64 pair-HMM forward batch (gbingest.cpp gb_pairhmm_f64);
+    cases = [(read, hap, q, i, d, c)].  Returns scaled probabilities or
+    None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_pairhmm_f64"):
+        return None
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gb_pairhmm_f64.restype = ctypes.c_int64
+    lib.gb_pairhmm_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), c_i64p, c_i64p,
+        ctypes.POINTER(ctypes.c_uint8), c_i64p, c_i64p,
+        c_i64p, c_i64p, c_i64p, c_i64p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+    ]
+    n = len(cases)
+    r_len = np.array([len(c[0]) for c in cases], np.int64)
+    h_len = np.array([len(c[1]) for c in cases], np.int64)
+    r_off = np.concatenate([[0], np.cumsum(r_len)])[:-1]
+    h_off = np.concatenate([[0], np.cumsum(h_len)])[:-1]
+    reads = np.concatenate([np.asarray(c[0], np.uint8) for c in cases])
+    haps = np.concatenate([np.asarray(c[1], np.uint8) for c in cases])
+    qs = np.concatenate([np.asarray(c[2], np.int64) for c in cases])
+    is_ = np.concatenate([np.asarray(c[3], np.int64) for c in cases])
+    ds = np.concatenate([np.asarray(c[4], np.int64) for c in cases])
+    cs = np.concatenate([np.asarray(c[5], np.int64) for c in cases])
+    out = np.empty(n, np.float64)
+    ip = lambda a: a.ctypes.data_as(c_i64p)
+    lib.gb_pairhmm_f64(_u8p(reads), ip(r_off.astype(np.int64)), ip(r_len),
+                       _u8p(haps), ip(h_off.astype(np.int64)), ip(h_len),
+                       ip(qs), ip(is_), ip(ds), ip(cs), n,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out

@@ -14,6 +14,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC gbingest.cpp -o libgbingest.so -lz -pthread
 
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <algorithm>
 #include <thread>
@@ -530,6 +531,69 @@ int64_t gb_ctc_beam_search(const float* probs, int64_t T, int32_t L,
     for (size_t i = 0; i < rev.size(); i++)
         out_seq[i] = rev[rev.size() - 1 - i];
     return (int64_t)rev.size();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// pair-HMM float64 forward (the GKL double-precision fallback kernel the
+// reference calls when the float32 pass underflows — computelikelihoodsboth,
+// pairhmm_common.h:16).  Identical op order to the scalar recurrence in
+// oracle/pairhmm.py (dtype=float64, naive Y loop): bitwise-reproducible.
+// One call scores a whole batch of (read, hap) pairs.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// reads/haps are flattened with offsets; q/i/d/c are per-read quals.
+// out[p] = scaled forward probability (caller applies log10 and the 2^-1020
+// descale).  Returns 0.
+int64_t gb_pairhmm_f64(
+    const uint8_t* reads, const int64_t* r_off, const int64_t* r_len,
+    const uint8_t* haps, const int64_t* h_off, const int64_t* h_len,
+    const int64_t* q, const int64_t* qi, const int64_t* qd, const int64_t* qc,
+    int64_t n_pairs, double* out) {
+    // ph2pr table
+    double ph2pr[128];
+    for (int i = 0; i < 128; i++) ph2pr[i] = pow(10.0, -i / 10.0);
+    const double INIT = ldexp(1.0, 1020);
+
+    std::vector<double> M0, X0, Y0, M1, X1, Y1;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        const uint8_t* rd = reads + r_off[p];
+        const uint8_t* hp = haps + h_off[p];
+        const int64_t* qq = q + r_off[p];
+        const int64_t* ii = qi + r_off[p];
+        const int64_t* dd = qd + r_off[p];
+        const int64_t* cc = qc + r_off[p];
+        int64_t R = r_len[p], H = h_len[p];
+        double init_y = INIT / (double)H;
+        M0.assign(H + 1, 0.0); X0.assign(H + 1, 0.0); Y0.assign(H + 1, init_y);
+        M1.assign(H + 1, 0.0); X1.assign(H + 1, 0.0); Y1.assign(H + 1, 0.0);
+        double* Mp = M0.data(); double* Xp = X0.data(); double* Yp = Y0.data();
+        double* Mc = M1.data(); double* Xc = X1.data(); double* Yc = Y1.data();
+        for (int64_t i = 1; i <= R; i++) {
+            double t_mm = 1.0 - std::min(1.0, ph2pr[ii[i-1]] + ph2pr[dd[i-1]]);
+            double t_gapm = 1.0 - ph2pr[cc[i-1]];
+            double t_mx = ph2pr[ii[i-1]], t_xx = ph2pr[cc[i-1]];
+            double t_my = ph2pr[dd[i-1]], t_yy = ph2pr[cc[i-1]];
+            double qp = ph2pr[qq[i-1]];
+            uint8_t rb = rd[i-1];
+            Mc[0] = 0.0; Xc[0] = 0.0; Yc[0] = 0.0;
+            for (int64_t j = 1; j <= H; j++) {
+                bool is_match = rb == hp[j-1] || rb == 4 || hp[j-1] == 4;
+                double prior = is_match ? 1.0 - qp : qp / 3.0;
+                Mc[j] = prior * (t_mm * Mp[j-1] + t_gapm * (Xp[j-1] + Yp[j-1]));
+                Xc[j] = t_mx * Mp[j] + t_xx * Xp[j];
+                Yc[j] = t_my * Mc[j-1] + t_yy * Yc[j-1];
+            }
+            std::swap(Mp, Mc); std::swap(Xp, Xc); std::swap(Yp, Yc);
+        }
+        double fin = 0.0;
+        for (int64_t j = 1; j <= H; j++) fin += Mp[j] + Xp[j];
+        out[p] = fin;
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -141,6 +141,13 @@ def pairhmm_forward_scaled_many(testcases, dtype=np.float64):
     results bit-for-bit (same op order per pair).
     """
     dtype = np.dtype(dtype)
+    if dtype == np.float64:
+        from genomicsbench_tpu import native
+
+        if native.available():  # C++ batch (identical op order, see gbingest)
+            got = native.pairhmm_f64(testcases)
+            if got is not None:
+                return got
     ph2pr = _PH2PR_F32 if dtype == np.float32 else _PH2PR_F64
     E = 120 if dtype == np.float32 else 1020
     P = len(testcases)

@@ -73,10 +73,21 @@ def cmd_fmi(args):
             out.append((s, p1, p2, p3))
     dt = _t() - t0
     if args.print_output:
+        # reference format (fmi.cpp:312-344): per batch, SMEMs sorted
+        # (sortSMEMs), "rid:" headers, then "[m,n+1]" lines
+        prev_rid = -1
         for s0, *passes in out:
-            for smems in passes:
-                for rid, m, n in zip(smems.rid, smems.m, smems.n):
-                    print(f"{s0 + rid}: [{m}, {n + 1}]")
+            rows = sorted(
+                (s0 + int(r), int(m), int(n))
+                for smems in passes
+                for r, m, n in zip(smems.rid, smems.m, smems.n)
+            )
+            for rid, m, n in rows:
+                if rid != prev_rid:
+                    for j in range(prev_rid + 1, rid + 1):
+                        print(f"{j}:")
+                    prev_rid = rid
+                print(f"[{m},{n + 1}]")
     print(f"Consumed: {dt:.2f} sec, totalSmem: {total}", file=sys.stderr)
 
 

@@ -114,7 +114,9 @@ def test_cli_fmi(tmp_path, capsys):
     main(["fmi", str(f), str(q), "2", "19", "--print-output"])
     out = capsys.readouterr()
     assert "totalSmem" in out.err
-    assert len(out.out.strip().splitlines()) >= 2
+    lines = out.out.strip().splitlines()
+    assert lines[0] == "0:"           # reference header format (fmi.cpp:322-325)
+    assert any(l.startswith("[") and "," in l for l in lines)
 
 
 def test_cli_grm(tmp_path, capsys):

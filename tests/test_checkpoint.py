@@ -39,3 +39,34 @@ def test_resume_continues_training(tmp_path):
     p2, o2, l2 = step(back["params"], back["opt_state"],
                       jnp.asarray(x), jnp.asarray(labels))
     assert np.isfinite(float(l2))
+
+
+def test_basecaller_ctc_training_converges():
+    """The CTC train step (models/train.py) must reduce loss on a tiny
+    synthetic signal->label task (single-device mesh)."""
+    import jax.numpy as jnp
+
+    from genomicsbench_tpu.models.train import make_train_step, place_params
+    from genomicsbench_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(jax.devices()[:1])
+    cfg = bc.BasecallerConfig.tiny()
+    init, step = make_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    B, L = 8, 16
+    labels = rng.integers(1, 5, size=(B, L)).astype(np.int32)
+    # signal = labels upsampled 48x (model stride 3 -> 16 frames/label) + noise
+    sig = np.repeat(labels.astype(np.float32) - 2.5, 48, axis=1)
+    sig += rng.normal(0, 0.1, sig.shape)
+    label_lens = np.full((B,), L, np.int32)
+    with mesh:
+        params, opt = init(jax.random.key(0), jnp.asarray(sig, jnp.float32))
+        params, opt = place_params(params, opt, mesh)
+        s, l, ll = shard_batch(mesh, (jnp.asarray(sig, jnp.float32),
+                                      jnp.asarray(labels), jnp.asarray(label_lens)))
+        losses = []
+        for _ in range(12):
+            params, opt, loss = step(params, opt, s, l, ll)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses

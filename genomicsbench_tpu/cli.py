@@ -102,16 +102,24 @@ def cmd_bsw(args):
         match=args.match, mismatch=-abs(args.mismatch),
         o_del=args.gapo, e_del=args.gape, o_ins=args.gapo, e_ins=args.gape,
     )
+    from genomicsbench_tpu.ops.bsw import BswScorer
+
     batch = load_pairs(args.pairs)
+    scorer = BswScorer(batch, params, batch_size=args.batch_size)
     t0 = _t()
-    res = banded_sw_pairs(batch, params, batch_size=args.batch_size)
+    res = scorer.score()
     dt = _t() - t0
     if args.print_output:
         for i in range(len(res.score)):
             print(*res.row(i))
     cells = int((batch.qlen.astype(np.int64) * batch.tlen).sum())
+    rep = scorer.padding_report()
     print(f"Overall SW cycles(sec): {dt:.4f}  pairs: {len(res.score)} "
           f"cells/s: {cells / dt:.3e}", file=sys.stderr)
+    # load-imbalance analog (main_banded.cpp:310-318): padding efficiency
+    print(f"bucket padding efficiency: {rep['efficiency']:.2f} "
+          f"({rep['logical_cells']} / {rep['padded_cells']} cells)",
+          file=sys.stderr)
 
 
 # -------------------------------------------------------------------- phmm

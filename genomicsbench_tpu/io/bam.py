@@ -197,32 +197,8 @@ def read_bam(path: str) -> BamFile:
     n = len(raw)
     while off < n:
         block_size = struct.unpack_from("<i", raw, off)[0]
-        body = raw[off + 4 : off + 4 + block_size]
+        records.append(_parse_record(raw[off + 4 : off + 4 + block_size]))
         off += 4 + block_size
-        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np, _tl) = (
-            struct.unpack_from("<iiBBHHHiiii", body, 0)
-        )
-        p = 32
-        name = body[p : p + l_rn - 1].decode()
-        p += l_rn
-        cig = []
-        for i in range(n_cig):
-            v = struct.unpack_from("<I", body, p + 4 * i)[0]
-            cig.append((CIGAR_OPS[v & 15], v >> 4))
-        p += 4 * n_cig
-        nseq = (l_seq + 1) // 2
-        packed = np.frombuffer(body[p : p + nseq], dtype=np.uint8)
-        codes = np.empty(nseq * 2, np.uint8)
-        codes[0::2] = NIB_TO_CODE[packed >> 4]
-        codes[1::2] = NIB_TO_CODE[packed & 15]
-        seq = codes[:l_seq].copy()
-        p += nseq
-        qual = np.frombuffer(body[p : p + l_seq], dtype=np.uint8).copy()
-        p += l_seq
-        records.append(BamRecord(
-            name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
-            cigar=cig, seq=seq, qual=qual, tags=bytes(body[p:]),
-        ))
     return BamFile(header_text=text, ref_names=names, ref_lens=lens, records=records)
 
 

@@ -278,6 +278,8 @@ class BswScorer:
             idx[: b.n_real] = b.indices
             idx[b.n_real :] = b.indices[-1] if b.n_real else 0
             idx_list.append(idx)
+        self._qlen_h = np.asarray(batch.qlen)
+        self._tlen_h = np.asarray(batch.tlen)
         w_eff_all = _compute_w_eff(batch.qlen, params)
         # One bulk host->device transfer for the whole workload; buckets
         # gather their rows on-device (per-bucket H2D round-trips and
@@ -288,6 +290,21 @@ class BswScorer:
               batch.h0.astype(np.int32), w_eff_all),
              tuple(idx_list))
         )
+
+    def padding_report(self):
+        """The reference prints per-thread workTicks + load imbalance
+        (main_banded.cpp:290-318); the TPU analog is bucket padding
+        efficiency: logical DP cells / padded (computed) cells."""
+        ql = self._qlen_h.astype(np.int64)
+        tl = self._tlen_h.astype(np.int64)
+        logical = padded = 0
+        for b in self.buckets:
+            T, Q = b.pad_sizes
+            lanes = -(-(Q + 1) // 128) * 128
+            padded += len(b.indices) * T * lanes
+            logical += int((ql[b.indices] * tl[b.indices]).sum())
+        return dict(logical_cells=int(logical), padded_cells=int(padded),
+                    efficiency=logical / padded if padded else 1.0)
 
     def score(self) -> BswBatchResult:
         p = self.params

@@ -40,12 +40,17 @@ def _grm_block(geno_block, maf_ok, acc_num, acc_den):
     x = (g - 2.0 * p[:, None]) / denom[:, None]
     use = (maf_ok & (n_obs > 0))[:, None].astype(jnp.float32)
     x = x * use * obs
+    # HIGHEST precision: the TPU MXU defaults to bf16 passes, which costs
+    # ~1e-3 absolute error — too coarse for GRM entries (plink computes in
+    # double).  HIGHEST uses 6-pass f32 on the MXU.
     acc_num = acc_num + jnp.dot(
-        x.T, x, preferred_element_type=jnp.float32
+        x.T, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     w = obs * use
     acc_den = acc_den + jnp.dot(
-        w.T, w, preferred_element_type=jnp.float32
+        w.T, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return acc_num, acc_den
 

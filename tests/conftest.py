@@ -8,17 +8,22 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 
 # Force-override: the machine image pins JAX_PLATFORMS=axon (real TPU) via
-# sitecustomize; tests must run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# sitecustomize; tests run on the virtual CPU mesh by default.  Set
+# GENOMICSBENCH_TEST_TPU=1 to run the suite on the real chip instead
+# (multi-device sharding tests then see a 1-device mesh).
+_ON_TPU = bool(os.environ.get("GENOMICSBENCH_TEST_TPU"))
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -112,3 +112,37 @@ def test_methylation_frequency_aggregation():
     assert rec["called_sites"] == 3
     assert rec["called_sites_methylated"] == 2
     assert rec["methylated_frequency"] == pytest.approx(2 / 3)
+
+
+def test_call_methylation_reversed_event_order():
+    """rc reads map events in DESCENDING order (event_stride=-1,
+    hmm.c:318-332): find_event_bounds yields e1 > e2 and the caller must
+    feed the HMM the stride-reversed event rows."""
+    model_mean, model_stdv = me.synthetic_cpg_model()
+    rng = np.random.default_rng(5)
+    left = "".join(rng.choice(list("ACT"), 25))
+    right = "".join(rng.choice(list("ACT"), 25))
+    ref = left + "CG" + right
+    seq = me.methylate(ref)
+    ranks = me.meth_kmer_ranks(seq, seq, rc=False)
+    ev_fwd = (model_mean[ranks] + rng.normal(0, 0.4, len(ranks))).astype(np.float32)
+    # store events in REVERSED order; alignment maps ref pos k -> event n-1-k
+    ev_store = ev_fwd[::-1].copy()
+    n = len(ranks)
+    aln_ref = np.arange(n)
+    aln_ev = (n - 1) - np.arange(n)
+    sites = me.call_methylation_for_read(
+        ref, 0, aln_ref, aln_ev, ev_store, (1.0, 0.0, 1.0),
+        model_mean, model_stdv, events_per_base=1.1,
+    )
+    assert sites, "no sites scored on the reversed-order path"
+    ss = list(sites.values())[0]
+    assert ss.ll_ratio > 3  # methylated read -> positive ratio
+
+    # same call with forward order must agree (same event set)
+    sites_f = me.call_methylation_for_read(
+        ref, 0, aln_ref, np.arange(n), ev_fwd, (1.0, 0.0, 1.0),
+        model_mean, model_stdv, events_per_base=1.1,
+    )
+    f = list(sites_f.values())[0]
+    assert abs(f.ll_ratio - ss.ll_ratio) < 1e-3

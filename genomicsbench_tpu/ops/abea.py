@@ -20,9 +20,22 @@ Alignment (device), TPU-first:
   windows are carried state updated with one-element gathers, never
   per-band (B, W) gathers.
 * The best (event, last-kmer) cell search (align.c:418-434) folds into the
-  scan; trace bits and band corners stream out for the host backtrace
-  (align.c:443-511) and QC gates (min_average_log_emission, spanned,
+  scan; trace bits and band corners stream out 2-bit packed for the
+  ON-DEVICE backtrace scan (align.c:443-511 semantics, Kahan-compensated
+  emission sums) and QC gates (min_average_log_emission, spanned,
   max_gap, align.c:514-532).
+
+Why there is no Pallas variant of this kernel (design note): a Pallas
+port mirroring align.cu's shared-memory 3-band buffer would put the band
+on sublanes and reads on lanes to make the +-1 band shifts cheap sublane
+rolls — but the adaptive steering gives every READ its own band corner,
+so refreshing the carried event/model windows needs a per-LANE gather
+with per-lane row indices.  XLA lowers that as a real gather; inside a
+Mosaic kernel the only equivalent is a one-hot masked reduce over the
+whole (read_len, lanes) table per band step, ~60x the band's compute.
+The lax.scan formulation therefore IS the TPU-shaped implementation, and
+the wins here came from eliminating host round-trips instead (on-device
+backtrack, packed trace fetch: 13x end-to-end).
 """
 
 from __future__ import annotations

@@ -229,3 +229,29 @@ def pairhmm_f64(cases):
                        ip(qs), ip(is_), ip(ds), ip(cs), n,
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def peak_detector(t1: np.ndarray, t2: np.ndarray, w1: int, w2: int,
+                  th1: float, th2: float, peak_height: float):
+    """Native scrappie peak state machine; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_peak_detector"):
+        return None
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    lib.gb_peak_detector.restype = ctypes.c_int64
+    lib.gb_peak_detector.argtypes = [
+        c_f32p, c_f32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    t1 = np.ascontiguousarray(t1, np.float32)
+    t2 = np.ascontiguousarray(t2, np.float32)
+    out = np.empty(len(t1) + 1, np.int64)
+    n = lib.gb_peak_detector(
+        t1.ctypes.data_as(c_f32p), t2.ctypes.data_as(c_f32p), len(t1),
+        w1, w2, th1, th2, peak_height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(out),
+    )
+    if n < 0:
+        raise ValueError("peak buffer overflow")
+    return out[:n].tolist()

@@ -148,24 +148,32 @@ def detect_events(raw: np.ndarray,
     np.cumsum((raw * raw).astype(np.float64), out=sumsqs[1:])
     t1 = compute_tstat(sums, sumsqs, n, window_length1)
     t2 = compute_tstat(sums, sumsqs, n, window_length2)
-    peaks = _peak_detector(t1, t2, dict(
-        window_length1=window_length1, window_length2=window_length2,
-        threshold1=np.float32(threshold1), threshold2=np.float32(threshold2),
-        peak_height=peak_height,
-    ))
-    # create_events (events.c:469-503): boundaries 0, peaks..., n
-    bounds = [0] + [p for p in peaks if 0 < p < n] + [n]
-    starts, lengths, means, stdvs = [], [], [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        ln = np.float32(e - s)
-        mean = np.float32((sums[e] - sums[s])) / ln
-        var = np.float32(sumsqs[e] - sumsqs[s]) / ln - mean * mean
-        starts.append(s)
-        lengths.append(float(ln))
-        means.append(np.float32(mean))
-        stdvs.append(np.float32(np.sqrt(max(var, np.float32(0.0)))))
-    return (np.array(starts, np.int64), np.array(lengths, np.float32),
-            np.array(means, np.float32), np.array(stdvs, np.float32))
+    from genomicsbench_tpu import native
+
+    peaks = None
+    if native.available():  # C++ state machine (exact float32 semantics)
+        peaks = native.peak_detector(
+            t1, t2, window_length1, window_length2,
+            float(np.float32(threshold1)), float(np.float32(threshold2)),
+            float(np.float32(peak_height)),
+        )
+    if peaks is None:
+        peaks = _peak_detector(t1, t2, dict(
+            window_length1=window_length1, window_length2=window_length2,
+            threshold1=np.float32(threshold1), threshold2=np.float32(threshold2),
+            peak_height=peak_height,
+        ))
+    # create_events (events.c:469-503): boundaries 0, peaks..., n —
+    # vectorized (same per-element float32 op order as the scalar loop)
+    pk = np.asarray([p for p in peaks if 0 < p < n], np.int64)
+    bounds = np.concatenate([[0], pk, [n]])
+    s, e = bounds[:-1], bounds[1:]
+    ln = (e - s).astype(np.float32)
+    mean = (sums[e] - sums[s]).astype(np.float32) / ln
+    var = (sumsqs[e] - sumsqs[s]).astype(np.float32) / ln - mean * mean
+    stdv = np.sqrt(np.maximum(var, np.float32(0.0)))
+    return (s.astype(np.int64), ln.astype(np.float32),
+            mean.astype(np.float32), stdv.astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

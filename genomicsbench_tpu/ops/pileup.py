@@ -51,24 +51,30 @@ class PileupResult:
 
 
 def _read_events(rec, start, end, num_homop):
-    """Per-read pileup observations: (pos, minor_j, feature, qual, qidx)
-    with qidx = query index of the base (-1 for deletions), the
-    p->qpos + indel the Weibull path reads its WL/WK values at."""
-    out = []
+    """Per-read pileup observations as ARRAYS (pos, minor_j, feature, qual,
+    qidx), qidx = query index (-1 for deletions) — the p->qpos + indel the
+    Weibull path reads its WL/WK values at.  Vectorized per CIGAR op (the
+    per-base Python walk dominated large regions)."""
+    ps, js, fs, qs, qx = [], [], [], [], []
     rp = rec.pos
     qp = 0
     rev = rec.is_reverse
-    prev_aligned = False  # previous op placed an aligned (non-del) base
+    has_q = len(rec.qual) > 0
+    prev_aligned = False
     for op, ln in rec.cigar:
         if op in "M=X":
-            for t in range(ln):
-                pos = rp + t
-                if start <= pos < end:
-                    base = int(rec.seq[qp + t])
-                    if base <= 3:
-                        f = (base + 4) if not rev else base
-                        q = int(rec.qual[qp + t]) if len(rec.qual) else 0
-                        out.append((pos, 0, f, q, qp + t))
+            pos = np.arange(rp, rp + ln)
+            sel = (pos >= start) & (pos < end)
+            base = rec.seq[qp : qp + ln]
+            sel &= base <= 3
+            if sel.any():
+                idx = np.nonzero(sel)[0]
+                ps.append(pos[idx])
+                js.append(np.zeros(len(idx), np.int64))
+                fs.append(base[idx].astype(np.int64) + (0 if rev else 4))
+                qs.append(rec.qual[qp + idx].astype(np.int64) if has_q
+                          else np.zeros(len(idx), np.int64))
+                qx.append(qp + idx)
             rp += ln
             qp += ln
             prev_aligned = True
@@ -78,19 +84,29 @@ def _read_events(rec, start, end, num_homop):
             # counting loop only follows them from non-deletion anchors
             # (medaka_counts.c:417-424 is_del branch drops p->indel)
             if prev_aligned and start <= anchor < end and anchor >= rec.pos:
-                for j in range(1, ln + 1):
-                    base = int(rec.seq[qp + j - 1])
-                    if base <= 3:
-                        f = (base + 4) if not rev else base
-                        q = int(rec.qual[qp + j - 1]) if len(rec.qual) else 0
-                        out.append((anchor, j, f, q, qp + j - 1))
-        # an insertion does not change what the "previous" aligned op was
+                base = rec.seq[qp : qp + ln]
+                sel = base <= 3
+                if sel.any():
+                    idx = np.nonzero(sel)[0]
+                    ps.append(np.full(len(idx), anchor, np.int64))
+                    js.append(idx + 1)
+                    fs.append(base[idx].astype(np.int64) + (0 if rev else 4))
+                    qs.append(rec.qual[qp + idx].astype(np.int64) if has_q
+                              else np.zeros(len(idx), np.int64))
+                    qx.append(qp + idx)
+            # an insertion does not change what the "previous" aligned op was
             qp += ln
         elif op == "D":
-            for t in range(ln):
-                pos = rp + t
-                if start <= pos < end:
-                    out.append((pos, 0, FWD_DEL if not rev else REV_DEL, 0, -1))
+            pos = np.arange(rp, rp + ln)
+            sel = (pos >= start) & (pos < end)
+            if sel.any():
+                idx = np.nonzero(sel)[0]
+                ps.append(pos[idx])
+                js.append(np.zeros(len(idx), np.int64))
+                fs.append(np.full(len(idx), FWD_DEL if not rev else REV_DEL,
+                                  np.int64))
+                qs.append(np.zeros(len(idx), np.int64))
+                qx.append(np.full(len(idx), -1, np.int64))
             rp += ln
             prev_aligned = False
         elif op == "N":
@@ -99,7 +115,11 @@ def _read_events(rec, start, end, num_homop):
         elif op == "S":
             qp += ln
         # H/P consume nothing
-    return out
+    if not ps:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z
+    return (np.concatenate(ps), np.concatenate(js), np.concatenate(fs),
+            np.concatenate(qs), np.concatenate(qx))
 
 
 def _weibull_fractions(scale, shape, num_homop):
@@ -128,7 +148,7 @@ def pileup_counts(
     start, end = int(s) - 1, int(e)
 
     plane = FEATLEN * num_dtypes * num_homop
-    covered = {}
+    covered_arr = np.zeros(max(end - start, 0), bool)
     events = []
     wb_events = []  # (pos, j, base_feature_index, fractions)
     for rec in bam.fetch(chrom, start, end):
@@ -137,53 +157,67 @@ def pileup_counts(
         dtype = dtype_of(rec) if dtype_of else 0
         wl = rec.get_array_tag("WL") if weibull_summation else None
         wk = rec.get_array_tag("WK") if weibull_summation else None
-        for pos, j, feat, q, qidx in _read_events(rec, start, end, num_homop):
-            if weibull_summation and feat < 8 and qidx >= 0:
-                base_idx = feat + FEATLEN * num_homop * dtype
-                if wl is None or wk is None or qidx >= len(wl) or qidx >= len(wk):
-                    frac = np.zeros(num_homop)
-                else:
-                    frac = _weibull_fractions(float(wl[qidx]), float(wk[qidx]),
-                                              num_homop)
-                wb_events.append((pos, j, base_idx, 10000.0 * frac))
-                continue
-            if num_homop > 1 and feat < 8:
-                qstrat = max(0, min(q, num_homop) - 1)
+        pos_a, j_a, feat_a, q_a, qx_a = _read_events(rec, start, end, num_homop)
+        if len(pos_a) == 0:
+            pass
+        else:
+            is_base = feat_a < 8
+            if weibull_summation:
+                wb_sel = is_base & (qx_a >= 0)
+                for pos, j, feat, qidx in zip(pos_a[wb_sel], j_a[wb_sel],
+                                              feat_a[wb_sel], qx_a[wb_sel]):
+                    base_idx = int(feat) + FEATLEN * num_homop * dtype
+                    if wl is None or wk is None or qidx >= len(wl) or qidx >= len(wk):
+                        frac = np.zeros(num_homop)
+                    else:
+                        frac = _weibull_fractions(float(wl[qidx]), float(wk[qidx]),
+                                                  num_homop)
+                    wb_events.append((int(pos), int(j), base_idx, 10000.0 * frac))
+                keep = ~wb_sel
             else:
-                qstrat = 0
-            events.append((pos, j, feat + FEATLEN * qstrat + FEATLEN * num_homop * dtype))
+                keep = np.ones(len(pos_a), bool)
+            if num_homop > 1:
+                qstrat = np.where(is_base,
+                                  np.maximum(0, np.minimum(q_a, num_homop) - 1), 0)
+            else:
+                qstrat = np.zeros(len(pos_a), np.int64)
+            enc = feat_a + FEATLEN * qstrat + FEATLEN * num_homop * dtype
+            events.append(np.stack([pos_a[keep], j_a[keep], enc[keep]], 1))
         # coverage: every ref position the alignment spans (incl. D and N)
-        for pos in range(max(rec.pos, start), min(rec.end_pos(), end)):
-            cur = covered.get(pos, 0)
-            covered[pos] = cur
-    if not events and not wb_events and not covered:
+        lo, hi = max(rec.pos, start), min(rec.end_pos(), end)
+        if hi > lo:
+            covered_arr[lo - start : hi - start] = True
+    ev = (np.concatenate(events) if events
+          else np.zeros((0, 3), np.int64))
+    if len(ev) == 0 and not wb_events and not covered_arr.any():
         return PileupResult(np.zeros((0, plane), np.int64),
                             np.zeros(0, np.int64), np.zeros(0, np.int64))
 
-    # max insertion per covered position
-    max_ins = {}
-    for pos, j, _f in events:
-        if j > max_ins.get(pos, 0):
-            max_ins[pos] = j
-        covered.setdefault(pos, 0)
+    # max insertion per covered position (vectorized scatter-max)
+    max_ins_arr = np.zeros(max(end - start, 0), np.int64)
+    if len(ev):
+        covered_arr[ev[:, 0] - start] = True
+        np.maximum.at(max_ins_arr, ev[:, 0] - start, ev[:, 1])
     for pos, j, _f, _fr in wb_events:
-        if j > max_ins.get(pos, 0):
-            max_ins[pos] = j
-        covered.setdefault(pos, 0)
-    positions = sorted(covered)
-    col_of = {}
-    major, minor = [], []
-    for pos in positions:
-        mi = max_ins.get(pos, 0)
-        for j in range(mi + 1):
-            col_of[(pos, j)] = len(major)
-            major.append(pos)
-            minor.append(j)
+        covered_arr[pos - start] = True
+        max_ins_arr[pos - start] = max(max_ins_arr[pos - start], j)
+    positions = (np.nonzero(covered_arr)[0] + start).tolist()
+    widths = max_ins_arr[covered_arr] + 1
+    base_cols = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    major = np.repeat(np.asarray(positions, np.int64), widths)
+    minor = np.concatenate([np.arange(w) for w in widths]) if len(widths) \
+        else np.zeros(0, np.int64)
     n_cols = len(major)
+    col_of = {(p, 0): int(c) for p, c in zip(positions, base_cols)}
 
-    keys = np.array(
-        [col_of[(pos, j)] * plane + f for pos, j, f in events], dtype=np.int64
-    )
+    # vectorized column lookup: columns are laid out contiguously per
+    # major position, so col = base_col[pos] + j
+    col_lut = np.full(max(end - start, 0), -1, np.int64)
+    col_lut[covered_arr] = base_cols
+    if len(ev):
+        keys = (col_lut[ev[:, 0] - start] + ev[:, 1]) * plane + ev[:, 2]
+    else:
+        keys = np.zeros(0, np.int64)
     matrix = np.zeros(n_cols * plane, np.int64)
     if len(keys):
         uk, counts = _count_keys(keys)
@@ -191,12 +225,12 @@ def pileup_counts(
     if wb_events:
         fmat = np.zeros(n_cols * plane, np.float64)
         for pos, j, base_idx, frac in wb_events:
-            col = col_of[(pos, j)] * plane + base_idx
+            col = (col_lut[pos - start] + j) * plane + base_idx
             fmat[col : col + FEATLEN * len(frac) : FEATLEN] += frac
         matrix += fmat.astype(np.int64)
     return PileupResult(
         matrix.reshape(n_cols, plane),
-        np.array(major, np.int64), np.array(minor, np.int64),
+        np.asarray(major, np.int64), np.asarray(minor, np.int64),
     )
 
 

@@ -512,12 +512,26 @@ def align_batch(
     for b, e in enumerate(event_means):
         ev[b, : n_events[b]] = e
 
-    epk = n_events.astype(np.float64) / n_kmers.astype(np.float64)
-    p_stay = 1.0 - 1.0 / (epk + 1.0)
-    lp_stay = np.log(p_stay).astype(np.float32)
-    lp_skip = np.full(B, np.log(1e-10), np.float32)
-    lp_step = np.log(1.0 - 1e-10 - p_stay).astype(np.float32)
-    lp_trim = np.full(B, np.log(0.01), np.float32)
+    # Transition constants follow the reference's ACCELERATOR recipe
+    # (ALIGN_KERNEL_FLOAT, f5cmisc.cuh:23 / align.cu:290-293): f32
+    # events_per_kmer and p_stay, f32 lp_* rounded from f64 log/exp.
+    # The CPU variant (align.c:196-205) keeps lp_* as f64 and mixes them
+    # into the float score adds (align.c:371), which a pure-f32 kernel
+    # cannot reproduce; at near-tie cells the two modes pick different
+    # traceback arrows — the reference's own GPU diverges from its CPU
+    # the same way.  Cross-checked bit-exactly vs the float-mode build
+    # (tools/build_reference.sh -> abea_gold_f32).
+    epk = n_events.astype(np.float32) / n_kmers.astype(np.float32)
+    one = np.float32(1.0)
+    p_stay = one - one / (epk + one)
+    eps = np.float32(1e-10)
+    lp_skip_s = np.float32(np.log(np.float64(eps)))
+    lp_stay = np.log(p_stay.astype(np.float64)).astype(np.float32)
+    lp_step = np.log(
+        1.0 - np.exp(np.float64(lp_skip_s)) - np.exp(lp_stay.astype(np.float64))
+    ).astype(np.float32)
+    lp_skip = np.full(B, lp_skip_s, np.float32)
+    lp_trim = np.full(B, np.float32(np.log(0.01)), np.float32)
 
     model_log_stdv = np.log(model_stdv.astype(np.float64)).astype(np.float32)
     n_steps = int((n_events + n_kmers + 2).max()) - 2

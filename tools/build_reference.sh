@@ -23,3 +23,20 @@ g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/abea_stub/config.h" \
     "$HERE/ref_drivers/abea_gold.cpp" "$REF/benchmarks/abea/src/align.c" \
     "$REF/benchmarks/abea/src/events.c" -o "$OUT/abea_gold" -lm
 echo "built $OUT/abea_gold"
+
+# Float-mode ABEA: the reference's own GPU kernel is built with
+# ALIGN_KERNEL_FLOAT (f5cmisc.cuh:23), i.e. f32 transition constants and
+# pure-f32 score adds — the semantics a TPU kernel can actually implement.
+# align.c hardcodes double lp_* (align.c:196-205) and mixed-precision adds
+# (align.c:371: float = float + double + float); -Ddouble=float turns the
+# CPU kernel into the accelerator-mode build so we can cross-check our
+# kernel bit-for-bit against it.
+g++ -O2 -DHAVE_CONFIG_H \
+    -include "$HERE/ref_drivers/abea_stub/config.h" \
+    -I"$HERE/ref_drivers/abea_stub" -I"$REF/benchmarks/abea/src" \
+    -c "$HERE/ref_drivers/align_f32_tu.cpp" -o "$OUT/align_f32.o"
+g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/abea_stub/config.h" \
+    -I"$HERE/ref_drivers/abea_stub" -I"$REF/benchmarks/abea/src" \
+    "$HERE/ref_drivers/abea_gold.cpp" "$OUT/align_f32.o" \
+    "$REF/benchmarks/abea/src/events.c" -o "$OUT/abea_gold_f32" -lm
+echo "built $OUT/abea_gold_f32"

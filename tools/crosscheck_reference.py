@@ -94,7 +94,13 @@ def crosscheck_chain(rng, n_reads=24):
 
 
 def crosscheck_abea(rng, n_cases=16):
-    """Fresh ABEA alignments vs the compiled reference align() driver."""
+    """Fresh ABEA alignments vs the compiled reference align() driver.
+
+    Compares against the float-mode build (abea_gold_f32) — the arithmetic
+    of the reference's own accelerator kernel (ALIGN_KERNEL_FLOAT,
+    f5cmisc.cuh:23).  The double-mixed CPU build (abea_gold) breaks score
+    near-ties differently at ~1-ulp level and diverges from BOTH our
+    kernel and the reference GPU on rare reads."""
     from genomicsbench_tpu.ops.abea import align_batch, kmer_ranks, synthetic_model
 
     mean, stdv = synthetic_model(0)
@@ -131,7 +137,7 @@ def crosscheck_abea(rng, n_cases=16):
             for e in evs:
                 f.write(f"{e:.6f} 1.0\n")
             f.write(f"{scale:.6f} {shift:.6f}\n")
-    out = subprocess.run([f"{REFBUILD}/abea_gold", path],
+    out = subprocess.run([f"{REFBUILD}/abea_gold_f32", path],
                          capture_output=True, text=True, check=True).stdout
     toks = out.split()
     pos = 0

@@ -13,7 +13,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from genomicsbench_tpu.ops.abea import kmer_ranks, synthetic_model  # noqa: E402
 
 GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
-BIN = "/tmp/refbuild/abea_gold"
+# Float-mode build: the arithmetic of the reference's own accelerator
+# kernel (ALIGN_KERNEL_FLOAT, f5cmisc.cuh:23) — the semantics our TPU
+# kernel implements bit-for-bit.  events mode is identical in both builds
+# (events.c is compiled unmodified).
+BIN = "/tmp/refbuild/abea_gold_f32"
 ALPHA = "ACGT"
 
 

@@ -113,8 +113,15 @@ def extract_kmers(seq: jnp.ndarray, k: int):
 
 
 def kmer_valid(lengths, L, k):
+    """Positions the reference engine actually iterates.
+
+    IterKmers::end() sits at `length - kmerSize` EXCLUSIVE (kmer.h:193-198),
+    so Flye never processes the final k-mer of a read — in KmerCounter,
+    yieldMinimizers, and both index builders alike.  Cross-checked against
+    the compiled reference (tools/crosscheck_reference.py): the inclusive
+    bound overcounts by exactly one k-mer per read."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (len(lengths), L), 1)
-    return cols <= (lengths[:, None] - k)
+    return cols < (lengths[:, None] - k)
 
 
 def revcomp(repr32, k: int):
@@ -203,6 +210,11 @@ def yield_minimizers_oracle(codes: np.ndarray, k: int, window: int):
     for i in range(k, n):
         rep = ((rep << 2) | int(codes[i])) & mask
         reps.append(rep)
+    # IterKmers::end() is `length - k` exclusive (kmer.h:193-198): the
+    # reference never yields the final k-mer of a read
+    reps = reps[:-1]
+    if not reps:
+        return []
 
     def rc(v):
         out = 0
@@ -306,8 +318,9 @@ def minimizer_mask(seq, lengths, *, k, window):
         # earliest member (ties keep the earliest, matching deque appends)
         front_new = jnp.where(p < w, jnp.minimum(front_new, earliest_pos), front_new)
 
-        # steps beyond a read's last k-mer don't exist in the reference loop
-        p_live = p <= lengths - k
+        # steps at/beyond a read's final k-mer don't exist in the reference
+        # loop (IterKmers end bound is exclusive, kmer.h:193-198)
+        p_live = p < lengths - k
         front_new = jnp.where(p_live, front_new, front)
         emit = p_live & (front_new != last_emit)
         last_emit = jnp.where(emit, front_new, last_emit)
@@ -457,6 +470,11 @@ def yield_frequent_kmers(codes, length, k, global_freq_lookup,
         v = ((v << 2) | int(c)) & mask
         if i >= k_ - 1:
             out.append(v)
+    # IterKmers excludes the read's final k-mer (kmer.h:193-198)
+    out = out[:-1]
+    if not out:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint32), np.zeros(0, np.int64))
     fwd = np.array(out, np.uint32)
     rc = np.asarray(jax.device_get(revcomp(jnp.asarray(fwd), k_)))
     canon = np.minimum(fwd, rc)

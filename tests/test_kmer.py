@@ -17,9 +17,11 @@ def _oracle_counts(reads, k):
     counts = {}
     for codes in reads:
         rep = 0
+        # IterKmers excludes the final k-mer (kmer.h:193-198), so the last
+        # emitting end-index is len-2
         for i, b in enumerate(codes):
             rep = ((rep << 2) | int(b)) & mask
-            if i >= k - 1:
+            if k - 1 <= i < len(codes) - 1:
                 # canonical
                 v, rc = rep, 0
                 t = rep

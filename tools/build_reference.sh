@@ -40,3 +40,11 @@ g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/abea_stub/config.h" \
     "$HERE/ref_drivers/abea_gold.cpp" "$OUT/align_f32.o" \
     "$REF/benchmarks/abea/src/events.c" -o "$OUT/abea_gold_f32" -lm
 echo "built $OUT/abea_gold_f32"
+
+g++ -O2 -I"$REF/benchmarks/kmer-cnt" -I"$REF/benchmarks/kmer-cnt/libcuckoo" \
+    "$HERE/ref_drivers/kmer_gold.cpp" \
+    "$REF/benchmarks/kmer-cnt/sequence.cpp" \
+    "$REF/benchmarks/kmer-cnt/sequence_container.cpp" \
+    "$REF/benchmarks/kmer-cnt/vertex_index.cpp" \
+    -o "$OUT/kmer_gold" -lz -lpthread
+echo "built $OUT/kmer_gold"

@@ -93,6 +93,77 @@ def crosscheck_chain(rng, n_reads=24):
 
 
 
+def crosscheck_kmer(rng, n_reads=60):
+    """Fresh reads through the compiled Flye k-mer engine (kmer_gold:
+    KmerCounter::count + VertexIndex::buildIndexMinimizers) vs ops/kmer."""
+    from genomicsbench_tpu.ops.kmer import build_index_minimizers, count_kmers
+
+    lens = rng.integers(40, 900, n_reads)
+    reads = [rng.integers(0, 4, int(n)).astype(np.uint8) for n in lens]
+    # plant a shared motif in most reads so the frequent-kmer filter
+    # (filterFrequentKmers, vertex_index.cpp:173-212) actually fires at
+    # low repeat_kmer_rate
+    motif = rng.integers(0, 4, 40).astype(np.uint8)
+    for r in reads[::2]:
+        at = int(rng.integers(0, len(r) - len(motif) + 1))
+        r[at : at + len(motif)] = motif
+    with open("/tmp/xc_kmer.fa", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">read{i}\n" + "".join("ACGT"[b] for b in r) + "\n")
+
+    L = max(len(r) for r in reads)
+    seq = np.zeros((n_reads, L), np.uint8)
+    lengths = np.zeros(n_reads, np.int32)
+    for i, r in enumerate(reads):
+        seq[i, : len(r)] = r
+        lengths[i] = len(r)
+    offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+
+    def run_gold(cfg_rate, k, mode, wnd):
+        open("/tmp/xc_kmer.cfg", "w").write(
+            f"repeat_kmer_rate={cfg_rate}\nassemble_kmer_sample=1\n")
+        out = subprocess.run(
+            [f"{REFBUILD}/kmer_gold", "/tmp/xc_kmer.fa", "/tmp/xc_kmer.cfg",
+             str(k), mode, str(wnd)],
+            capture_output=True, text=True, check=True).stdout.splitlines()
+        assert int(out[0]) == len(out) - 1
+        return out[1:]
+
+    # exact counting (KmerCounter flat+hash, vertex_index.cpp:513-637)
+    k = 11
+    uniq, counts = count_kmers(seq, lengths, k)
+    table = dict(zip(uniq.tolist(), counts.tolist()))
+    gold = run_gold(100.0, k, "count", 0)
+    assert len(gold) == len(table), (len(gold), len(table))
+    for line in gold:
+        repr_, freq = map(int, line.split())
+        assert table.get(repr_) == freq, (repr_, freq, table.get(repr_))
+
+    # minimizer index incl. positions + frequent-kmer filter
+    # (vertex_index.cpp:387-497); rate=2.0 forces the repetitive path
+    for k, wnd, rate in ((15, 5, 100.0), (15, 5, 2.0), (13, 9, 100.0)):
+        idx = build_index_minimizers(seq, lengths, k=k, window=wnd,
+                                     repeat_kmer_rate=rate, min_coverage=1)
+        rep_set = set(idx.repetitive.tolist())
+        n_tot = 0
+        for line in run_gold(rate, k, "minimizers", wnd):
+            toks = line.split()
+            repr_, freq, repflag = int(toks[0]), int(toks[1]), int(toks[2])
+            assert (repr_ in rep_set) == bool(repflag), (k, wnd, rate, repr_)
+            got = idx.lookup(repr_)
+            assert len(got) == freq, (repr_, freq, len(got))
+            want = sorted(
+                offs[abs(int(s)) - 1] + int(p)
+                for s, p in (t.split(":") for t in toks[3:])
+            )
+            assert list(got) == want, (repr_, list(got), want)
+            n_tot += freq
+        print(f"kmer: minimizers k={k} w={wnd} rate={rate}: "
+              f"{n_tot} index entries bit-exact vs reference binary")
+    print(f"kmer: {n_reads} fresh reads, counts + minimizer index bit-exact "
+          f"vs reference binary")
+
+
 def crosscheck_abea(rng, n_cases=16):
     """Fresh ABEA alignments vs the compiled reference align() driver.
 
@@ -171,4 +242,5 @@ if __name__ == "__main__":
     crosscheck_bsw(rng)
     crosscheck_chain(rng)
     crosscheck_abea(rng)
+    crosscheck_kmer(rng)
     print("ALL CROSS-CHECKS PASSED")

@@ -48,3 +48,7 @@ g++ -O2 -I"$REF/benchmarks/kmer-cnt" -I"$REF/benchmarks/kmer-cnt/libcuckoo" \
     "$REF/benchmarks/kmer-cnt/vertex_index.cpp" \
     -o "$OUT/kmer_gold" -lz -lpthread
 echo "built $OUT/kmer_gold"
+
+g++ -O2 -I"$HERE/ref_drivers/dbg_stub" -I"$REF/benchmarks/dbg" \
+    "$HERE/ref_drivers/dbg_gold.cpp" -fopenmp -o "$OUT/dbg_gold"
+echo "built $OUT/dbg_gold"

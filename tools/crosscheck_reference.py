@@ -164,6 +164,82 @@ def crosscheck_kmer(rng, n_reads=60):
           f"vs reference binary")
 
 
+def crosscheck_dbg(rng, n_windows=6):
+    """Fresh assembly windows through the compiled Platypus graph builder
+    (dbg_gold: loadReferenceIntoGraph + loadBAMDataIntoGraph +
+    detectCyclesInGraph) vs ops/dbg.build_window_graph_oracle."""
+    from genomicsbench_tpu.ops.dbg import (
+        build_window_graph_oracle, detect_cycles, _successors,
+    )
+
+    k, min_qual = 15, 20
+    b2c = np.array(list("ACGTN"))
+    for w in range(n_windows):
+        ref_len = int(rng.integers(80, 400))
+        ref = rng.integers(0, 4, ref_len).astype(np.uint8)
+        if w % 3 == 2:  # reference N's become base-5 nodes
+            ref[rng.integers(0, ref_len, 3)] = 4
+        ref_start = int(rng.integers(0, 10000))
+        n_reads = int(rng.integers(2, 12))
+        reads, lines = [], []
+        for r in range(n_reads):
+            ln = int(rng.integers(k + 3, min(150, ref_len)))
+            at = int(rng.integers(0, ref_len - ln + 1))
+            seq = ref[at : at + ln].copy()
+            seq[seq == 4] = 0
+            nmut = int(rng.integers(0, 4))
+            seq[rng.integers(0, ln, nmut)] = rng.integers(0, 4, nmut)
+            if rng.random() < 0.15:
+                seq[rng.integers(0, ln)] = 4  # an N in the read
+            quals = rng.integers(8, 42, ln).astype(np.int64)
+            flag = 512 if rng.random() < 0.15 else 0  # BAM_FQCFAIL
+            reads.append((seq, quals, flag != 0))
+            lines.append(f"{ref_start + at} {flag} "
+                         + "".join(b2c[seq]))
+            lines.append(" ".join(map(str, quals)))
+        inp = [f"{k} {min_qual} {ref_start}", "".join(b2c[ref]),
+               str(n_reads)] + lines
+        open("/tmp/xc_dbg.in", "w").write("\n".join(inp) + "\n")
+        out = subprocess.run([f"{REFBUILD}/dbg_gold", "/tmp/xc_dbg.in"],
+                             capture_output=True, text=True, check=True).stdout
+
+        g = build_window_graph_oracle(ref, ref_start, reads, k=k,
+                                      min_qual=min_qual)
+
+        def decode(key):
+            digs = []
+            for _ in range(k):
+                digs.append(int(key % 5))
+                key //= 5
+            return "".join(b2c[d] for d in reversed(digs))
+
+        nodes = {decode(key): v for key, v in g.nodes.items()}
+        succ = {decode(key): [(decode(k2), wt) for k2, wt in lst]
+                for key, lst in _successors(g).items()}
+        n_nodes_seen = 0
+        for line in out.splitlines():
+            t = line.split()
+            if t[0] == "CYCLES":
+                assert detect_cycles(g, float(t[1])) == bool(int(t[2])), line
+            elif t[0] == "NODES":
+                assert int(t[1]) == len(nodes), (int(t[1]), len(nodes))
+            elif t[0] == "NODE":
+                km, colours, wt, pos, ne = (t[1], int(t[2]), float(t[3]),
+                                            int(t[4]), int(t[5]))
+                ours = nodes[km]
+                assert (ours[0], float(ours[1]), ours[2]) == (colours, wt, pos), \
+                    (km, ours, t)
+                assert len(succ[km]) == ne, (km, succ[km], ne)
+                n_nodes_seen += 1
+            elif t[0] == "EDGE":
+                km, slot, end_km, wt = t[1], int(t[2]), t[3], float(t[4])
+                got = succ[km][slot]
+                assert got == (end_km, wt), (km, slot, got, (end_km, wt))
+        assert n_nodes_seen == len(nodes)
+    print(f"dbg: {n_windows} fresh windows, graph nodes/edges/colours/"
+          f"weights + cycle flags bit-exact vs reference binary")
+
+
 def crosscheck_abea(rng, n_cases=16):
     """Fresh ABEA alignments vs the compiled reference align() driver.
 
@@ -243,4 +319,5 @@ if __name__ == "__main__":
     crosscheck_chain(rng)
     crosscheck_abea(rng)
     crosscheck_kmer(rng)
+    crosscheck_dbg(rng)
     print("ALL CROSS-CHECKS PASSED")

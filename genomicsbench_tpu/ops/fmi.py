@@ -105,6 +105,27 @@ class FmdIndex:
             jnp.asarray(packed), jnp.int32(self.sentinel_row),
         ))
 
+    def locate(self, k: int, s: int, seed_len: int, max_occ: int = 0):
+        """SA lookup — the FMI_search::get_sa_entries analog (SURVEY §2.14
+        item 1): map an SA interval (k, s) from the seeding passes to
+        forward-reference coordinates.
+
+        The index text is T = ref . revcomp(ref) (rlen = n//2), so a hit
+        at text position p >= rlen is a reverse-strand seed whose forward
+        span starts at n - p - seed_len.  Returns (pos, is_rev) arrays,
+        capped at max_occ entries when max_occ > 0 (bwa-mem's max_occ
+        subsampling takes every ceil(s/max_occ)-th entry)."""
+        s = int(s)
+        rows = np.arange(int(k), int(k) + s)
+        if max_occ and s > max_occ:
+            step = -(-s // max_occ)
+            rows = rows[::step]
+        p = self.sa[rows]
+        rlen = self.n // 2
+        is_rev = p >= rlen
+        pos = np.where(is_rev, self.n - p - seed_len, p)
+        return pos.astype(np.int64), is_rev
+
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return (3 - codes[::-1].astype(np.int64)).astype(np.uint8)

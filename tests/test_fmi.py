@@ -272,3 +272,46 @@ class TestPass1Jump:
         # full pipeline also runs clean on these
         p1, p2, p3, total = pipe.run(reads, lens)
         assert total >= 0
+
+
+class TestSaLookup:
+    """FmdIndex.locate — the FMI_search SA-entry lookup analog: every
+    (k, s) interval from pass1 must map to text positions where the seed
+    actually occurs, with reverse-strand hits converted to forward
+    coordinates."""
+
+    def test_locate_positions_match_text(self, small_index):
+        ref, idx, text = small_index
+        rng = np.random.default_rng(11)
+        # plant a query substring so matches exist on both strands
+        q = np.array(ref[100:140], np.uint8)
+        pipe = FmiPipeline(idx, min_seed_len=19)
+        res = pipe.pass1(q[None, :], np.array([len(q)], np.int32))
+        assert res.count, "no SMEMs found"
+        rlen = len(ref)
+        for rid, m, n, k, s in zip(res.rid, res.m, res.n, res.k, res.s):
+            L = n - m + 1
+            pos, is_rev = idx.locate(k, s, L)
+            assert len(pos) == s
+            seed = q[m : n + 1]
+            rc = (3 - seed)[::-1]
+            for p, rev in zip(pos, is_rev):
+                want = rc if rev else seed
+                np.testing.assert_array_equal(
+                    np.frombuffer(text[p : p + L], np.uint8), want)
+                assert 0 <= p <= rlen * 2 - L
+
+    def test_locate_max_occ_subsample(self, small_index):
+        ref, idx, _ = small_index
+        # 'A' homopolymer region guarantees a fat interval
+        q = np.zeros(25, np.uint8)
+        pipe = FmiPipeline(idx, min_seed_len=5)
+        res = pipe.pass1(q[None, :], np.array([len(q)], np.int32))
+        if not res.count:
+            return
+        i = int(np.argmax(res.s))
+        m, n, k, s = res.m[i], res.n[i], res.k[i], res.s[i]
+        if s < 3:
+            return
+        pos, _ = idx.locate(k, s, n - m + 1, max_occ=2)
+        assert 0 < len(pos) <= 2

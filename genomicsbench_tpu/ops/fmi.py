@@ -213,6 +213,15 @@ def _rank4(table, row):
     return jnp.stack(ranks, axis=-1)
 
 
+def _rank4_pair(table, row_a, row_b):
+    """rank4 at two row vectors with ONE fused gather (the backward-extension
+    step always needs occ at interval start AND end — batching the rows
+    halves the per-step gather dispatches, the dominant cost of the SMEM
+    walk)."""
+    both = _rank4(table, jnp.stack([row_a, row_b], 0))
+    return both[0], both[1]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _extend_lanes_init(C, query, qlen, start, min_intv):
     """Initial (k, l, s, e, alive) lane state for forward extension."""
@@ -240,12 +249,8 @@ def _extend_lanes_run(
     """Continue extension from `state` for up to `steps` more bases."""
     N = query.shape[0]
 
-    def rank4(row):
-        return _rank4(table, row)
-
     def back_ext(k, l, s):
-        r_lo = rank4(k)
-        r_hi = rank4(k + s)
+        r_lo, r_hi = _rank4_pair(table, k, k + s)
         s_new = r_hi - r_lo
         k_new = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
@@ -544,19 +549,21 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
     semantics as _extend_lanes; shared by the jump kernels."""
     B, L = query.shape
     state = _extend_lanes_init(C, query, qlen, p, min_intv)
+    state["step"] = jnp.int32(0)
 
-    def rank4(row):
-        return _rank4(table, row)
+    def cond(c):
+        # extensions die long before L on real data: stop as soon as every
+        # lane is dead instead of burning the full read length in gathers
+        return c["alive"].any() & (c["step"] < L)
 
-    def body(_, c):
+    def body(c):
         pos = c["e"]
         in_read = pos < qlen
         nb = jnp.take_along_axis(
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = c["alive"] & in_read & (nb < 4)
-        r_lo = rank4(c["l"])
-        r_hi = rank4(c["l"] + c["s"])
+        r_lo, r_hi = _rank4_pair(table, c["l"], c["l"] + c["s"])
         s_new4 = r_hi - r_lo
         k2 = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= c["l"]) & (sent_row < c["l"] + c["s"])).astype(jnp.int32)
@@ -573,10 +580,10 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
         return dict(
             k=jnp.where(ok, k_n, c["k"]), l=jnp.where(ok, l_n, c["l"]),
             s=jnp.where(ok, s_n, c["s"]), e=jnp.where(ok, pos + 1, c["e"]),
-            alive=ok,
+            alive=ok, step=c["step"] + 1,
         )
 
-    final = jax.lax.fori_loop(0, L, body, state)
+    final = jax.lax.while_loop(cond, body, state)
     return final["e"], final["k"], final["s"]
 
 
@@ -620,6 +627,9 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         probing = c["mode"] == PROBE
         p = jnp.where(probing, c["b"], (c["lo"] + c["hi"]) // 2)
         p = jnp.clip(p, 0, L - 1)
+        # done lanes extend from p = L (born dead): they'd otherwise keep
+        # the extension while_loop alive for the full read length
+        p = jnp.where(c["done"], jnp.int32(L), p)
         e_p, k_p, s_p = extend_from(p)
 
         # PROBE lanes: p is a true start (e(p) > e of everything before it)
@@ -693,7 +703,10 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         x = jnp.clip(c["x"], 0, L - 1)
         base = jnp.take_along_axis(query, x[:, None], axis=1)[:, 0]
         is_n_base = base > 3
-        e_x, _, _ = _extend_forward_fori(C, table, sent_row, query, qlen, x, mi)
+        # done lanes extend from L (born dead) — see _pass1_jump
+        e_x, _, _ = _extend_forward_fori(
+            C, table, sent_row, query, qlen,
+            jnp.where(c["done"], jnp.int32(L), x), mi)
         nn = jnp.take_along_axis(nxt, jnp.clip(x + 1, 0, L)[:, None], axis=1)[:, 0]
         nn = jnp.minimum(nn, qlen)
         i_star = jnp.maximum(e_x, x + min_len)

@@ -329,13 +329,34 @@ class FmiPipeline:
 
     def __init__(self, index: FmdIndex, min_seed_len: int = 19,
                  split_width: int = 10, max_mem_intv: int = 20,
-                 split_factor: float = 1.5):
+                 split_factor: float = 1.5, mesh=None):
         self.index = index
         self.dev = index.device()
         self.min_seed_len = min_seed_len
         self.split_width = split_width
         self.max_mem_intv = max_mem_intv
         self.split_len = int(min_seed_len * split_factor + 0.499)
+        # with a mesh, read batches shard over its "data" axis (the index
+        # tables replicate) and the jump kernels compile SPMD -- the
+        # multi-chip analog of fmi.cpp's dynamic OpenMP batch loop.
+        # Batch dims fed through _put must be multiples of the axis size
+        # (pass2/pass3 pad their data-dependent batches; callers pad B).
+        self.mesh = mesh
+
+    def _put(self, a):
+        a = jnp.asarray(a)
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(self.mesh, P("data")))
+
+    def _pad_batch(self, n):
+        """Rows to add so a data-dependent batch shards evenly."""
+        if self.mesh is None:
+            return 0
+        d = self.mesh.shape["data"]
+        return (d - n % d) % d
 
     # chunked extension with live-lane compaction: most lanes' intervals
     # die after ~log_4(ref) bases, so run the scan in CHUNK-step slices and,
@@ -422,9 +443,9 @@ class FmiPipeline:
         B, L = query.shape
         max_rounds = 8 * L
         sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
-            *self.dev, jnp.asarray(query),
-            jnp.asarray(qlen.astype(np.int32)),
-            jnp.ones(B, jnp.int32), jnp.zeros(B, jnp.int32),
+            *self.dev, self._put(query),
+            self._put(qlen.astype(np.int32)),
+            self._put(np.ones(B, np.int32)), self._put(np.zeros(B, np.int32)),
             min_seed_len=self.min_seed_len, max_rounds=max_rounds,
         ))
         if int(rounds) >= max_rounds:
@@ -456,18 +477,28 @@ class FmiPipeline:
         mintv = parents.s[sel] + 1
         pq = query[prid]
         plen = qlen[prid]
+        pad = self._pad_batch(len(prid))
+        if pad:  # padding lanes have qlen 0 -> born done, emit nothing
+            pq = np.concatenate([pq, np.zeros((pad, pq.shape[1]), pq.dtype)])
+            plen = np.concatenate([plen, np.zeros(pad, plen.dtype)])
+            pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
+            mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
         max_rounds = 8 * L
         sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
-            *self.dev, jnp.asarray(pq), jnp.asarray(plen.astype(np.int32)),
-            jnp.asarray(mintv.astype(np.int32)),
-            jnp.asarray(pivots.astype(np.int32)),
+            *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
+            self._put(mintv.astype(np.int32)),
+            self._put(pivots.astype(np.int32)),
             min_seed_len=self.min_seed_len, max_rounds=max_rounds,
             has_pivot=True,
         ))
+        if pad:
+            P = P - pad
         if int(rounds) >= max_rounds:
-            return self._pass2_etable(pq, plen, prid, pivots, mintv)
-        pi = np.repeat(np.arange(P), count)
+            return self._pass2_etable(pq[: len(prid)], plen[: len(prid)],
+                                      prid, pivots[: len(prid)],
+                                      mintv[: len(prid)])
+        pi = np.repeat(np.arange(P), count[:P])
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
             if len(pi) else np.zeros(0, np.int64)
         m = sm_m[pi, cols]
@@ -503,8 +534,8 @@ class FmiPipeline:
 
         max_rounds = 2 * L
         em_m_a, em_n_a, count, rounds = jax.device_get(_pass3_jump(
-            *self.dev, jnp.asarray(query), jnp.asarray(qlen.astype(np.int32)),
-            jnp.asarray(nxt.astype(np.int32)), self.max_mem_intv,
+            *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
+            self._put(nxt.astype(np.int32)), self.max_mem_intv,
             min_len=min_len, max_rounds=max_rounds,
         ))
         assert int(rounds) < max_rounds  # walk advances >= 1/round: always terminates

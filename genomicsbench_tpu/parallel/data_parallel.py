@@ -151,3 +151,31 @@ def abea_sharded(mesh: Mesh, sequences, event_means, model_mean, model_stdv,
     res = ab.align_batch(sequences, event_means, model_mean, model_stdv,
                          scalings, mesh=mesh)
     return ab.AbeaResult(pairs=res.pairs[:B], failed=res.failed[:B])
+
+
+def fmi_sharded(mesh: Mesh, index, query, qlen, **pipe_kwargs):
+    """Data-parallel SMEM seeding over the mesh's "data" axis: read batches
+    shard, the FMD index tables replicate (the multi-chip analog of
+    fmi.cpp:180-193's dynamic OpenMP batch loop; BASELINE north-star
+    config 4).  Same SMEMs as a single-device FmiPipeline.run."""
+    from genomicsbench_tpu.ops.fmi import FmiPipeline, _mk_smem
+
+    query = np.asarray(query)
+    qlen = np.asarray(qlen, np.int32)
+    B = len(query)
+    n_dev = mesh.shape["data"]
+    pad = (n_dev - B % n_dev) % n_dev
+    if pad:
+        query = np.concatenate([query, np.zeros((pad, query.shape[1]),
+                                                query.dtype)])
+        qlen = np.concatenate([qlen, np.zeros(pad, qlen.dtype)])
+    pipe = FmiPipeline(index, mesh=mesh, **pipe_kwargs)
+    p1, p2, p3, _ = pipe.run(query, qlen)
+
+    def trim(r):
+        keep = r.rid < B
+        return _mk_smem(r.rid[keep], r.m[keep], r.n[keep], r.k[keep],
+                        r.s[keep])
+
+    p1, p2, p3 = trim(p1), trim(p2), trim(p3)
+    return p1, p2, p3, p1.count + p2.count + p3.count

@@ -315,3 +315,30 @@ class TestSaLookup:
             return
         pos, _ = idx.locate(k, s, n - m + 1, max_occ=2)
         assert 0 < len(pos) <= 2
+
+
+def test_fmi_sharded_matches_single(small_index):
+    """fmi_sharded on the virtual CPU mesh == single-device FmiPipeline
+    (read batch shards over "data", index replicates)."""
+    import jax
+    from genomicsbench_tpu.parallel.data_parallel import fmi_sharded
+    from genomicsbench_tpu.parallel.mesh import make_mesh
+
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(21)
+    B, L = 11, 60  # deliberately not a multiple of the axis
+    q = np.zeros((B, L), np.uint8)
+    for i in range(B):
+        at = rng.integers(0, len(ref) - L)
+        q[i] = ref[at : at + L]
+        q[i, rng.integers(0, L, 2)] = rng.integers(0, 4, 2)
+    qlen = np.full(B, L, np.int32)
+    qlen[3] = 25  # a short read
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    w1, w2, w3, wtot = pipe.run(q, qlen)
+    mesh = make_mesh(jax.devices()[: min(8, jax.device_count())])
+    g1, g2, g3, gtot = fmi_sharded(mesh, idx, q, qlen, min_seed_len=19)
+    assert gtot == wtot
+    for got, want in ((g1, w1), (g2, w2), (g3, w3)):
+        assert got.sorted_tuples(with_interval=True) == \
+            want.sorted_tuples(with_interval=True)

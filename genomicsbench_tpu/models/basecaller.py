@@ -82,7 +82,7 @@ def _bn_init(c):
     )
 
 
-def init_params(key, cfg: BasecallerConfig = BasecallerConfig()) -> dict:
+def _init_params_impl(key, cfg: BasecallerConfig) -> dict:
     params: dict[str, Any] = {"blocks": []}
     cin = cfg.features_in
     for b in cfg.blocks:
@@ -108,6 +108,16 @@ def init_params(key, cfg: BasecallerConfig = BasecallerConfig()) -> dict:
     key, k1 = jax.random.split(key)
     params["decoder"] = _conv_init(k1, 1, cin, cfg.num_labels)
     return params
+
+
+_init_params_jit = jax.jit(_init_params_impl, static_argnames=("cfg",))
+
+
+def init_params(key, cfg: BasecallerConfig = BasecallerConfig()) -> dict:
+    """One fused device program for the whole tree: the eager version
+    issued ~210 individual array ops, each paying a full host->device
+    round trip (~25s over the tunneled link; milliseconds fused)."""
+    return _init_params_jit(key, cfg)
 
 
 def _conv1d(x, w, stride=1, groups=1):

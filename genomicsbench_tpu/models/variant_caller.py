@@ -100,7 +100,7 @@ def _lstm_init(key, in_dim, units, dtype):
     }
 
 
-def init_params(key, cfg: ClairConfig):
+def _init_params_impl(key, cfg: ClairConfig):
     dt = jnp.dtype(cfg.dtype)
     keys = jax.random.split(key, 16)
     h2 = 2 * cfg.lstm_units
@@ -121,6 +121,14 @@ def init_params(key, cfg: ClairConfig):
         params[f"l5_{name}"] = _dense_init(keys[6 + 2 * i], cfg.l4_units, cfg.l5_units, dt)
         params[f"head_{name}"] = _dense_init(keys[7 + 2 * i], cfg.l5_units, hs, dt)
     return params
+
+
+_init_params_jit = jax.jit(_init_params_impl, static_argnames=("cfg",))
+
+
+def init_params(key, cfg: ClairConfig):
+    """Fused single-dispatch init (see basecaller.init_params)."""
+    return _init_params_jit(key, cfg)
 
 
 def _bilstm(p_fw, p_bw, x, units):

@@ -191,12 +191,9 @@ def _popcount_below(word, nbits):
     return jax.lax.population_count(word & mask).astype(jnp.int32)
 
 
-def _rank4(table, row):
-    """Counts of each base in BWT[0:row].  row (...,) -> (..., 4).
-    table: packed (n_blocks, 10) int32 — one gather per query."""
-    blk = row // BLOCK
-    off = row % BLOCK
-    line = table[blk]  # (..., 10): the single fused gather
+def _rank4_from_line(line, off):
+    """Finish a rank query given the gathered checkpoint line + in-block
+    offset (shared by the replicated and table-sharded paths)."""
     cp = line[..., 0:4]
     w0 = jax.lax.bitcast_convert_type(line[..., 4:6], jnp.uint32)
     w1 = jax.lax.bitcast_convert_type(line[..., 6:8], jnp.uint32)
@@ -211,6 +208,52 @@ def _rank4(table, row):
         cnt = _popcount_below(m[..., 0], off_a) + _popcount_below(m[..., 1], off_b)
         ranks.append(cp[..., c] + cnt)
     return jnp.stack(ranks, axis=-1)
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedOccTable:
+    """Occ checkpoint table sharded by block range across a mesh axis.
+
+    The genome-scale occ table (several GB for GRCh38 at full sampling) can
+    exceed one chip's HBM; SURVEY §5.8 calls for "occ-table shard-by-
+    suffix-range with all-to-all query routing".  Inside shard_map each
+    device holds one contiguous slab of checkpoint lines; a rank query
+    gathers from the local slab where this device owns the row and psums
+    the masked lines over the axis — compute replicates, index memory
+    shards.  Drop-in for the dense table in _rank4 (trace-time dispatch)."""
+
+    def __init__(self, slab, slab_blocks: int, axis: str):
+        self.slab = slab                  # (n_blocks/D, 10) local shard
+        self.slab_blocks = slab_blocks    # static: blocks per device
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.slab,), (self.slab_blocks, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], aux[0], aux[1])
+
+    def line(self, blk):
+        me = jax.lax.axis_index(self.axis)
+        local = blk - me * self.slab_blocks
+        mine = (local >= 0) & (local < self.slab_blocks)
+        got = self.slab[jnp.clip(local, 0, self.slab_blocks - 1)]
+        got = jnp.where(mine[..., None], got, 0)
+        return jax.lax.psum(got, self.axis)
+
+
+def _rank4(table, row):
+    """Counts of each base in BWT[0:row].  row (...,) -> (..., 4).
+    table: packed (n_blocks, 10) int32 — one gather per query — or a
+    ShardedOccTable (gather + psum across the index shards)."""
+    blk = row // BLOCK
+    off = row % BLOCK
+    if isinstance(table, ShardedOccTable):
+        line = table.line(blk)
+    else:
+        line = table[blk]  # (..., 10): the single fused gather
+    return _rank4_from_line(line, off)
 
 
 def _rank4_pair(table, row_a, row_b):

@@ -342,3 +342,27 @@ def test_fmi_sharded_matches_single(small_index):
     for got, want in ((g1, w1), (g2, w2), (g3, w3)):
         assert got.sorted_tuples(with_interval=True) == \
             want.sorted_tuples(with_interval=True)
+
+
+def test_pass1_sharded_table_matches_single(small_index):
+    """Occ table sharded by block range across the 8-device mesh: rank
+    queries merge via psum; SMEMs equal the replicated-index pass1."""
+    import jax
+    from genomicsbench_tpu.parallel.mesh import make_mesh
+    from genomicsbench_tpu.parallel.sharded_fmi import pass1_sharded_table
+
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(33)
+    B, L = 8, 70
+    q = np.zeros((B, L), np.uint8)
+    for i in range(B):
+        at = rng.integers(0, len(ref) - L)
+        q[i] = ref[at : at + L]
+        q[i, rng.integers(0, L, 2)] = rng.integers(0, 4, 2)
+    qlen = np.full(B, L, np.int32)
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    want = pipe.pass1(q, qlen)
+    mesh = make_mesh(jax.devices()[: min(8, jax.device_count())])
+    got = pass1_sharded_table(mesh, idx, q, qlen, min_seed_len=19)
+    assert got.sorted_tuples(with_interval=True) == \
+        want.sorted_tuples(with_interval=True)

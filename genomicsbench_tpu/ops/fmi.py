@@ -484,7 +484,7 @@ class FmiPipeline:
         the e-table + containment mask on pathological inputs (round cap).
         Both paths emit identical SMEM sets in identical order."""
         B, L = query.shape
-        max_rounds = 8 * L
+        max_rounds = 64 * L  # flat walk: cap counts extension BASES
         sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(query),
             self._put(qlen.astype(np.int32)),
@@ -527,7 +527,7 @@ class FmiPipeline:
             pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
-        max_rounds = 8 * L
+        max_rounds = 64 * L  # flat walk: cap counts extension BASES
         sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
             self._put(mintv.astype(np.int32)),
@@ -664,15 +664,32 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds", "has_pivot"))
 def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
                 *, min_seed_len, max_rounds, has_pivot=False):
+    """Flat-pipelined jump walk: every lane runs its OWN probe extension
+    one base per loop step and transitions its binary-search state machine
+    the moment its extension dies — no cross-lane probe barrier.  The
+    earlier round-synchronized version stalled all B lanes on each round's
+    longest extension; per-lane results (probe order, emissions, fallback
+    trigger semantics) are identical.  max_rounds caps TOTAL loop steps."""
     B, L = query.shape
-
-    def extend_from(p):
-        return _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv)
-
     PROBE, SEARCH = 0, 1
+
+    counts = (C[1:5] - C[:4]).astype(jnp.int32)
+
+    def init_ext(p):
+        """Per-lane inline _extend_lanes_init at start position p."""
+        base0 = jnp.take_along_axis(
+            query, jnp.clip(p, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        b0 = jnp.clip(base0, 0, 3)
+        k0 = jnp.take(C[:4], b0)
+        s0 = jnp.take(counts, b0)
+        l0 = jnp.take(C[:4], 3 - b0)
+        alive0 = (base0 < 4) & (p < qlen) & (p >= 0) & (s0 >= min_intv)
+        return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+                    e=jnp.where(alive0, p + 1, p), alive=alive0)
+
     if has_pivot:
-        # start by binary-searching b_min = smallest b with e(b) > pivot
-        # (monotone e), then jump-walk only [b_min, pivot].
+        # binary-search b_min = smallest b with e(b) > pivot first
         init_mode = jnp.ones(B, jnp.int32)
         init_e0 = pivot
         init_lo = jnp.zeros(B, jnp.int32)
@@ -682,32 +699,34 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         init_e0 = jnp.zeros(B, jnp.int32)
         init_lo = jnp.zeros(B, jnp.int32)
         init_hi = jnp.zeros(B, jnp.int32)
+    done0 = qlen < jnp.int32(1)
+    p0 = jnp.where(init_mode == PROBE, jnp.zeros(B, jnp.int32),
+                   (init_lo + init_hi) // 2)
+    p0 = jnp.where(done0, jnp.int32(L), jnp.clip(p0, 0, L - 1))
+    ext0 = init_ext(p0)
     init = dict(
         mode=init_mode, b=jnp.zeros(B, jnp.int32),
-        lo=init_lo, hi=init_hi,
-        e0=init_e0, done=qlen < jnp.int32(1),
+        lo=init_lo, hi=init_hi, e0=init_e0, done=done0,
         count=jnp.zeros(B, jnp.int32),
         sm_m=jnp.full((B, L), -1, jnp.int32),
         sm_e=jnp.zeros((B, L), jnp.int32),
         sm_k=jnp.zeros((B, L), jnp.int32),
         sm_s=jnp.zeros((B, L), jnp.int32),
-        round=jnp.int32(0),
+        p=p0, ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
+        ealive=ext0["alive"], round=jnp.int32(0),
     )
 
     def cond(c):
         return (~c["done"]).any() & (c["round"] < max_rounds)
 
     def step(c):
+        # ---- phase B: lanes whose extension has finished consume the
+        # result (p, ee, ek, es) and set up the next probe
+        proc = ~c["ealive"] & ~c["done"]
         probing = c["mode"] == PROBE
-        p = jnp.where(probing, c["b"], (c["lo"] + c["hi"]) // 2)
-        p = jnp.clip(p, 0, L - 1)
-        # done lanes extend from p = L (born dead): they'd otherwise keep
-        # the extension while_loop alive for the full read length
-        p = jnp.where(c["done"], jnp.int32(L), p)
-        e_p, k_p, s_p = extend_from(p)
+        p, e_p, k_p, s_p = c["p"], c["ee"], c["ek"], c["es"]
 
-        # PROBE lanes: p is a true start (e(p) > e of everything before it)
-        accept = probing & ~c["done"] & (e_p - p >= min_seed_len) & (p < qlen)
+        accept = proc & probing & (e_p - p >= min_seed_len) & (p < qlen)
         if has_pivot:  # pass-2 covering rule: b <= pivot < e_b
             accept = accept & (p <= pivot) & (e_p > pivot)
         slot = jnp.clip(c["count"], 0, L - 1)
@@ -719,31 +738,65 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         sm_s = write(c["sm_s"], s_p.astype(jnp.int32))
         count = c["count"] + accept.astype(jnp.int32)
 
-        # after a probe: set up the search window for the next start
-        e0_n = jnp.where(probing, e_p, c["e0"])
-        probe_done = probing & ((e_p >= qlen) | (p + 1 >= qlen))
-        lo_n = jnp.where(probing, p + 1, c["lo"])
-        hi_n = jnp.where(probing, jnp.minimum(e_p + 1, qlen - 1) + 1, c["hi"])
+        was_probe = proc & probing
+        e0_n = jnp.where(was_probe, e_p, c["e0"])
+        probe_done = was_probe & ((e_p >= qlen) | (p + 1 >= qlen))
+        lo_n = jnp.where(was_probe, p + 1, c["lo"])
+        hi_n = jnp.where(was_probe, jnp.minimum(e_p + 1, qlen - 1) + 1, c["hi"])
 
-        # SEARCH lanes: shrink the window
-        searching = (c["mode"] == SEARCH) & ~c["done"]
+        searching = proc & (c["mode"] == SEARCH)
         gt = e_p > c["e0"]
         lo_n = jnp.where(searching, jnp.where(gt, c["lo"], p + 1), lo_n)
         hi_n = jnp.where(searching, jnp.where(gt, p, c["hi"]), hi_n)
 
         converged = lo_n >= hi_n
-        mode_n = jnp.where(probing, SEARCH, c["mode"])
-        mode_n = jnp.where(searching | probing, jnp.where(converged, PROBE, SEARCH), mode_n)
-        b_n = jnp.where(converged, lo_n, c["b"])
-        # a converged window past the read is done
-        done_n = c["done"] | probe_done | (converged & (lo_n >= qlen))
+        mode_n = jnp.where(was_probe, SEARCH, c["mode"])
+        mode_n = jnp.where(searching | was_probe,
+                           jnp.where(converged, PROBE, SEARCH), mode_n)
+        b_n = jnp.where(proc & converged, lo_n, c["b"])
+        done_n = c["done"] | probe_done | (proc & converged & (lo_n >= qlen))
         if has_pivot:  # starts beyond the pivot can never cover it
-            done_n = done_n | (converged & (lo_n > pivot)) | (probing & (p > pivot))
+            done_n = done_n | (proc & converged & (lo_n > pivot)) \
+                | (was_probe & (p > pivot))
+
+        p_next = jnp.where(mode_n == PROBE, b_n, (lo_n + hi_n) // 2)
+        p_next = jnp.where(done_n, jnp.int32(L), jnp.clip(p_next, 0, L - 1))
+        nxt = init_ext(p_next)
+        p_new = jnp.where(proc, p_next, c["p"])
+        ek = jnp.where(proc, nxt["k"], c["ek"])
+        el = jnp.where(proc, nxt["l"], c["el"])
+        es = jnp.where(proc, nxt["s"], c["es"])
+        ee = jnp.where(proc, nxt["e"], c["ee"])
+        ealive = jnp.where(proc, nxt["alive"], c["ealive"])
+
+        # ---- phase A: all alive extensions advance one base
+        pos = ee
+        nb = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        can = ealive & (pos < qlen) & (nb < 4)
+        r_lo, r_hi = _rank4_pair(table, el, el + es)
+        s_new4 = r_hi - r_lo
+        k2 = C[:4][None, :] + r_lo
+        sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
+        l2 = jnp.zeros_like(s_new4)
+        acc = ek + sent_cnt
+        for cc in (3, 2, 1, 0):
+            l2 = l2.at[:, cc].set(acc)
+            acc = acc + s_new4[:, cc]
+        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
+        sel = jnp.clip(nb, 0, 3)[:, None]
+        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
+        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        ok = can & (s_n >= min_intv)
 
         return dict(
             mode=mode_n, b=b_n, lo=lo_n, hi=hi_n, e0=e0_n, done=done_n,
             count=count, sm_m=sm_m, sm_e=sm_e, sm_k=sm_k, sm_s=sm_s,
-            round=c["round"] + 1,
+            p=p_new,
+            ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
+            es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
+            ealive=ok, round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)

@@ -60,7 +60,7 @@ def pass1_sharded_table(mesh: Mesh, index, query, qlen, min_seed_len=19):
     table, slab_blocks = shard_occ_table(mesh, index)
     C = jnp.asarray(index.C.astype(np.int32))
     sent = jnp.int32(index.sentinel_row)
-    max_rounds = 8 * L
+    max_rounds = 64 * L  # flat walk caps extension BASES
 
     def run(slab, q, ql):
         tab = ShardedOccTable(slab, slab_blocks, "data")

@@ -17,6 +17,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("GENOMICSBENCH_CPU"):
+    # force the CPU backend (the machine's sitecustomize pins the tunneled
+    # TPU, which env vars alone can't override) — the kernels are bit-exact
+    # on either backend, so fuzzing can proceed when the tunnel is degraded
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REFBUILD = "/tmp/refbuild"
 
 

@@ -575,7 +575,7 @@ class FmiPipeline:
             nxt[:, p] = np.where(is_n[:, p], p, nxt[:, p + 1])
         nxt = np.minimum(nxt, n_arr[:, None])
 
-        max_rounds = 2 * L
+        max_rounds = 32 * L  # flat walk: cap counts extension BASES
         em_m_a, em_n_a, count, rounds = jax.device_get(_pass3_jump(
             *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
             self._put(nxt.astype(np.int32)), self.max_mem_intv,
@@ -814,30 +814,48 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
     Returns (em_m, em_n, count, rounds)."""
     B, L = query.shape
     mi = jnp.full((B,), min_intv_val, jnp.int32)
+    counts = (C[1:5] - C[:4]).astype(jnp.int32)
 
+    def init_ext(p):
+        base0 = jnp.take_along_axis(
+            query, jnp.clip(p, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        b0 = jnp.clip(base0, 0, 3)
+        k0 = jnp.take(C[:4], b0)
+        s0 = jnp.take(counts, b0)
+        l0 = jnp.take(C[:4], 3 - b0)
+        alive0 = (base0 < 4) & (p < qlen) & (p >= 0) & (s0 >= mi)
+        return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+                    e=jnp.where(alive0, p + 1, p), alive=alive0)
+
+    # flat-pipelined like _pass1_jump: each lane runs its own hop's
+    # extension one base per loop step; max_rounds caps TOTAL steps
+    done0 = qlen < 1
+    x0 = jnp.where(done0, jnp.int32(L), jnp.zeros(B, jnp.int32))
+    ext0 = init_ext(x0)
     init = dict(
-        x=jnp.zeros(B, jnp.int32), done=qlen < 1,
+        x=x0, done=done0,
         count=jnp.zeros(B, jnp.int32),
         em_m=jnp.full((B, L), -1, jnp.int32),
         em_n=jnp.zeros((B, L), jnp.int32),
-        round=jnp.int32(0),
+        ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
+        ealive=ext0["alive"], round=jnp.int32(0),
     )
 
     def cond(c):
         return (~c["done"]).any() & (c["round"] < max_rounds)
 
     def step(c):
+        # phase B: lanes whose extension finished process the hop
+        proc = ~c["ealive"] & ~c["done"]
         x = jnp.clip(c["x"], 0, L - 1)
         base = jnp.take_along_axis(query, x[:, None], axis=1)[:, 0]
         is_n_base = base > 3
-        # done lanes extend from L (born dead) — see _pass1_jump
-        e_x, _, _ = _extend_forward_fori(
-            C, table, sent_row, query, qlen,
-            jnp.where(c["done"], jnp.int32(L), x), mi)
+        e_x = c["ee"]
         nn = jnp.take_along_axis(nxt, jnp.clip(x + 1, 0, L)[:, None], axis=1)[:, 0]
         nn = jnp.minimum(nn, qlen)
         i_star = jnp.maximum(e_x, x + min_len)
-        emit = ~c["done"] & ~is_n_base & (i_star < jnp.minimum(nn, qlen))
+        emit = proc & ~is_n_base & (i_star < jnp.minimum(nn, qlen))
         slot = jnp.clip(c["count"], 0, L - 1)
         rows = jnp.arange(B)
         em_m = c["em_m"].at[rows, slot].set(
@@ -848,9 +866,44 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         x_next = jnp.where(is_n_base, c["x"] + 1,
                            jnp.where(emit, i_star + 1,
                                      jnp.where(nn < qlen, nn + 1, qlen)))
-        x_next = jnp.where(c["done"], c["x"], x_next)
-        return dict(x=x_next, done=c["done"] | (x_next >= qlen), count=count,
-                    em_m=em_m, em_n=em_n, round=c["round"] + 1)
+        done_n = c["done"] | (proc & (x_next >= qlen))
+        x_new = jnp.where(proc, x_next, c["x"])
+        p_next = jnp.where(done_n | ~proc, jnp.int32(L),
+                           jnp.clip(x_next, 0, L - 1))
+        nxt_ext = init_ext(p_next)
+        ek = jnp.where(proc, nxt_ext["k"], c["ek"])
+        el = jnp.where(proc, nxt_ext["l"], c["el"])
+        es = jnp.where(proc, nxt_ext["s"], c["es"])
+        ee = jnp.where(proc, nxt_ext["e"], c["ee"])
+        ealive = jnp.where(proc, nxt_ext["alive"], c["ealive"])
+
+        # phase A: all alive extensions advance one base
+        pos = ee
+        nb = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        can = ealive & (pos < qlen) & (nb < 4)
+        r_lo, r_hi = _rank4_pair(table, el, el + es)
+        s_new4 = r_hi - r_lo
+        k2 = C[:4][None, :] + r_lo
+        sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
+        l2 = jnp.zeros_like(s_new4)
+        acc = ek + sent_cnt
+        for cc in (3, 2, 1, 0):
+            l2 = l2.at[:, cc].set(acc)
+            acc = acc + s_new4[:, cc]
+        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
+        sel = jnp.clip(nb, 0, 3)[:, None]
+        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
+        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        ok = can & (s_n >= mi)
+
+        return dict(
+            x=x_new, done=done_n, count=count, em_m=em_m, em_n=em_n,
+            ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
+            es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
+            ealive=ok, round=c["round"] + 1,
+        )
 
     final = jax.lax.while_loop(cond, step, init)
     return final["em_m"], final["em_n"], final["count"], final["round"]

@@ -17,15 +17,18 @@ TPU-first design:
   counts plus two 2x-uint32 bitplanes and a validity plane, so one rank is
   one checkpoint gather + masked popcounts (the TPU reshape of bwa-mem2's
   cacheline-checkpoint layout, fmi.cpp:44).
-* Search: every (read, start) pair is an independent lane.  One lax.scan
-  forward-extends all lanes a base per step (FMD bi-interval extension)
-  until the interval size drops below the lane's min_intv.  The per-start
-  longest-match table e_b is non-decreasing, so SMEMs fall out of the
-  containment rule "[b, e_b) is an SMEM iff e_b > e_{b-1}" — two
-  data-parallel sweeps replace bwa's sequential curr/prev interval
-  bookkeeping with identical output sets.
-* Pass 3's sequential pivot hopping (x advances to each hit's end) is an
-  orbit walk over a precomputed per-position stop table, done on host.
+* Search: the per-start longest-match table e_b is non-decreasing, so
+  SMEM starts are exactly the positions where e strictly increases.  The
+  primary path (_pass1_jump) walks them per read with binary-search jumps,
+  flat-pipelined: every read-lane runs its own probe's FMD bi-interval
+  extension one base per step and transitions the moment it dies — no
+  cross-lane barrier, everything inside one jit.  A lane-per-(read,start)
+  e-table scan with the containment rule "[b, e_b) is an SMEM iff
+  e_b > e_{b-1}" remains as the fallback for pathological inputs; both
+  emit identical SMEM sets.
+* Pass 3's sequential pivot hopping (x advances to each hit's end) is a
+  device walk (_pass3_jump) over a precomputed per-position ambiguous-base
+  stop table, flat-pipelined per lane like pass 1.
 """
 
 from __future__ import annotations

@@ -288,9 +288,15 @@ def cmd_eventalign(args):
             names.append(name)
             seqs.append(encode_seq(seq.decode()))
             raws.append(np.asarray(sig[name], np.float32))
+    profile = None
+    if getattr(args, "profile", None):
+        from genomicsbench_tpu.config import load_abea_profile
+
+        profile = load_abea_profile(args.profile)
     t0 = _t()
     results = eventalign_reads(raws, seqs, model_mean, model_stdv,
-                               tsv_fp=sys.stdout, sample_rate=args.sample_rate)
+                               tsv_fp=sys.stdout, sample_rate=args.sample_rate,
+                               profile=profile)
     dt = _t() - t0
     n_ok = sum(1 for r in results if r.flag == 0)
     print(f"[eventalign] {n_ok}/{len(results)} reads aligned, "
@@ -548,6 +554,10 @@ def build_parser():
     s.add_argument("--reads", required=True, help="FASTA/Q of read sequences")
     s.add_argument("--model", help="pore model TSV (else synthetic)")
     s.add_argument("--sample-rate", type=float, default=4000.0)
+    s.add_argument("--profile",
+                   help="runtime batching profile: preset name (v5e, "
+                        "v5e-lite, cpu-test) or a file in f5c's 7-field "
+                        "--profile format (f5c.c:1795-1844)")
     s.set_defaults(fn=cmd_eventalign)
 
     s = sub.add_parser("nn-base", help="neural basecalling")

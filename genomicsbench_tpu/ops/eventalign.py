@@ -229,13 +229,57 @@ class ReadResult:
 
 
 def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
-                     tsv_fp=None, sample_rate=4000.0):
+                     tsv_fp=None, sample_rate=4000.0, profile=None,
+                     _write_header=True, _read_indices=None):
     """Per-batch process_db (f5c.c:1497): event detection -> MoM scaling
     -> batched device ABEA -> postalign -> recalibrate -> QC -> TSV.
 
     raw_signals: list of f32 raw-signal arrays; sequences: list of 0..3
     coded read sequences.  Returns list[ReadResult]; writes TSV rows for
-    passing reads if tsv_fp is given."""
+    passing reads if tsv_fp is given.
+
+    With a `profile` (config.AbeaRunProfile, the f5c --profile analog),
+    reads are split into device batches of <= batch_size reads /
+    batch_size_bases, and reads longer than ultra_thresh go into separate
+    batches so one outlier doesn't inflate every lane's padding (the TPU
+    replacement for f5c's ultra-long CPU fallback, f5c.cu:1026-1059)."""
+    if profile is not None:
+        order = sorted(range(len(sequences)),
+                       key=lambda i: (len(sequences[i]) > profile.ultra_thresh,
+                                      len(sequences[i])))
+        results: list = [None] * len(sequences)
+        batch: list[int] = []
+        bases = 0
+
+        def flush():
+            nonlocal batch, bases
+            if not batch:
+                return
+            nonlocal_first = flush.first
+            flush.first = False
+            sub = eventalign_reads(
+                [raw_signals[i] for i in batch],
+                [sequences[i] for i in batch],
+                model_mean, model_stdv, tsv_fp=tsv_fp,
+                sample_rate=sample_rate, _write_header=nonlocal_first,
+                _read_indices=list(batch))
+            for i, r in zip(batch, sub):
+                results[i] = r
+            batch, bases = [], 0
+
+        flush.first = _write_header
+        for i in order:
+            n = len(sequences[i])
+            if batch and (len(batch) >= profile.batch_size
+                          or bases + n > profile.batch_size_bases
+                          or (n > profile.ultra_thresh) != (
+                              len(sequences[batch[0]]) > profile.ultra_thresh)):
+                flush()
+            batch.append(i)
+            bases += n
+        flush()
+        return results
+
     B = len(raw_signals)
     assert B == len(sequences)
     events = [abea_ops.detect_events(r) for r in raw_signals]
@@ -246,7 +290,7 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
     res = abea_ops.align_batch(
         sequences, [e[2] for e in events], model_mean, model_stdv, scalings
     )
-    if tsv_fp is not None:
+    if tsv_fp is not None and _write_header:
         tsv_fp.write(TSV_HEADER + "\n")
     out = []
     for b in range(B):
@@ -269,7 +313,8 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
             emit_eventalign_tsv(
                 tsv_fp, aln, sequences[b], events[b][2], events[b][3], events[b][1],
                 (scale, shift, var), model_mean, model_stdv,
-                read_index=b, sample_rate=sample_rate,
+                read_index=(b if _read_indices is None else _read_indices[b]),
+                sample_rate=sample_rate,
             )
         out.append(ReadResult(0, (float(scale), float(shift), float(var)), epb, aln))
     return out

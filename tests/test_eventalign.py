@@ -161,3 +161,43 @@ def test_eventalign_pipeline_matches_serial():
         for a, b_ in zip(s, p):
             assert a.scalings == pytest.approx(b_.scalings)
     assert pipe_buf.getvalue() == serial_buf.getvalue()
+
+
+def test_profile_batching_matches_single_batch(tmp_path):
+    """f5c --profile analog: batched/ultra-split execution must produce the
+    same per-read results and a single TSV header."""
+    import io
+
+    from genomicsbench_tpu.config import AbeaRunProfile, load_abea_profile
+    from genomicsbench_tpu.ops import abea as abea_ops
+    from genomicsbench_tpu.ops.eventalign import eventalign_reads
+
+    mm, ms = abea_ops.synthetic_model(seed=0)
+    rng = np.random.default_rng(9)
+    seqs, raws = [], []
+    for n in (80, 300, 120, 90, 260):
+        seq = rng.integers(0, 4, n).astype(np.uint8)
+        lv = mm[abea_ops.kmer_ranks(seq)]
+        raw = np.repeat(lv, 8) + rng.normal(0, 0.3, len(lv) * 8)
+        seqs.append(seq)
+        raws.append(raw.astype(np.float32))
+    want = eventalign_reads(raws, seqs, mm, ms)
+    prof = AbeaRunProfile(batch_size=2, batch_size_bases=10_000,
+                          ultra_thresh=200)
+    buf = io.StringIO()
+    got = eventalign_reads(raws, seqs, mm, ms, tsv_fp=buf, profile=prof)
+    assert [r.flag for r in got] == [r.flag for r in want]
+    for g, w in zip(got, want):
+        if g.alignment is not None:
+            np.testing.assert_array_equal(g.alignment.event_idx,
+                                          w.alignment.event_idx)
+    headers = [ln for ln in buf.getvalue().splitlines()
+               if ln.startswith("contig\t")]
+    assert len(headers) == 1
+
+    # f5c 7-field profile file round-trip (f5c.c:1810-1815)
+    pf = tmp_path / "xavier.profile"
+    pf.write_text("5.0 2.25 5.0 512 2000000 3 90000\n")
+    p = load_abea_profile(str(pf))
+    assert (p.batch_size, p.batch_size_bases, p.num_workers,
+            p.ultra_thresh) == (512, 2_000_000, 3, 90_000)

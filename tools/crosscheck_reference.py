@@ -31,7 +31,6 @@ REFBUILD = "/tmp/refbuild"
 def crosscheck_bsw(rng, n=500):
     from genomicsbench_tpu.ops.bsw import banded_sw_batch
 
-    lines = [str(n)]
     cases = []
     for _ in range(n):
         ql = int(rng.integers(20, 250))
@@ -42,7 +41,28 @@ def crosscheck_bsw(rng, n=500):
         t[idx] = rng.integers(0, 4, len(idx))
         h0 = int(rng.integers(0, 50))
         cases.append((q, t, h0))
-        lines += [str(h0), str(tl), str(ql), "".join(map(str, t)), "".join(map(str, q))]
+    # boundary pairs: max query 255 vs target up to 2047, all-mismatch
+    # (z-drop path), h0=0, single-base query
+    for _ in range(8):
+        ql = 255
+        tl = int(rng.integers(1000, 2048))
+        q = rng.integers(0, 4, ql)
+        t = np.concatenate([q, rng.integers(0, 4, tl - ql)]).copy()
+        t[rng.integers(0, ql, 20)] = rng.integers(0, 4, 20)
+        cases.append((q, t, int(rng.integers(0, 50))))
+    for _ in range(4):
+        ql = int(rng.integers(50, 200))
+        q = rng.integers(0, 4, ql)
+        t = (q + 1 + rng.integers(0, 3, ql)) % 4  # every base mismatches
+        cases.append((q, t.copy(), int(rng.integers(0, 30))))
+    q = rng.integers(0, 4, 120)
+    cases.append((q, q.copy(), 0))                # h0 = 0
+    cases.append((rng.integers(0, 4, 1), rng.integers(0, 4, 3), 10))
+    n = len(cases)
+    lines = [str(n)]
+    for q, t, h0 in cases:
+        lines += [str(h0), str(len(t)), str(len(q)),
+                  "".join(map(str, t)), "".join(map(str, q))]
     open("/tmp/xc_bsw.in", "w").write("\n".join(lines) + "\n")
     out = subprocess.run([f"{REFBUILD}/bsw_gold", "/tmp/xc_bsw.in"],
                          capture_output=True, text=True, check=True).stdout
@@ -261,7 +281,9 @@ def crosscheck_abea(rng, n_cases=16):
     mean, stdv = synthetic_model(0)
     cases = []
     for c in range(n_cases):
-        slen = int(rng.integers(60, 400))
+        # a couple of long reads per run stress the adaptive band drift
+        slen = int(rng.integers(1200, 2000)) if c % 8 == 7 else \
+            int(rng.integers(60, 400))
         seq = rng.integers(0, 4, slen).astype(np.uint8)
         ranks = kmer_ranks(seq)
         scale = float(rng.uniform(0.9, 1.1))

@@ -263,14 +263,26 @@ class BswScorer:
     HBM and `score` covers bucket dispatch + device compute + result fetch.
     """
 
-    def __init__(self, batch, params: BswParams = BswParams(), batch_size: int = 2048):
+    def __init__(self, batch, params: BswParams = BswParams(), batch_size: int = 2048,
+                 multiple=None):
         from genomicsbench_tpu.batching.bucketing import bucket_by_length
 
         self.params = params
         self.n = batch.n
         self.mat = jnp.asarray(params.score_matrix(), dtype=jnp.int32)
+        if multiple is None:
+            # Each distinct bucket shape is one compiled program.  Small
+            # workloads are program-load-bound (compile-cache load + upload
+            # per shape), so coarsen the length grid to cut program count;
+            # large workloads amortize programs and win from tight padding.
+            if batch.n >= 4096:
+                multiple = (16, 64)
+            elif batch.n >= 1024:
+                multiple = (64, 128)
+            else:
+                multiple = (256, 256)  # typically one program total
         self.buckets = bucket_by_length(
-            (batch.tlen, batch.qlen), batch_size, multiple=(16, 64), sort_by=0
+            (batch.tlen, batch.qlen), batch_size, multiple=multiple, sort_by=0
         )
         idx_list = []
         for b in self.buckets:

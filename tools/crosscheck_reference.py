@@ -26,6 +26,9 @@ if os.environ.get("GENOMICSBENCH_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 REFBUILD = "/tmp/refbuild"
+# unique per process: concurrent crosscheck runs (e.g. a background fuzz
+# soak) must not race on shared scratch files
+TMP = f"/tmp/xc_{os.getpid()}"
 
 
 def crosscheck_bsw(rng, n=500):
@@ -63,8 +66,8 @@ def crosscheck_bsw(rng, n=500):
     for q, t, h0 in cases:
         lines += [str(h0), str(len(t)), str(len(q)),
                   "".join(map(str, t)), "".join(map(str, q))]
-    open("/tmp/xc_bsw.in", "w").write("\n".join(lines) + "\n")
-    out = subprocess.run([f"{REFBUILD}/bsw_gold", "/tmp/xc_bsw.in"],
+    open(TMP + "_bsw.in", "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([f"{REFBUILD}/bsw_gold", TMP + "_bsw.in"],
                          capture_output=True, text=True, check=True).stdout
     exp = np.array(out.split(), np.int64).reshape(n, 6)
 
@@ -102,8 +105,8 @@ def crosscheck_chain(rng, n_reads=24):
         lines.append(f"{nn} {avg} 5000 5000 500 1")
         for x, y in zip(xs, qs | span):
             lines.append(f"{int(x)} {int(y)}")
-    open("/tmp/xc_chain.in", "w").write("\n".join(lines) + "\n")
-    out = subprocess.run([f"{REFBUILD}/chain_gold", "/tmp/xc_chain.in"],
+    open(TMP + "_chain.in", "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([f"{REFBUILD}/chain_gold", TMP + "_chain.in"],
                          capture_output=True, text=True, check=True).stdout
     res = chain_batch(calls)
     toks = out.split()
@@ -135,7 +138,7 @@ def crosscheck_kmer(rng, n_reads=60):
     for r in reads[::2]:
         at = int(rng.integers(0, len(r) - len(motif) + 1))
         r[at : at + len(motif)] = motif
-    with open("/tmp/xc_kmer.fa", "w") as f:
+    with open(TMP + "_kmer.fa", "w") as f:
         for i, r in enumerate(reads):
             f.write(f">read{i}\n" + "".join("ACGT"[b] for b in r) + "\n")
 
@@ -147,12 +150,12 @@ def crosscheck_kmer(rng, n_reads=60):
         lengths[i] = len(r)
     offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
 
-    def run_gold(cfg_rate, k, mode, wnd):
-        open("/tmp/xc_kmer.cfg", "w").write(
+    def run_gold(cfg_rate, k, mode, *extra):
+        open(TMP + "_kmer.cfg", "w").write(
             f"repeat_kmer_rate={cfg_rate}\nassemble_kmer_sample=1\n")
         out = subprocess.run(
-            [f"{REFBUILD}/kmer_gold", "/tmp/xc_kmer.fa", "/tmp/xc_kmer.cfg",
-             str(k), mode, str(wnd)],
+            [f"{REFBUILD}/kmer_gold", TMP + "_kmer.fa", TMP + "_kmer.cfg",
+             str(k), mode] + [str(e) for e in extra],
             capture_output=True, text=True, check=True).stdout.splitlines()
         assert int(out[0]) == len(out) - 1
         return out[1:]
@@ -161,7 +164,7 @@ def crosscheck_kmer(rng, n_reads=60):
     k = 11
     uniq, counts = count_kmers(seq, lengths, k)
     table = dict(zip(uniq.tolist(), counts.tolist()))
-    gold = run_gold(100.0, k, "count", 0)
+    gold = run_gold(100.0, k, "count")
     assert len(gold) == len(table), (len(gold), len(table))
     for line in gold:
         repr_, freq = map(int, line.split())
@@ -188,8 +191,33 @@ def crosscheck_kmer(rng, n_reads=60):
             n_tot += freq
         print(f"kmer: minimizers k={k} w={wnd} rate={rate}: "
               f"{n_tot} index entries bit-exact vs reference binary")
-    print(f"kmer: {n_reads} fresh reads, counts + minimizer index bit-exact "
+
+    # metagenome-mode index (buildIndexUnevenCoverage + yieldFrequentKmers,
+    # vertex_index.cpp:25-125, 316-358)
+    from genomicsbench_tpu.ops.kmer import build_index_uneven_coverage
+
+    k, mf, sr, tf, rate = 15, 2, 0.2, 10, 100.0
+    idx = build_index_uneven_coverage(seq, lengths, k=k, global_min_freq=mf,
+                                      select_rate=sr, tandem_freq=tf,
+                                      repeat_kmer_rate=rate)
+    rep_set = set(idx.repetitive.tolist())
+    n_tot = 0
+    for line in run_gold(rate, k, "uneven", mf, sr, tf):
+        toks = line.split()
+        repr_, freq, repflag = int(toks[0]), int(toks[1]), int(toks[2])
+        assert (repr_ in rep_set) == bool(repflag), ("uneven", repr_)
+        got = idx.lookup(repr_)
+        assert len(got) == freq, ("uneven", repr_, freq, len(got))
+        want = sorted(
+            offs[abs(int(s_)) - 1] + int(p_)
+            for s_, p_ in (t.split(":") for t in toks[3:])
+        )
+        assert list(got) == want, ("uneven", repr_, list(got), want)
+        n_tot += freq
+    print(f"kmer: uneven-coverage index: {n_tot} entries bit-exact "
           f"vs reference binary")
+    print(f"kmer: {n_reads} fresh reads, counts + minimizer + metagenome "
+          f"indexes bit-exact vs reference binary")
 
 
 def crosscheck_dbg(rng, n_windows=6):
@@ -227,8 +255,8 @@ def crosscheck_dbg(rng, n_windows=6):
             lines.append(" ".join(map(str, quals)))
         inp = [f"{k} {min_qual} {ref_start}", "".join(b2c[ref]),
                str(n_reads)] + lines
-        open("/tmp/xc_dbg.in", "w").write("\n".join(inp) + "\n")
-        out = subprocess.run([f"{REFBUILD}/dbg_gold", "/tmp/xc_dbg.in"],
+        open(TMP + "_dbg.in", "w").write("\n".join(inp) + "\n")
+        out = subprocess.run([f"{REFBUILD}/dbg_gold", TMP + "_dbg.in"],
                              capture_output=True, text=True, check=True).stdout
 
         g = build_window_graph_oracle(ref, ref_start, reads, k=k,
@@ -301,7 +329,7 @@ def crosscheck_abea(rng, n_cases=16):
     # run the reference driver on the same (truncated-precision) inputs it
     # parses: round-trip everything through the text format so both sides
     # see bit-identical float32 values
-    path = "/tmp/xc_abea.in"
+    path = TMP + "_abea.in"
     with open(path, "w") as f:
         f.write("align\n")
         f.write(f"{len(cases)}\n")

@@ -6,6 +6,7 @@
 //
 // Usage:  kmer_gold <reads.fasta> <config> <k> count
 //         kmer_gold <reads.fasta> <config> <k> minimizers <window>
+//         kmer_gold <reads.fasta> <config> <k> uneven <minFreq> <selectRate> <tandemFreq>
 //
 // Output (count):       one "repr freq" line per distinct standard-form
 //                       k-mer, ascending repr.
@@ -68,6 +69,28 @@ int main(int argc, char** argv) {
         for (auto repr : stdKmers) {
             Kmer km(repr);
             printf("%zu %zu\n", (size_t)repr, counter.getFreq(km));
+        }
+    } else if (mode == "uneven") {
+        // metagenome-mode index: countKmers feeds yieldFrequentKmers
+        // (vertex_index.cpp:25-125, 316-358)
+        int minFreq = argc > 5 ? atoi(argv[5]) : 2;
+        double selectRate = argc > 6 ? atof(argv[6]) : 0.01;
+        int tandemFreq = argc > 7 ? atoi(argv[7]) : 10;
+        VertexIndex index(reads, (int)Config::get("assemble_kmer_sample"));
+        index.countKmers();
+        index.buildIndexUnevenCoverage(minFreq, (float)selectRate, tandemFreq);
+        printf("%zu\n", stdKmers.size());
+        for (auto repr : stdKmers) {
+            Kmer km(repr);
+            size_t freq = index.kmerFreq(km);
+            printf("%zu %zu %d", (size_t)repr, freq,
+                   index.isRepetitive(km) ? 1 : 0);
+            if (freq > 0) {
+                for (auto rp : index.iterKmerPos(km)) {
+                    printf(" %d:%d", rp.readId.signedId(), rp.position);
+                }
+            }
+            printf("\n");
         }
     } else {
         VertexIndex index(reads, (int)Config::get("assemble_kmer_sample"));

@@ -27,9 +27,16 @@ import numpy as np
 
 
 @functools.partial(jax.jit, donate_argnums=(2, 3))
-def _grm_block(geno_block, maf_ok, acc_num, acc_den):
-    """geno_block (Mb, N) int8 codes: 0/1/2 = dosage, 3 = missing.
-    Accumulates numerator (N, N) and pair-counts (N, N)."""
+def _grm_block(packed, maf_ok, acc_num, acc_den):
+    """packed (Mb, N/4) uint8, four 2-bit genotype codes per byte
+    (sample-major within a variant — plink2's own .pgen 2-bit layout):
+    0/1/2 = dosage, 3 = missing.  Shipping packed bytes cuts the
+    host->device transfer 4x (the e2e bottleneck on slow links) and is
+    the natural hand-off from 2-bit .pgen records.  Accumulates the
+    numerator (N, N) and pair-counts (N, N)."""
+    Mb = packed.shape[0]
+    lanes = [(packed >> (2 * l)) & 3 for l in range(4)]
+    geno_block = jnp.stack(lanes, axis=2).reshape(Mb, -1).astype(jnp.int8)
     g = geno_block.astype(jnp.float32)
     miss = geno_block == 3
     obs = (~miss).astype(jnp.float32)
@@ -70,11 +77,14 @@ def grm(geno: np.ndarray, maf: float = 0.01, block: int = 2048):
         alt = np.where(miss, 0, blk).sum(1)
         p = alt / np.maximum(2 * n_obs, 1)
         maf_ok = (np.minimum(p, 1 - p) >= maf) & (n_obs > 0)
-        pad = np.zeros((blk.shape[0], Nb), np.int8)
+        pad = np.zeros((blk.shape[0], Nb), np.uint8)
         pad[:, :N] = blk
         pad[:, N:] = 3  # padding samples are "missing" everywhere
+        q = pad.reshape(pad.shape[0], Nb // 4, 4)
+        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+                  | (q[..., 3] << 6)).astype(np.uint8)
         acc_num, acc_den = _grm_block(
-            jnp.asarray(pad), jnp.asarray(maf_ok), acc_num, acc_den
+            jnp.asarray(packed), jnp.asarray(maf_ok), acc_num, acc_den
         )
     num, den = jax.device_get((acc_num, acc_den))
     num, den = num[:N, :N], den[:N, :N]

@@ -12,6 +12,7 @@ BAM record fields surfaced: name, flag, ref_id, pos (0-based), mapq, cigar
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import gzip
 import struct
@@ -343,7 +344,7 @@ class IndexedBam:
                 e += 4 + slen
             self._blocks.append(pos)
             pos += bsize
-        self._block_set = set(self._blocks)
+        self._block_index = {c: i for i, c in enumerate(self._blocks)}
         # header: decompress leading blocks until refs parsed
         hdr_raw = b""
         bi = 0
@@ -404,12 +405,16 @@ class IndexedBam:
         for cbeg, cend in chunks:
             coff, uoff = cbeg >> 16, cbeg & 0xFFFF
             # walk blocks until past cend
-            bi = self._blocks.index(coff) if coff in self._block_set else None
+            bi = self._block_index.get(coff)
             if bi is None:
                 continue
             buf = b""
+            raw_starts = []   # cumulative raw offset where each block starts in buf
+            block_coffs = []  # matching compressed file offsets
             base = bi
             while True:
+                raw_starts.append(len(buf))
+                block_coffs.append(self._blocks[base])
                 buf += self._read_block(self._blocks[base])
                 # stop growing when the buffer passes the chunk end
                 if (self._blocks[base] > (cend >> 16)) or base + 1 >= len(self._blocks):
@@ -420,7 +425,11 @@ class IndexedBam:
                 block_size = struct.unpack_from("<i", buf, pos)[0]
                 if pos + 4 + block_size > len(buf):
                     break
-                key = (self._blocks[bi], pos)
+                # dedup on the record's ABSOLUTE virtual offset: the same
+                # record reached from chunks starting in different blocks
+                # maps to the same (block coff, in-block offset) key.
+                k = bisect.bisect_right(raw_starts, pos) - 1
+                key = (block_coffs[k] << 16) | (pos - raw_starts[k])
                 pos_rec = pos
                 pos += 4 + block_size
                 if key in seen:

@@ -553,9 +553,13 @@ int64_t gb_pairhmm_f64(
     const uint8_t* haps, const int64_t* h_off, const int64_t* h_len,
     const int64_t* q, const int64_t* qi, const int64_t* qd, const int64_t* qc,
     int64_t n_pairs, double* out) {
-    // ph2pr table
+    // ph2pr table; quality indexes are clamped to [0,127] so an out-of-range
+    // caller value cannot read past the table
     double ph2pr[128];
     for (int i = 0; i < 128; i++) ph2pr[i] = pow(10.0, -i / 10.0);
+    auto pq = [&ph2pr](int64_t v) {
+        return ph2pr[v < 0 ? 0 : (v > 127 ? 127 : v)];
+    };
     const double INIT = ldexp(1.0, 1020);
 
     std::vector<double> M0, X0, Y0, M1, X1, Y1;
@@ -573,11 +577,11 @@ int64_t gb_pairhmm_f64(
         double* Mp = M0.data(); double* Xp = X0.data(); double* Yp = Y0.data();
         double* Mc = M1.data(); double* Xc = X1.data(); double* Yc = Y1.data();
         for (int64_t i = 1; i <= R; i++) {
-            double t_mm = 1.0 - std::min(1.0, ph2pr[ii[i-1]] + ph2pr[dd[i-1]]);
-            double t_gapm = 1.0 - ph2pr[cc[i-1]];
-            double t_mx = ph2pr[ii[i-1]], t_xx = ph2pr[cc[i-1]];
-            double t_my = ph2pr[dd[i-1]], t_yy = ph2pr[cc[i-1]];
-            double qp = ph2pr[qq[i-1]];
+            double t_mm = 1.0 - std::min(1.0, pq(ii[i-1]) + pq(dd[i-1]));
+            double t_gapm = 1.0 - pq(cc[i-1]);
+            double t_mx = pq(ii[i-1]), t_xx = pq(cc[i-1]);
+            double t_my = pq(dd[i-1]), t_yy = pq(cc[i-1]);
+            double qp = pq(qq[i-1]);
             uint8_t rb = rd[i-1];
             Mc[0] = 0.0; Xc[0] = 0.0; Yc[0] = 0.0;
             for (int64_t j = 1; j <= H; j++) {

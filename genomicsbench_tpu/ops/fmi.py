@@ -138,6 +138,14 @@ def build_fmd_index(ref_codes: np.ndarray) -> FmdIndex:
     """ref_codes: (L,) uint8 0..3 (split contigs at ambiguous bases)."""
     t = np.concatenate([ref_codes, revcomp_codes(ref_codes)]).astype(np.uint8)
     n = len(t)
+    # device lane state (k/l/s) and the packed occ table are int32: the
+    # doubled text (fwd+rc) must fit.  GRCh38-scale (~6.2e9 rows) needs an
+    # int64-limb variant — fail loudly rather than silently wrap.
+    if n + 1 >= 2**31:
+        raise ValueError(
+            f"FMD index rows {n + 1} overflow the int32 device lane state; "
+            "split the reference into <1 Gbase shards"
+        )
     sa_body = suffix_array(t)
     sa = np.concatenate([[n], sa_body]).astype(np.int64)  # row 0 = $ suffix
     bwt_pos = sa - 1

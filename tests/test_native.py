@@ -174,6 +174,68 @@ def test_bai_indexed_fetch(tmp_path):
         assert got == want, (s, e, len(got), len(want))
 
 
+def test_bai_indexed_fetch_multiblock(tmp_path):
+    """Multi-block BAM regression (ADVICE r1): dedup must key on the record's
+    absolute virtual offset — chunk walks that start in different BGZF blocks
+    previously produced duplicate records (10376 vs 4000 on a 192KB BAM)."""
+    from genomicsbench_tpu.io.bam import (
+        BamFile, BamRecord, IndexedBam, read_bam, write_bai, write_bam,
+    )
+
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(4000):
+        pos = int(rng.integers(0, 500000))
+        ln = int(rng.integers(60, 200))
+        recs.append(BamRecord(
+            name=f"r{i}", flag=0, ref_id=0, pos=pos, mapq=50,
+            cigar=[("M", ln)], seq=rng.integers(0, 4, ln).astype(np.uint8),
+            qual=np.full(ln, 30, np.uint8),
+        ))
+    recs.sort(key=lambda r: r.pos)
+    bam = BamFile(header_text="@HD\tVN:1.6\n", ref_names=["chr1"],
+                  ref_lens=[600000], records=recs)
+    p = tmp_path / "multi.bam"
+    write_bam(str(p), bam)
+    # must actually span several BGZF blocks for the regression to bite
+    assert p.stat().st_size > 2 * 60000
+    write_bai(str(p))
+    ib = IndexedBam(str(p))
+    assert len(ib._blocks) > 3
+    lin = read_bam(str(p))
+    # full-reference fetch: every record exactly once, no duplicates
+    got = [r.name for r in ib.fetch("chr1", 0, 600000)]
+    assert len(got) == len(set(got)) == 4000
+    for (s, e) in ((0, 50000), (200000, 260000), (123456, 130000), (490000, 600000)):
+        want = sorted(r.name for r in lin.fetch("chr1", s, e))
+        got = sorted(r.name for r in ib.fetch("chr1", s, e))
+        assert got == want, (s, e, len(got), len(want))
+
+
+def test_pairhmm_f64_clamps_out_of_range_quals():
+    """gb_pairhmm_f64 must clamp quality indexes to the 128-entry ph2pr
+    table (ADVICE r1) — a qual of 200 previously read out of bounds."""
+    from genomicsbench_tpu import native as native_mod
+
+    rng = np.random.default_rng(3)
+    read = rng.integers(0, 4, 24).astype(np.uint8)
+    hap = rng.integers(0, 4, 40).astype(np.uint8)
+    q = np.full(24, 30, np.int64)
+    qi = np.full(24, 40, np.int64)
+    qd = np.full(24, 40, np.int64)
+    qc = np.full(24, 10, np.int64)
+    base = native_mod.pairhmm_f64([(read, hap, q, qi, qd, qc)])
+    if base is None:
+        pytest.skip("native lib unavailable")
+    # out-of-range quals clamp to 127 (not UB): same result as pre-clamped 127
+    q2 = q.copy(); q2[5] = 200
+    hi = native_mod.pairhmm_f64([(read, hap, q2, qi, qd, qc)])
+    q3 = q.copy(); q3[5] = 127
+    ref = native_mod.pairhmm_f64([(read, hap, q3, qi, qd, qc)])
+    assert hi[0] == ref[0]
+    assert np.isfinite(base[0])
+
+
 def test_ctc_beam_search_matches_python():
     """gb_ctc_beam_search vs the pure-Python prefix beam search: identical
     decodes across random posterior streams."""

@@ -82,10 +82,82 @@ class TestPgenIo:
 
         write_pgen(str(tmp_path / "x"), np.zeros((2, 3), np.uint8))
         raw = bytearray((tmp_path / "x.pgen").read_bytes())
-        raw[2] = 0x10
+        raw[2] = 0x03  # fixed-width dosage: genuinely unsupported
         (tmp_path / "x.pgen").write_bytes(bytes(raw))
         with pytest.raises(NotImplementedError):
             read_pgen(str(tmp_path / "x"))
+
+    @pytest.mark.parametrize("mode", [0x10, 0x11])
+    def test_pgen_standard_roundtrip(self, tmp_path, mode):
+        """Variable-width modes (the canonical phase3 .pgen storage,
+        run-cpu.sh:53): every encoding class must round-trip."""
+        from genomicsbench_tpu.io.plink import read_pgen, write_pgen
+
+        rng = np.random.default_rng(7)
+        rows = []
+        # dense random -> vrtype 0
+        rows += list(rng.integers(0, 4, size=(5, 700)).astype(np.uint8))
+        # sparse over each constant base -> vrtypes 4..7
+        for base in range(4):
+            r = np.full(700, base, np.uint8)
+            idx = rng.choice(700, 9, replace=False)
+            r[idx] = (base + 1 + rng.integers(0, 3, 9)) % 4
+            rows.append(r)
+        # LD-correlated pair -> vrtype 2 (copy + small difflist)
+        dense = rng.integers(0, 4, 700).astype(np.uint8)
+        rows.append(dense)
+        ld = dense.copy()
+        ld[rng.choice(700, 5, replace=False)] = rng.integers(0, 4, 5)
+        rows.append(ld)
+        # inverted-LD pair -> vrtype 3
+        inv = np.array([2, 1, 0, 3], np.uint8)[dense]
+        inv[rng.choice(700, 4, replace=False)] = rng.integers(0, 4, 4)
+        rows.append(dense.copy())
+        rows.append(inv)
+        # two-common-values + exceptions -> vrtype 1 (1-bit)
+        ob = rng.choice([0, 2], 700).astype(np.uint8)
+        ob[rng.choice(700, 60, replace=False)] = rng.integers(0, 4, 60)
+        rows.append(ob)
+        geno = np.stack(rows)
+        write_pgen(str(tmp_path / "s"), geno, mode=mode)
+        # writer actually exercised the compressed encodings
+        raw = (tmp_path / "s.pgen").read_bytes()
+        assert raw[2] == mode
+        assert len(raw) < 3 + geno.shape[0] * (-(-geno.shape[1] // 4))
+        back, _ = read_pgen(str(tmp_path / "s"))
+        np.testing.assert_array_equal(back, geno)
+
+    def test_pgen_standard_multiblock(self, tmp_path):
+        """>65536 variants: per-block vrtype/length arrays + u64 block
+        offsets; LD bases must not leak across block boundaries."""
+        from genomicsbench_tpu.io.plink import read_pgen, write_pgen
+
+        rng = np.random.default_rng(8)
+        M, N = 65536 + 37, 16
+        base = rng.integers(0, 4, N).astype(np.uint8)
+        geno = np.tile(base, (M, 1))
+        flip = rng.integers(0, N, M)
+        geno[np.arange(M), flip] = rng.integers(0, 4, M)
+        write_pgen(str(tmp_path / "mb"), geno, mode=0x10)
+        back, _ = read_pgen(str(tmp_path / "mb"))
+        np.testing.assert_array_equal(back, geno)
+
+    def test_grm_from_standard_pgen(self, tmp_path):
+        """Compressed .pgen feeds the GRM kernel identically to fixed-width."""
+        from genomicsbench_tpu.io.plink import read_pgen, write_pgen
+        from genomicsbench_tpu.ops.grm import grm
+
+        rng = np.random.default_rng(9)
+        geno = rng.integers(0, 3, size=(120, 24)).astype(np.uint8)
+        geno[rng.random(geno.shape) < 0.7] = 0  # sparse: compressed records
+        write_pgen(str(tmp_path / "fx"), geno, mode=0x02)
+        write_pgen(str(tmp_path / "cp"), geno, mode=0x11)
+        fx, _ = read_pgen(str(tmp_path / "fx"))
+        cp, _ = read_pgen(str(tmp_path / "cp"))
+        np.testing.assert_array_equal(fx, cp)
+        g1, _ = grm(fx)
+        g2, _ = grm(cp)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
     def test_grm_from_pgen(self, tmp_path):
         from genomicsbench_tpu.io.plink import write_pgen, read_pgen

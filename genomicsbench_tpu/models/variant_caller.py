@@ -184,13 +184,42 @@ def predict(params, x, cfg: ClairConfig):
     return forward(params, x, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _predict_packed(params, x, cfg: ClairConfig):
+    """All four heads concatenated into one (B, sum(head_dims)) array so the
+    host fetches one buffer (one tunnel round trip) instead of four."""
+    y = forward(params, x, cfg)
+    return jnp.concatenate([y[n] for n in HEAD_NAMES], axis=-1)
+
+
 def predict_batches(params, batches, cfg: ClairConfig):
-    """The reference prediction loop (prediction.py:11-45): iterate
-    mini-batches, run the model, collect [gt21, genotype, il1, il2]."""
+    """The reference prediction loop (prediction.py:11-45): run the h5
+    mini-batches, collect [gt21, genotype, il1, il2] per batch.
+
+    Unlike the reference (one session.run per 1000-tensor batch), all
+    batches are fused into ONE device program: concatenate, pad the batch
+    axis to a power of two (compile-cache discipline), single dispatch,
+    split on the host.  On the tunneled chip this removes the per-dispatch
+    round trip that made the loop dispatch-bound (BASELINE r1: 3.4e3
+    samples/s)."""
+    batches = [np.asarray(x) for x in batches]
+    if not batches:
+        return []
+    sizes = [len(x) for x in batches]
+    total = sum(sizes)
+    xs = np.concatenate(batches, axis=0)
+    cap = 1 << max(0, total - 1).bit_length()
+    if cap > total:
+        xs = np.concatenate(
+            [xs, np.zeros((cap - total,) + xs.shape[1:], xs.dtype)], axis=0)
+    packed = np.asarray(_predict_packed(params, jnp.asarray(xs), cfg))[:total]
+    splits = np.cumsum(cfg.head_sizes)[:-1]
+    host = dict(zip(HEAD_NAMES, np.split(packed, splits, axis=-1)))
     outs = []
-    for x in batches:
-        y = predict(params, jnp.asarray(x), cfg)
-        outs.append([np.asarray(y[n]) for n in HEAD_NAMES])
+    off = 0
+    for s in sizes:
+        outs.append([host[n][off : off + s] for n in HEAD_NAMES])
+        off += s
     return outs
 
 

@@ -65,12 +65,17 @@ def sharded_count_kmers(
         buckets = []
         fills = []
         c_ids = jnp.arange(cap, dtype=jnp.int32)
+        # dynamic_slice clamps out-of-range starts, which would silently
+        # ship keys from a lower dest range when a bucket begins within
+        # `cap` of the end — pad with sentinels so every slice is in range
+        s_km_pad = jnp.concatenate(
+            [s_km, jnp.full((cap,), SENTINEL, s_km.dtype)])
         for d in range(n_dev):
             start = jnp.searchsorted(s_dest, d, side="left").astype(jnp.int32)
             end = jnp.searchsorted(s_dest, d, side="right").astype(jnp.int32)
             n_d = end - start
             fills.append(n_d)
-            chunk = jax.lax.dynamic_slice_in_dim(s_km, start, cap)
+            chunk = jax.lax.dynamic_slice_in_dim(s_km_pad, start, cap)
             buckets.append(jnp.where(c_ids < n_d, chunk, SENTINEL))
         sendbuf = jnp.stack(buckets, axis=0)                 # (n_dev, cap)
         overflow = jnp.max(jnp.stack(fills))

@@ -146,6 +146,26 @@ class TestShardedCount:
         np.testing.assert_array_equal(uniq_s, uniq_1)
         np.testing.assert_array_equal(counts_s, counts_1)
 
+    def test_dense_full_length_reads(self):
+        """Regression: with few sentinel slots (lens == L) a dest bucket
+        can start within `cap` of the array end; dynamic_slice used to
+        clamp the start and ship keys from a lower range."""
+        import jax
+        from genomicsbench_tpu.parallel.mesh import make_mesh
+        from genomicsbench_tpu.parallel.sharded_count import sharded_count_kmers
+
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs the 8-device CPU mesh (single real chip here)")
+        mesh = make_mesh(jax.devices()[:8], model=1)
+        rng = np.random.default_rng(0)
+        seq = rng.integers(0, 4, size=(32, 64)).astype(np.uint8)
+        lens = np.full(32, 64, np.int32)
+        uniq_s, counts_s = sharded_count_kmers(mesh, seq, lens, 15)
+        uniq_1, counts_1 = count_kmers(seq, lens, 15)
+        np.testing.assert_array_equal(uniq_s, uniq_1)
+        np.testing.assert_array_equal(counts_s, counts_1)
+
 
 class TestSeqIo:
     def test_fasta_fastq_roundtrip(self, tmp_path):

@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# One-shot verification gate (SURVEY §4: the reference ships no tests or CI,
+# so the harness is ours): unit/parity tests, fresh-workload cross-check
+# against freshly compiled reference binaries, TSAN over the native ingest
+# library, the multichip dryrun on a virtual mesh, and the headline bench.
+#
+#   bash tools/ci.sh                # everything (bench needs the TPU chip)
+#   SKIP_BENCH=1 bash tools/ci.sh  # chip-free gate
+#   CROSSCHECK_SEED=n ...           # pin the crosscheck workload seed
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO=$(pwd)
+
+echo "===== [1/5] pytest ====="
+python -m pytest tests/ -q
+
+echo "===== [2/5] reference cross-check (fresh workloads) ====="
+bash tools/build_reference.sh >/tmp/ci_refbuild.log 2>&1 || {
+    tail -20 /tmp/ci_refbuild.log; exit 1; }
+python tools/crosscheck_reference.py "${CROSSCHECK_SEED:-$((RANDOM % 10000))}"
+
+echo "===== [3/5] ThreadSanitizer (native ingest) ====="
+bash tools/tsan_check.sh
+
+echo "===== [4/5] multichip dryrun (virtual 8-device mesh) ====="
+(cd /tmp && JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python -c "import sys; sys.path.insert(0, '$REPO')
+import __graft_entry__ as g
+g.dryrun_multichip(8)")
+
+if [ "${SKIP_BENCH:-0}" != 1 ]; then
+    echo "===== [5/5] bench ====="
+    python bench.py
+else
+    echo "===== [5/5] bench: SKIPPED (SKIP_BENCH=1) ====="
+fi
+
+echo "CI GATE: ALL GREEN"

@@ -41,6 +41,7 @@ class BamRecord:
     seq: np.ndarray        # uint8 codes 0..4
     qual: np.ndarray       # uint8
     tags: bytes = b""
+    end: int | None = None  # precomputed reference end (native parse path)
 
     @property
     def is_unmapped(self):
@@ -106,6 +107,8 @@ class BamRecord:
 
     def end_pos(self):
         """Reference end (exclusive) from the CIGAR."""
+        if self.end is not None:
+            return self.end
         end = self.pos
         for op, ln in self.cigar:
             if op in "MDN=X":
@@ -180,6 +183,43 @@ class BamFile:
                 yield r
 
 
+def _soa_parse(raw, off):
+    """Native SoA batch parse (gbingest.cpp gb_bam_parse) or None."""
+    try:
+        from genomicsbench_tpu import native
+        return native.bam_parse(raw, off)
+    except Exception:
+        return None
+
+
+def _records_from_soa(soa, raw, indices=None):
+    """Build BamRecord objects (seq/qual as views into the SoA arrays) for
+    `indices` (default: all) of a native parse."""
+    cig_all = soa["cigars"]
+    if len(cig_all):
+        ops_all = np.array(list(CIGAR_OPS))[cig_all & 15]
+        lens_all = (cig_all >> 4).astype(np.int64)
+    else:
+        ops_all = lens_all = np.empty(0, np.int64)
+    co, so, no = soa["cig_off"], soa["seq_off"], soa["name_off"]
+    seqs, quals, names = soa["seqs"], soa["quals"], soa["names"]
+    it = range(soa["n_rec"]) if indices is None else indices
+    out = []
+    for r in it:
+        c0, c1 = int(co[r]), int(co[r + 1])
+        out.append(BamRecord(
+            name=names[int(no[r]) : int(no[r + 1])].tobytes().decode(),
+            flag=int(soa["flag"][r]), ref_id=int(soa["ref_id"][r]),
+            pos=int(soa["pos"][r]), mapq=int(soa["mapq"][r]),
+            cigar=list(zip(ops_all[c0:c1].tolist(), lens_all[c0:c1].tolist())),
+            seq=seqs[int(so[r]) : int(so[r + 1])],
+            qual=quals[int(so[r]) : int(so[r + 1])],
+            tags=bytes(raw[int(soa["tag_beg"][r]) : int(soa["tag_end"][r])]),
+            end=int(soa["end_pos"][r]),
+        ))
+    return out
+
+
 def read_bam(path: str) -> BamFile:
     raw = bgzf_decompress(open(path, "rb").read())
     assert raw[:4] == b"BAM\x01", "not a BAM file"
@@ -194,12 +234,16 @@ def read_bam(path: str) -> BamFile:
         names.append(raw[off + 4 : off + 4 + l_name - 1].decode())
         lens.append(struct.unpack_from("<i", raw, off + 4 + l_name)[0])
         off += 8 + l_name
-    records = []
-    n = len(raw)
-    while off < n:
-        block_size = struct.unpack_from("<i", raw, off)[0]
-        records.append(_parse_record(raw[off + 4 : off + 4 + block_size]))
-        off += 4 + block_size
+    soa = _soa_parse(raw, off)
+    if soa is not None:
+        records = _records_from_soa(soa, raw)
+    else:
+        records = []
+        n = len(raw)
+        while off < n:
+            block_size = struct.unpack_from("<i", raw, off)[0]
+            records.append(_parse_record(raw[off + 4 : off + 4 + block_size]))
+            off += 4 + block_size
     return BamFile(header_text=text, ref_names=names, ref_lens=lens, records=records)
 
 
@@ -391,8 +435,12 @@ class IndexedBam:
             off += 8 + l_name
         return names, lens, off
 
-    def fetch(self, ref_name: str, start: int, stop: int):
-        """Records overlapping [start, stop) using the BAI chunks."""
+    def fetch_soa_chunks(self, ref_name: str, start: int, stop: int):
+        """Chunk-batched SoA region fetch: yields (soa, buf, hit_indices)
+        triples covering the same records as fetch(), without building
+        record objects.  Requires the native parser; yields nothing and
+        raises StopIteration immediately if it is unavailable (callers
+        fall back to fetch())."""
         rid = self.ref_names.index(ref_name)
         bins, _linear = self.index[rid]
         chunks = []
@@ -403,23 +451,76 @@ class IndexedBam:
         chunks.sort()
         seen = set()
         for cbeg, cend in chunks:
-            coff, uoff = cbeg >> 16, cbeg & 0xFFFF
-            # walk blocks until past cend
-            bi = self._block_index.get(coff)
-            if bi is None:
+            got = self._chunk_buffer(cbeg, cend)
+            if got is None:
                 continue
-            buf = b""
-            raw_starts = []   # cumulative raw offset where each block starts in buf
-            block_coffs = []  # matching compressed file offsets
-            base = bi
-            while True:
-                raw_starts.append(len(buf))
-                block_coffs.append(self._blocks[base])
-                buf += self._read_block(self._blocks[base])
-                # stop growing when the buffer passes the chunk end
-                if (self._blocks[base] > (cend >> 16)) or base + 1 >= len(self._blocks):
-                    break
-                base += 1
+            buf, uoff, raw_starts, block_coffs = got
+            soa = _soa_parse(buf, uoff)
+            if soa is None:
+                raise RuntimeError("native BAM parser unavailable")
+            n_rec = soa["n_rec"]
+            if not n_rec:
+                continue
+            # absolute virtual offsets: dedup key shared across chunks
+            rec_start = np.empty(n_rec, np.int64)
+            rec_start[0] = uoff
+            rec_start[1:] = soa["tag_end"][:-1]
+            ks = np.searchsorted(raw_starts, rec_start, side="right") - 1
+            voff = (np.asarray(block_coffs, np.int64)[ks] << 16) | (
+                rec_start - np.asarray(raw_starts, np.int64)[ks])
+            valid = (soa["ref_id"] == rid) & ((soa["flag"] & 4) == 0)
+            past = np.nonzero(valid & (soa["pos"] >= stop))[0]
+            cut = int(past[0]) if len(past) else n_rec
+            fresh = np.fromiter(
+                (v not in seen for v in voff[:cut].tolist()), bool, count=cut)
+            seen.update(voff[:cut].tolist())
+            hit = np.nonzero(fresh & valid[:cut]
+                             & (soa["end_pos"][:cut] > start))[0]
+            yield soa, buf, hit
+            if cut < n_rec:
+                return
+
+    def _chunk_buffer(self, cbeg, cend):
+        """Decompress the blocks one BAI chunk covers; returns
+        (buf, uoff, raw_starts, block_coffs) or None for a stale chunk."""
+        coff, uoff = cbeg >> 16, cbeg & 0xFFFF
+        bi = self._block_index.get(coff)
+        if bi is None:
+            return None
+        buf = b""
+        raw_starts = []   # cumulative raw offset where each block starts
+        block_coffs = []  # matching compressed file offsets
+        base = bi
+        while True:
+            raw_starts.append(len(buf))
+            block_coffs.append(self._blocks[base])
+            buf += self._read_block(self._blocks[base])
+            # stop growing when the buffer passes the chunk end
+            if (self._blocks[base] > (cend >> 16)) or base + 1 >= len(self._blocks):
+                break
+            base += 1
+        return buf, uoff, raw_starts, block_coffs
+
+    def fetch(self, ref_name: str, start: int, stop: int):
+        """Records overlapping [start, stop) using the BAI chunks."""
+        if _soa_parse(b"", 0) is not None:  # native parser present
+            for soa, buf, hit in self.fetch_soa_chunks(ref_name, start, stop):
+                yield from _records_from_soa(soa, buf, indices=hit)
+            return
+        rid = self.ref_names.index(ref_name)
+        bins, _linear = self.index[rid]
+        chunks = []
+        for b in reg2bins(start, stop):
+            chunks.extend(bins.get(b, []))
+        if not chunks:
+            return
+        chunks.sort()
+        seen = set()
+        for cbeg, cend in chunks:
+            got = self._chunk_buffer(cbeg, cend)
+            if got is None:
+                continue
+            buf, uoff, raw_starts, block_coffs = got
             pos = uoff
             while pos + 4 <= len(buf):
                 block_size = struct.unpack_from("<i", buf, pos)[0]

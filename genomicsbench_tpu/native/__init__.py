@@ -65,6 +65,24 @@ def _load():
         lib.gb_bgzf_inflate.argtypes = [c_u8p, c_i64, c_u8p, c_i64, c_i32]
         lib.gb_bgzf_raw_size.restype = c_i64
         lib.gb_bgzf_raw_size.argtypes = [c_u8p, c_i64]
+        lib.gb_bam_scan.restype = c_i64
+        lib.gb_bam_scan.argtypes = [c_u8p, c_i64, c_i64, c_i64p]
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.gb_bam_parse.restype = c_i64
+        lib.gb_bam_parse.argtypes = [
+            c_u8p, c_i64, c_i64,
+            c_i32p, c_i32p, c_i32p, c_i32p,           # ref_id pos flag mapq
+            c_i32p, c_i64p, c_u32p,                   # n_cig cig_off cigars
+            c_i32p, c_i64p, c_u8p, c_u8p,             # l_seq seq_off seqs quals
+            c_i32p, c_i64p, c_u8p,                    # name_len name_off names
+            c_i32p, c_i64p, c_i64p,                   # end_pos tag_beg tag_end
+        ]
+        lib.gb_pileup_events.restype = c_i64
+        lib.gb_pileup_events.argtypes = [
+            c_i32p, c_i32p, c_i32p, c_i64p, c_u32p, c_i64p, c_u8p, c_u8p,
+            c_i64p, c_i64, c_i64, c_i64,
+            c_i32p, c_i32p, c_i32p, c_i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -194,6 +212,77 @@ def ctc_beam_search(probs: np.ndarray, beamsize: int = 5,
     if n < 0:
         raise ValueError("decoded sequence overflow")
     return out[:n].copy()
+
+
+def bam_parse(raw, off: int):
+    """SoA batch parse of the BAM records at `off` in a decompressed BAM
+    stream (gb_bam_scan + gb_bam_parse).  Returns a dict of arrays (with
+    n_rec+1 prefix offsets for cigars/seqs/names, tag_beg/tag_end indexing
+    into `raw`) or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_bam_parse"):
+        return None
+    buf = np.frombuffer(raw, np.uint8)
+    n = len(buf)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    ip64 = lambda a: a.ctypes.data_as(c_i64p)
+    ip32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    totals = np.zeros(3, np.int64)
+    n_rec = lib.gb_bam_scan(_u8p(buf), n, off, ip64(totals))
+    tc, ts, tn = (int(x) for x in totals)
+    out = dict(
+        ref_id=np.empty(n_rec, np.int32), pos=np.empty(n_rec, np.int32),
+        flag=np.empty(n_rec, np.int32), mapq=np.empty(n_rec, np.int32),
+        n_cig=np.empty(n_rec, np.int32), cig_off=np.empty(n_rec + 1, np.int64),
+        cigars=np.empty(tc, np.uint32),
+        l_seq=np.empty(n_rec, np.int32), seq_off=np.empty(n_rec + 1, np.int64),
+        seqs=np.empty(ts, np.uint8), quals=np.empty(ts, np.uint8),
+        name_len=np.empty(n_rec, np.int32),
+        name_off=np.empty(n_rec + 1, np.int64),
+        names=np.empty(tn, np.uint8),
+        end_pos=np.empty(n_rec, np.int32),
+        tag_beg=np.empty(n_rec, np.int64), tag_end=np.empty(n_rec, np.int64),
+    )
+    got = lib.gb_bam_parse(
+        _u8p(buf), n, off,
+        ip32(out["ref_id"]), ip32(out["pos"]), ip32(out["flag"]),
+        ip32(out["mapq"]), ip32(out["n_cig"]), ip64(out["cig_off"]),
+        out["cigars"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ip32(out["l_seq"]), ip64(out["seq_off"]), _u8p(out["seqs"]),
+        _u8p(out["quals"]), ip32(out["name_len"]), ip64(out["name_off"]),
+        _u8p(out["names"]), ip32(out["end_pos"]), ip64(out["tag_beg"]),
+        ip64(out["tag_end"]),
+    )
+    assert got == n_rec, (got, n_rec)
+    out["n_rec"] = n_rec
+    return out
+
+
+def pileup_events(soa, hit, start: int, end: int):
+    """Native cigar-walk pileup event extraction over a SoA record batch
+    (gb_pileup_events).  Returns (pos, j, feat, qual) int32 arrays or None
+    if the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_pileup_events"):
+        return None
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    ip64 = lambda a: a.ctypes.data_as(c_i64p)
+    ip32 = lambda a: a.ctypes.data_as(c_i32p)
+    hit64 = np.ascontiguousarray(hit, np.int64)
+    args = (
+        ip32(soa["pos"]), ip32(soa["flag"]), ip32(soa["n_cig"]),
+        ip64(soa["cig_off"]),
+        soa["cigars"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ip64(soa["seq_off"]), _u8p(soa["seqs"]), _u8p(soa["quals"]),
+        ip64(hit64), len(hit64), start, end,
+    )
+    null = ctypes.cast(None, c_i32p)
+    n_ev = lib.gb_pileup_events(*args, null, null, null, null)
+    out = tuple(np.empty(n_ev, np.int32) for _ in range(4))
+    got = lib.gb_pileup_events(*args, *(ip32(a) for a in out))
+    assert got == n_ev, (got, n_ev)
+    return out
 
 
 def pairhmm_f64(cases):

@@ -122,6 +122,115 @@ def _read_events(rec, start, end, num_homop):
             np.concatenate(qs), np.concatenate(qx))
 
 
+# CIGAR op classes, indexed by op code (MIDNSHP=X)
+_REF_CONSUME = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], bool)
+_QRY_CONSUME = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], bool)
+_ALIGN_OP = np.array([1, 0, 0, 0, 0, 0, 0, 1, 1], bool)  # M, =, X
+
+
+def _seg_arange(counts):
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def _seg_excl_cumsum(vals, counts):
+    """Exclusive cumsum restarting at each segment boundary."""
+    if len(vals) == 0:
+        return np.zeros(0, np.int64)
+    flat_ex = np.concatenate([[0], np.cumsum(vals)[:-1]])
+    seg_start = np.minimum(np.cumsum(counts) - counts, len(vals) - 1)
+    return flat_ex - np.repeat(flat_ex[seg_start], counts)
+
+
+def _events_soa(soa, hit, start, end):
+    """All pileup observations for the selected records of a native SoA
+    parse — the batched equivalent of concatenating _read_events over the
+    records (event order differs; every consumer is order-free).  Returns
+    (pos, j, feature, qual) int64 arrays."""
+    z = np.zeros(0, np.int64)
+    R = len(hit)
+    if R == 0:
+        return z, z, z, z
+    n_cig = soa["n_cig"][hit].astype(np.int64)
+    op_rid = np.repeat(np.arange(R), n_cig)
+    op_idx = np.repeat(soa["cig_off"][hit], n_cig) + _seg_arange(n_cig)
+    cig = soa["cigars"][op_idx]
+    code = (cig & 15).astype(np.int64)
+    ln = (cig >> 4).astype(np.int64)
+    ref_off = _seg_excl_cumsum(np.where(_REF_CONSUME[code], ln, 0), n_cig)
+    qry_off = _seg_excl_cumsum(np.where(_QRY_CONSUME[code], ln, 0), n_cig)
+    rp = soa["pos"][hit].astype(np.int64)[op_rid] + ref_off
+    rev = ((soa["flag"][hit] & 16) != 0)[op_rid]
+    strand_add = np.where(rev, 0, 4)
+    seq_base = soa["seq_off"][hit][op_rid] + qry_off
+    alg = _ALIGN_OP[code]
+    # prev_aligned state BEFORE each op: last state-setting op wins
+    # (M/=/X set True, D/N set False, I/S/H/P are neutral — the per-record
+    # walk's prev_aligned variable, vectorized as a segment forward fill)
+    n_ops = len(code)
+    idxs = np.arange(n_ops, dtype=np.int64)
+    setter = alg | (code == 2) | (code == 3)
+    runmax = np.maximum.accumulate(np.where(setter, idxs, -1))
+    before = np.concatenate([[-1], runmax[:-1]])
+    seg_first = np.repeat(np.cumsum(n_cig) - n_cig, n_cig)
+    before = np.where(before >= seg_first, before, -1)
+    prev_alg = np.where(before >= 0, alg[np.maximum(before, 0)], False)
+
+    ps, js, fs, qs = [], [], [], []
+
+    def expand(mask):
+        """Per-base expansion of the flat ops selected by mask."""
+        lens = ln[mask]
+        k = _seg_arange(lens)
+        return (np.repeat(rp[mask], lens), np.repeat(seq_base[mask], lens) + k,
+                np.repeat(strand_add[mask], lens), k)
+
+    # aligned bases (M/=/X)
+    m = alg
+    if m.any():
+        posb, seqi, sadd, k = expand(m)
+        posb = posb + k
+        base = soa["seqs"][seqi].astype(np.int64)
+        sel = (posb >= start) & (posb < end) & (base <= 3)
+        ps.append(posb[sel])
+        js.append(np.zeros(int(sel.sum()), np.int64))
+        fs.append(base[sel] + sadd[sel])
+        qs.append(soa["quals"][seqi[sel]].astype(np.int64))
+    # insertions: anchored at the preceding ref position, only from aligned
+    # anchors inside the region (medaka_counts.c:417-424)
+    im = (code == 1) & prev_alg & (ref_off >= 1) \
+        & (rp - 1 >= start) & (rp - 1 < end)
+    if im.any():
+        anchor, seqi, sadd, k = expand(im)
+        anchor = anchor - 1
+        base = soa["seqs"][seqi].astype(np.int64)
+        sel = base <= 3
+        ps.append(anchor[sel])
+        js.append(k[sel] + 1)
+        fs.append(base[sel] + sadd[sel])
+        qs.append(soa["quals"][seqi[sel]].astype(np.int64))
+    # deletions
+    dm = code == 2
+    if dm.any():
+        posb, _seqi, _sadd, k = expand(dm)
+        posb = posb + k
+        sel = (posb >= start) & (posb < end)
+        nsel = int(sel.sum())
+        ps.append(posb[sel])
+        js.append(np.zeros(nsel, np.int64))
+        fs.append(np.where(rev[dm].repeat(ln[dm])[sel], REV_DEL, FWD_DEL)
+                  .astype(np.int64))
+        qs.append(np.zeros(nsel, np.int64))
+    if not ps:
+        return z, z, z, z
+    return (np.concatenate(ps), np.concatenate(js), np.concatenate(fs),
+            np.concatenate(qs))
+
+
 def _weibull_fractions(scale, shape, num_homop):
     """medaka_counts.c:262-268: Weibull CDF mass per homopolymer bin."""
     x = np.arange(1, num_homop + 1, dtype=np.float64)
@@ -151,7 +260,42 @@ def pileup_counts(
     covered_arr = np.zeros(max(end - start, 0), bool)
     events = []
     wb_events = []  # (pos, j, base_feature_index, fractions)
-    for rec in bam.fetch(chrom, start, end):
+    used_soa = False
+    if dtype_of is None and not weibull_summation \
+            and hasattr(bam, "fetch_soa_chunks"):
+        # chr-scale fast path: batched SoA extraction (native BAM parse +
+        # vectorized cigar walk over every record of a chunk at once)
+        try:
+            cov_diff = np.zeros(len(covered_arr) + 1, np.int64)
+            for soa, _buf, hit in bam.fetch_soa_chunks(chrom, start, end):
+                hit = hit[soa["mapq"][hit] >= min_mapq]
+                if not len(hit):
+                    continue
+                from genomicsbench_tpu import native
+
+                got = native.pileup_events(soa, hit, start, end)
+                if got is None:
+                    got = _events_soa(soa, hit, start, end)
+                pos_a, j_a, feat_a, q_a = got
+                if len(pos_a):
+                    if num_homop > 1:
+                        enc = feat_a + FEATLEN * np.where(
+                            feat_a < 8,
+                            np.maximum(0, np.minimum(q_a, num_homop) - 1), 0)
+                    else:
+                        enc = feat_a
+                    events.append((pos_a, j_a, enc))
+                lo = np.maximum(soa["pos"][hit].astype(np.int64), start) - start
+                hi = np.minimum(soa["end_pos"][hit].astype(np.int64), end) - start
+                ok = hi > lo
+                np.add.at(cov_diff, lo[ok], 1)
+                np.add.at(cov_diff, hi[ok], -1)
+            covered_arr |= np.cumsum(cov_diff[:-1]) > 0
+            used_soa = True
+        except RuntimeError:
+            events = []
+            covered_arr[:] = False
+    for rec in ([] if used_soa else bam.fetch(chrom, start, end)):
         if rec.mapq < min_mapq or rec.is_unmapped:
             continue
         dtype = dtype_of(rec) if dtype_of else 0
@@ -182,46 +326,55 @@ def pileup_counts(
             else:
                 qstrat = np.zeros(len(pos_a), np.int64)
             enc = feat_a + FEATLEN * qstrat + FEATLEN * num_homop * dtype
-            events.append(np.stack([pos_a[keep], j_a[keep], enc[keep]], 1))
+            events.append((pos_a[keep], j_a[keep], enc[keep]))
         # coverage: every ref position the alignment spans (incl. D and N)
         lo, hi = max(rec.pos, start), min(rec.end_pos(), end)
         if hi > lo:
             covered_arr[lo - start : hi - start] = True
-    ev = (np.concatenate(events) if events
-          else np.zeros((0, 3), np.int64))
-    if len(ev) == 0 and not wb_events and not covered_arr.any():
+    if events:
+        ev_pos = np.concatenate([t[0] for t in events]).astype(np.int64)
+        ev_j = np.concatenate([t[1] for t in events]).astype(np.int64)
+        ev_enc = np.concatenate([t[2] for t in events]).astype(np.int64)
+    else:
+        ev_pos = ev_j = ev_enc = np.zeros(0, np.int64)
+    if len(ev_pos) == 0 and not wb_events and not covered_arr.any():
         return PileupResult(np.zeros((0, plane), np.int64),
                             np.zeros(0, np.int64), np.zeros(0, np.int64))
 
-    # max insertion per covered position (vectorized scatter-max)
+    # max insertion per covered position: only insertion events (j > 0)
+    # matter, so the slow scatter-max runs over that small subset
     max_ins_arr = np.zeros(max(end - start, 0), np.int64)
-    if len(ev):
-        covered_arr[ev[:, 0] - start] = True
-        np.maximum.at(max_ins_arr, ev[:, 0] - start, ev[:, 1])
+    if len(ev_pos):
+        covered_arr[ev_pos - start] = True
+        ins = np.nonzero(ev_j)[0]
+        if len(ins):
+            np.maximum.at(max_ins_arr, ev_pos[ins] - start, ev_j[ins])
     for pos, j, _f, _fr in wb_events:
         covered_arr[pos - start] = True
         max_ins_arr[pos - start] = max(max_ins_arr[pos - start], j)
-    positions = (np.nonzero(covered_arr)[0] + start).tolist()
+    positions = np.nonzero(covered_arr)[0] + start
     widths = max_ins_arr[covered_arr] + 1
     base_cols = np.concatenate([[0], np.cumsum(widths)])[:-1]
-    major = np.repeat(np.asarray(positions, np.int64), widths)
-    minor = np.concatenate([np.arange(w) for w in widths]) if len(widths) \
-        else np.zeros(0, np.int64)
+    major = np.repeat(positions.astype(np.int64), widths)
     n_cols = len(major)
-    col_of = {(p, 0): int(c) for p, c in zip(positions, base_cols)}
+    minor = np.arange(n_cols, dtype=np.int64) - np.repeat(base_cols, widths)
 
     # vectorized column lookup: columns are laid out contiguously per
     # major position, so col = base_col[pos] + j
     col_lut = np.full(max(end - start, 0), -1, np.int64)
     col_lut[covered_arr] = base_cols
-    if len(ev):
-        keys = (col_lut[ev[:, 0] - start] + ev[:, 1]) * plane + ev[:, 2]
+    if len(ev_pos):
+        keys = (col_lut[ev_pos - start] + ev_j) * plane + ev_enc
     else:
         keys = np.zeros(0, np.int64)
-    matrix = np.zeros(n_cols * plane, np.int64)
     if len(keys):
-        uk, counts = _count_keys(keys)
-        matrix[uk] = counts
+        # keys ARE final matrix indices: a host histogram is the exact
+        # deterministic count (the device sort+RLE variant, _count_keys,
+        # only pays off when the matrix is consumed on device — shipping
+        # keys down and back made chr-scale regions tunnel-bound)
+        matrix = np.bincount(keys, minlength=n_cols * plane).astype(np.int64)
+    else:
+        matrix = np.zeros(n_cols * plane, np.int64)
     if wb_events:
         fmat = np.zeros(n_cols * plane, np.float64)
         for pos, j, base_idx, frac in wb_events:

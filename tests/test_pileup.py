@@ -162,3 +162,85 @@ class TestWeibullSummation:
         res = pileup_counts(bam, "chr1:1-40", num_homop=3,
                             weibull_summation=True)
         assert res.matrix.sum() == 0  # zeros, like the reference's warning path
+
+
+class TestEventExtractorParity:
+    """The three event extractors — per-record _read_events (oracle),
+    vectorized _events_soa, and native gb_pileup_events — must agree as
+    multisets on adversarial CIGARs (consecutive I, I after D/N/S,
+    leading/trailing clips, region clipping, ambiguous bases)."""
+
+    def _random_bam(self, seed, n_rec=60):
+        rng = np.random.default_rng(seed)
+        recs = []
+        for i in range(n_rec):
+            cig = []
+            qlen = 0
+            if rng.random() < 0.3:
+                s = int(rng.integers(1, 5)); cig.append(("S", s)); qlen += s
+            n_ops = int(rng.integers(1, 6))
+            prev = None
+            for _ in range(n_ops):
+                op = rng.choice(["M", "I", "D", "N", "M", "M"])
+                ln = int(rng.integers(1, 12))
+                if op in "MI=X":
+                    qlen += ln
+                cig.append((op, ln))
+                prev = op
+            if prev != "M":
+                cig.append(("M", 5)); qlen += 5
+            if rng.random() < 0.2:
+                cig.append(("S", 2)); qlen += 2
+            seq = rng.integers(0, 5, qlen)  # includes ambiguous 4s
+            recs.append(mk_rec(f"r{i}", int(rng.integers(0, 300)), cig, seq,
+                               flag=16 if rng.random() < 0.5 else 0))
+        recs.sort(key=lambda r: r.pos)
+        return mk_bam(recs, ref_len=600)
+
+    def test_three_way_parity(self, tmp_path):
+        import pytest
+        from genomicsbench_tpu import native
+        from genomicsbench_tpu.io.bam import IndexedBam, write_bai, write_bam
+        from genomicsbench_tpu.ops.pileup import _events_soa, _read_events
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        for seed in (0, 1, 2):
+            bam = self._random_bam(seed)
+            p = tmp_path / f"p{seed}.bam"
+            write_bam(str(p), bam)
+            write_bai(str(p))
+            ib = IndexedBam(str(p))
+            for (start, end) in ((0, 600), (100, 250), (37, 41)):
+                # oracle: per-record walk over the fetch records
+                want = []
+                for rec in bam.fetch("chr1", start, end):
+                    pos_a, j_a, f_a, q_a, _qx = _read_events(rec, start, end, 1)
+                    want += list(zip(pos_a.tolist(), j_a.tolist(),
+                                     f_a.tolist(), q_a.tolist()))
+                want.sort()
+                got_n, got_v = [], []
+                for soa, _buf, hit in ib.fetch_soa_chunks("chr1", start, end):
+                    na = native.pileup_events(soa, hit, start, end)
+                    got_n += list(zip(*(a.tolist() for a in na)))
+                    va = _events_soa(soa, hit, start, end)
+                    got_v += list(zip(*(a.tolist() for a in va)))
+                assert sorted(got_n) == want, (seed, start, end, "native")
+                assert sorted(got_v) == want, (seed, start, end, "numpy")
+
+    def test_soa_pileup_equals_record_path(self, tmp_path):
+        """Full pileup_counts: IndexedBam SoA path == BamFile record path."""
+        from genomicsbench_tpu.io.bam import IndexedBam, write_bai, write_bam
+
+        for seed in (3, 4):
+            bam = self._random_bam(seed)
+            p = tmp_path / f"q{seed}.bam"
+            write_bam(str(p), bam)
+            write_bai(str(p))
+            ib = IndexedBam(str(p))
+            for region in ("chr1:1-600", "chr1:50-320"):
+                a = pileup_counts(bam, region, num_homop=3)
+                b = pileup_counts(ib, region, num_homop=3)
+                np.testing.assert_array_equal(a.major, b.major)
+                np.testing.assert_array_equal(a.minor, b.minor)
+                np.testing.assert_array_equal(a.matrix, b.matrix)

@@ -185,7 +185,7 @@ def suffix_array(codes: np.ndarray, alphabet: int = 5) -> np.ndarray | None:
                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if got != len(codes):
         raise ValueError(f"gb_sais failed ({got})")
-    return out.astype(np.int64)
+    return out  # int32: all values < 2^31 by the gb_sais length guard
 
 
 def ctc_beam_search(probs: np.ndarray, beamsize: int = 5,

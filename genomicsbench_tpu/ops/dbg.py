@@ -139,11 +139,24 @@ def _device_sort_pairs(wids: np.ndarray, keys: np.ndarray):
     return combined, order
 
 
-def build_window_graphs(windows, k=K_DEFAULT, min_qual=20):
+def _to5_vec(keys2bit: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized 2-bit key -> base-5 node key (the N-capable key space)."""
+    out = np.zeros(len(keys2bit), np.int64)
+    for shift in range(2 * (k - 1), -2, -2):
+        out = out * 5 + ((keys2bit >> shift) & 3)
+    return out
+
+
+def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     """Batched graph build over windows.
 
     windows: list of (ref_codes, ref_start, reads) with reads =
-    [(seq_codes, quals, qcfail), ...].  Returns [WindowGraph].
+    [(seq_codes, quals, qcfail), ...].  Returns [WindowGraph], or — with
+    as_arrays=True — per-window dicts of SoA numpy arrays (node keys /
+    colours / weights / positions, edge start / succ / weight), skipping
+    the per-node Python dict materialization that dominates at
+    chromosome scale (the reference's ROI is the build itself,
+    debruijn.cpp:1429 destroys the graph immediately).
 
     All windows' mention records share one device lexsort per record type
     ((window id, 32-bit key) pairs).  Reference k-mers containing N take a
@@ -207,10 +220,30 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20):
             eo_.append(idx + order_counter)
             order_counter += 2 * nE2 + 1
 
+    def _empty_arrays():
+        z = np.zeros(0, np.int64)
+        return dict(node_keys=z, colours=z, weights=z, positions=z,
+                    edge_start=z, edge_succ=z, edge_weight=z)
+
+    def _graph_to_arrays(g: "WindowGraph"):
+        keys = np.array(sorted(g.nodes), np.int64)
+        vals = [g.nodes[int(kk)] for kk in keys]
+        ekeys = list(g.edges)
+        return dict(
+            node_keys=keys,
+            colours=np.array([v[0] for v in vals], np.int64),
+            weights=np.array([v[1] for v in vals], np.int64),
+            positions=np.array([v[2] for v in vals], np.int64),
+            edge_start=np.array([e[0] for e in ekeys], np.int64),
+            edge_succ=np.array([e[1] for e in ekeys], np.int64),
+            edge_weight=np.array([g.edges[e] for e in ekeys], np.int64),
+        )
+
     results: list = [None] * len(windows)
     for wid in range(len(windows)):
         if not has_n[wid]:
-            results[wid] = WindowGraph(nodes={}, edges={})
+            results[wid] = _empty_arrays() if as_arrays \
+                else WindowGraph(nodes={}, edges={})
 
     mask2k = (1 << (2 * k)) - 1
 
@@ -238,12 +271,8 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20):
         weights = np.add.reduceat(nw, starts)
         # stable lexsort: first element of each segment = earliest mention
         positions = npos[starts]
-        for i in range(len(starts)):
-            key = int(ks[starts[i]])
-            wid = key >> 32
-            results[wid].nodes[to5(key & mask2k)] = [
-                int(colours[i]), int(weights[i]), int(positions[i])
-            ]
+        node_keys = ks[starts]
+        node_wids = (node_keys >> 32).astype(np.int64)
 
         ek = np.concatenate(ek_)
         ewid = np.concatenate(ewid)
@@ -254,27 +283,71 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20):
         estarts = np.concatenate([[0], np.nonzero(eks[1:] != eks[:-1])[0] + 1])
         eweights = np.add.reduceat(ew, estarts)
         efirst = eord[estarts]
-        # 4-slot first-mention rule per (window, start node)
-        slot_count: dict = {}
-        for i in np.argsort(efirst, kind="stable"):
-            key = int(eks[estarts[i]])
-            wid = key >> 32
-            prefix = (key >> 2) & mask2k
-            nb = key & 3
-            start5 = to5(prefix)
-            succ5 = to5(((prefix << 2) | nb) & mask2k)
-            sk_id = (wid, start5)
-            cnt = slot_count.get(sk_id, 0)
-            if cnt < 4:
-                slot_count[sk_id] = cnt + 1
-                results[wid].edges[(start5, succ5)] = int(eweights[i])
+
+        if as_arrays:
+            n5 = _to5_vec(node_keys & mask2k, k)
+            # edges, in first-mention order with the 4-slot cap per start
+            fo = np.argsort(efirst, kind="stable")
+            ekeys = eks[estarts][fo]
+            ewids = (ekeys >> 32).astype(np.int64)
+            prefix = (ekeys >> 2) & mask2k
+            start5 = _to5_vec(prefix, k)
+            succ5 = _to5_vec(((prefix << 2) | (ekeys & 3)) & mask2k, k)
+            # 4-slot cap: rank of each (wid, start) occurrence in order
+            _ukey, inv = np.unique(
+                (ewids << (2 * k + 2)) | prefix, return_inverse=True)
+            # occurrence rank within each (wid, start) group, preserving
+            # first-mention order (stable grouped rank, no Python loop)
+            by_grp = np.argsort(inv, kind="stable")
+            sg = inv[by_grp]
+            gstart = np.concatenate([[0], np.nonzero(sg[1:] != sg[:-1])[0] + 1])
+            glen = np.diff(np.concatenate([gstart, [len(inv)]]))
+            ranks_sorted = np.arange(len(inv)) - np.repeat(gstart, glen)
+            rank = np.empty(len(inv), np.int64)
+            rank[by_grp] = ranks_sorted
+            keep = rank < 4
+            ewq = eweights[fo]
+            for wid in range(len(windows)):
+                if has_n[wid]:
+                    continue
+                nm = node_wids == wid
+                em = keep & (ewids == wid)
+                results[wid] = dict(
+                    node_keys=n5[nm], colours=colours[nm].astype(np.int64),
+                    weights=weights[nm].astype(np.int64),
+                    positions=positions[nm],
+                    edge_start=start5[em], edge_succ=succ5[em],
+                    edge_weight=ewq[em].astype(np.int64),
+                )
+        else:
+            for i in range(len(starts)):
+                key = int(ks[starts[i]])
+                wid = key >> 32
+                results[wid].nodes[to5(key & mask2k)] = [
+                    int(colours[i]), int(weights[i]), int(positions[i])
+                ]
+            # 4-slot first-mention rule per (window, start node)
+            slot_count: dict = {}
+            for i in np.argsort(efirst, kind="stable"):
+                key = int(eks[estarts[i]])
+                wid = key >> 32
+                prefix = (key >> 2) & mask2k
+                nb = key & 3
+                start5 = to5(prefix)
+                succ5 = to5(((prefix << 2) | nb) & mask2k)
+                sk_id = (wid, start5)
+                cnt = slot_count.get(sk_id, 0)
+                if cnt < 4:
+                    slot_count[sk_id] = cnt + 1
+                    results[wid].edges[(start5, succ5)] = int(eweights[i])
 
     for wid, flag in enumerate(has_n):
         if flag:
             ref, ref_start, reads = windows[wid]
-            results[wid] = build_window_graph_oracle(
+            g = build_window_graph_oracle(
                 np.asarray(ref), ref_start, reads, k=k, min_qual=min_qual
             )
+            results[wid] = _graph_to_arrays(g) if as_arrays else g
     return results
 
 

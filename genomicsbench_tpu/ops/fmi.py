@@ -131,7 +131,7 @@ class FmdIndex:
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    return (3 - codes[::-1].astype(np.int64)).astype(np.uint8)
+    return (np.uint8(3) - codes[::-1])  # uint8 throughout: codes are 0..3
 
 
 def build_fmd_index(ref_codes: np.ndarray) -> FmdIndex:
@@ -147,11 +147,13 @@ def build_fmd_index(ref_codes: np.ndarray) -> FmdIndex:
             "split the reference into <1 Gbase shards"
         )
     sa_body = suffix_array(t)
-    sa = np.concatenate([[n], sa_body]).astype(np.int64)  # row 0 = $ suffix
-    bwt_pos = sa - 1
-    bwt = np.where(bwt_pos >= 0, t[np.clip(bwt_pos, 0, None)], 255)
+    sa = np.empty(n + 1, np.int64)  # row 0 = $ suffix
+    sa[0] = n
+    sa[1:] = sa_body
+    bwt_pos = (sa - 1).astype(np.int32)
+    bwt = np.where(bwt_pos >= 0, t[np.maximum(bwt_pos, 0)], np.uint8(255))
     sentinel_row = int(np.nonzero(bwt == 255)[0][0])
-    bwt_clean = np.where(bwt == 255, 0, bwt).astype(np.uint8)
+    bwt_clean = np.where(bwt == 255, np.uint8(0), bwt)
 
     C = np.zeros(5, dtype=np.int64)
     C[0] = 1
@@ -173,13 +175,8 @@ def build_fmd_index(ref_codes: np.ndarray) -> FmdIndex:
     occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
 
     def pack(bits):
-        out = np.zeros((n_blocks, 2), np.uint32)
-        for half in range(2):
-            seg = bits[:, half * 32 : (half + 1) * 32]
-            out[:, half] = (
-                seg.astype(np.uint64) << np.arange(32, dtype=np.uint64)
-            ).sum(1).astype(np.uint32)
-        return out
+        # (n_blocks, 64) bool -> two little-endian uint32 words per block
+        return np.packbits(bits, axis=1, bitorder="little").view(np.uint32)
 
     return FmdIndex(
         n=n, C=C, occ_cp=occ_cp.astype(np.int32),

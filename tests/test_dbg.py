@@ -118,3 +118,40 @@ class TestCyclesAndVariantPaths:
         motif = np.tile(np.array([0, 1, 2, 3, 0, 2], np.uint8), 8)  # cycles at k=5
         g, k_used, _ = assemble_window(motif, 0, [], k=5, detect_variants=False)
         assert k_used > 5
+
+
+def test_as_arrays_matches_dict_graphs():
+    """build_window_graphs(as_arrays=True) must carry exactly the dict
+    graphs' nodes/colours/weights/positions and first-mention edges."""
+    import numpy as np
+    from genomicsbench_tpu.ops.dbg import build_window_graphs
+
+    rng = np.random.default_rng(77)
+    windows = []
+    for w in range(6):
+        ref_len = int(rng.integers(100, 300))
+        ref = rng.integers(0, 4, ref_len).astype(np.uint8)
+        if w == 4:
+            ref[10] = 4  # N window -> oracle fallback path
+        reads = []
+        for _ in range(int(rng.integers(2, 8))):
+            ln = int(rng.integers(30, min(120, ref_len)))
+            at = int(rng.integers(0, ref_len - ln + 1))
+            seq = ref[at : at + ln].copy()
+            seq[seq == 4] = 0
+            seq[rng.integers(0, ln, 2)] = rng.integers(0, 4, 2)
+            reads.append((seq, rng.integers(15, 40, ln).astype(np.int64), False))
+        windows.append((ref, int(rng.integers(0, 5000)), reads))
+    dicts = build_window_graphs(windows)
+    arrs = build_window_graphs(windows, as_arrays=True)
+    for g, a in zip(dicts, arrs):
+        keys = sorted(g.nodes)
+        order = np.argsort(a["node_keys"], kind="stable")
+        assert list(a["node_keys"][order]) == keys
+        for i, kk in zip(order, keys):
+            c, wt, p = g.nodes[kk]
+            assert (a["colours"][i], a["weights"][i], a["positions"][i]) \
+                == (c, wt, p), kk
+        got_edges = {(int(s), int(t)): int(w) for s, t, w in
+                     zip(a["edge_start"], a["edge_succ"], a["edge_weight"])}
+        assert got_edges == {k: int(v) for k, v in g.edges.items()}

@@ -1,0 +1,562 @@
+"""Reference-scale benchmark harness (round-2: VERDICT item 1).
+
+The canonical datasets (run-cpu.sh:26-53 / run-gpu.sh) are not
+downloadable in this environment, so each workload synthesizes inputs at
+the same scale and length distributions, runs our kernel end-to-end on
+the chip, and — where a reference binary compiles here (bsw, chain,
+kmer, dbg, abea via tools/build_reference.sh) — feeds the SAME input to
+that binary for a direct single-thread host ratio.
+
+Wall times on this machine's tunneled chip include ~60-80 ms dispatch
+latency and ~30 MB/s transfers (BASELINE.md "Measurement caveat"); where
+that distorts, the kernel-side rate (dispatch + scalar fetch) is
+reported separately.
+
+Usage:  python tools/scale_bench.py <workload> [n_override]
+        python tools/scale_bench.py all
+Each workload appends one JSON record to SCALE_r02.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REFBUILD = "/tmp/refbuild"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "SCALE_r02.json")
+SCRATCH = "/tmp/gb_scale"
+
+
+def record(**kw):
+    os.makedirs(SCRATCH, exist_ok=True)
+    rows = []
+    if os.path.exists(OUT):
+        rows = json.load(open(OUT))
+    rows = [r for r in rows if r.get("workload") != kw.get("workload")]
+    rows.append(kw)
+    json.dump(rows, open(OUT, "w"), indent=1)
+    print(json.dumps(kw))
+
+
+def ref_time(cmd, **kw):
+    """Wall of a reference binary run (includes its own input parse)."""
+    t0 = time.time()
+    subprocess.run(cmd, capture_output=True, check=True, **kw)
+    return time.time() - t0
+
+
+# ---------------------------------------------------------------------------
+# bsw — 1M pairs (run-cpu.sh:30 large input is 1M seed-extension pairs)
+# ---------------------------------------------------------------------------
+
+def bench_bsw(n_pairs=1_000_000):
+    from bench import as_pairbatch, gen_workload
+    from genomicsbench_tpu.ops.bsw import BswScorer
+
+    qs, ts, h0s = gen_workload(n_pairs=n_pairs, seed=7)
+    cells = float(sum(len(q) * len(t) for q, t in zip(qs, ts)))
+    batch = as_pairbatch(qs, ts, h0s)
+    scorer = BswScorer()
+    res = scorer.score(batch)          # warm (compiles all buckets)
+    t0 = time.time()
+    res = scorer.score(batch)
+    wall = time.time() - t0
+    checksum = int(np.asarray(res.score, np.int64).sum())
+
+    ref_wall = None
+    bin_path = f"{REFBUILD}/bsw_gold"
+    if os.path.exists(bin_path):
+        sub = min(n_pairs, 100_000)    # ref single-thread: time a slice
+        lines = [str(sub)]
+        for q, t, h in zip(qs[:sub], ts[:sub], h0s[:sub]):
+            lines += [str(h), str(len(t)), str(len(q)),
+                      "".join(map(str, t)), "".join(map(str, q))]
+        path = f"{SCRATCH}/bsw_{sub}.in"
+        open(path, "w").write("\n".join(lines) + "\n")
+        sub_cells = float(sum(len(q) * len(t)
+                              for q, t in zip(qs[:sub], ts[:sub])))
+        ref_wall = ref_time([bin_path, path])
+        ref_rate = sub_cells / ref_wall
+    record(workload="bsw", n=n_pairs, cells=cells, wall_s=round(wall, 2),
+           cells_per_s=round(cells / wall, -6), checksum=checksum,
+           ref_1t_cells_per_s=(round(ref_rate, -6) if ref_wall else None),
+           speedup_vs_ref_1t=(round(cells / wall / ref_rate, 1)
+                              if ref_wall else None))
+
+
+# ---------------------------------------------------------------------------
+# chain — 10k reads of long-read anchors (c_elegans_40x.10k.in scale)
+# ---------------------------------------------------------------------------
+
+def bench_chain(n_reads=10_000):
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import chain_batch
+
+    rng = np.random.default_rng(11)
+    calls = []
+    lines = []
+    for _ in range(n_reads):
+        nn = int(rng.integers(200, 2000))
+        xs = np.sort(rng.integers(0, 2_000_000, nn)).astype(np.uint64)
+        qs = np.sort(rng.integers(0, 50_000, nn)).astype(np.uint64)
+        span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
+        avg = round(float(rng.uniform(10, 20)), 4)
+        calls.append(AnchorCall(x=xs, y=qs | span, avg_qspan=avg,
+                                max_dist_x=5000, max_dist_y=5000,
+                                bw=500, n_segs=1))
+        lines.append(f"{nn} {avg} 5000 5000 500 1")
+        lines += [f"{int(x)} {int(y)}" for x, y in zip(xs, qs | span)]
+    n_anchors = sum(c.n for c in calls)
+    res = chain_batch(calls)           # warm
+    t0 = time.time()
+    res = chain_batch(calls)
+    wall = time.time() - t0
+    checksum = int(sum(int(np.asarray(r, np.int64).sum())
+                       for r in res.scores))
+
+    ref_wall = None
+    bin_path = f"{REFBUILD}/chain_gold"
+    if os.path.exists(bin_path):
+        path = f"{SCRATCH}/chain_{n_reads}.in"
+        open(path, "w").write("\n".join(lines) + "\n")
+        ref_wall = ref_time([bin_path, path])
+    record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
+           wall_s=round(wall, 2),
+           anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
+           ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
+           ref_1t_anchors_per_s=(round(n_anchors / ref_wall, -3)
+                                 if ref_wall else None),
+           speedup_vs_ref_1t=(round(ref_wall / wall, 1) if ref_wall else None))
+
+
+# ---------------------------------------------------------------------------
+# kmer-cnt — 250 Mb of reads (E. coli MAP006 50x scale, run-cpu.sh:77)
+# ---------------------------------------------------------------------------
+
+def bench_kmer(total_mb=250):
+    from genomicsbench_tpu.ops.kmer import count_kmers_stats
+
+    rng = np.random.default_rng(3)
+    L = 10_000
+    n_reads = total_mb * 1_000_000 // L
+    seq = rng.integers(0, 4, size=(n_reads, L)).astype(np.uint8)
+    lens = np.full(n_reads, L, np.int32)
+    k = 15
+    uniq, tot = count_kmers_stats(seq[:64], lens[:64], k)  # warm
+    t0 = time.time()
+    uniq, tot = count_kmers_stats(seq, lens, k)
+    wall = time.time() - t0
+    total_bases = float(n_reads * L)
+
+    ref_wall = None
+    bin_path = f"{REFBUILD}/kmer_gold"
+    if os.path.exists(bin_path):
+        sub = max(1, n_reads // 10)
+        path = f"{SCRATCH}/kmer_{sub}.fa"
+        codes = np.array(list("ACGT"))
+        with open(path, "w") as f:
+            for i in range(sub):
+                f.write(f">r{i}\n{''.join(codes[seq[i]])}\n")
+        cfg = f"{SCRATCH}/kmer.cfg"
+        open(cfg, "w").write(
+            "repeat_kmer_rate=100\nassemble_kmer_sample=1\n")
+        ref_wall = ref_time([bin_path, path, cfg, str(k), "count"])
+        ref_rate = sub * L / ref_wall
+    record(workload="kmer-cnt", total_bases=total_bases, k=k,
+           wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
+           unique=uniq, total=tot,
+           ref_1t_bases_per_s=(round(ref_rate, -6) if ref_wall else None),
+           speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 1)
+                              if ref_wall else None))
+
+
+# ---------------------------------------------------------------------------
+# dbg — assembly windows over a 2 Mb region at 30x (debruijn.cpp windows)
+# ---------------------------------------------------------------------------
+
+def bench_dbg(region_mb=2):
+    from genomicsbench_tpu.ops.dbg import build_window_graphs
+
+    rng = np.random.default_rng(5)
+    REG = region_mb * 1_000_000
+    ref = rng.integers(0, 4, REG).astype(np.uint8)
+    RL, COV = 150, 30
+    n_reads = REG * COV // RL
+    starts = np.sort(rng.integers(0, REG - RL, n_reads))
+    windows = []
+    W, SHIFT = 1500, 750  # assemRegionShift = max(100, min(1000, 750))
+    read_at = starts
+    lo = 0
+    for wstart in range(0, REG - W + 1, SHIFT):
+        wend = wstart + W
+        while lo < n_reads and starts[lo] + RL <= wstart:
+            lo += 1
+        sel = []
+        i = lo
+        while i < n_reads and starts[i] < wend:
+            sel.append(i)
+            i += 1
+        reads = []
+        for i in sel:
+            seq = ref[starts[i] : starts[i] + RL].copy()
+            mut = rng.random(RL) < 0.005
+            seq[mut] = rng.integers(0, 4, mut.sum())
+            reads.append((seq, np.full(RL, 30, np.int64), False))
+        windows.append((ref[wstart:wend], wstart, reads))
+    kmers_total = sum((len(r[0]) - 14) * len(r[2]) + (len(r[0]) - 14)
+                      for r in windows)
+    t0 = time.time()
+    graphs = build_window_graphs(windows, as_arrays=True)
+    wall = time.time() - t0
+    n_nodes = sum(len(g["node_keys"]) for g in graphs)
+
+    ref_wall = None
+    bin_path = f"{REFBUILD}/dbg_gold"
+    if os.path.exists(bin_path):
+        b2c = np.array(list("ACGTN"))
+        sub = windows[: max(1, len(windows) // 20)]
+        t0 = time.time()
+        for wref, wstart, reads in sub:
+            lines = [f"15 20 {wstart}", "".join(b2c[wref]), str(len(reads))]
+            for seq, quals, _ in reads:
+                lines.append(f"{wstart} 0 " + "".join(b2c[seq]))
+                lines.append(" ".join(map(str, quals)))
+            path = f"{SCRATCH}/dbg_w.in"
+            open(path, "w").write("\n".join(lines) + "\n")
+            subprocess.run([bin_path, path], capture_output=True, check=True)
+        ref_wall = (time.time() - t0) * len(windows) / len(sub)
+    record(workload="dbg", n_windows=len(windows), kmers=kmers_total,
+           wall_s=round(wall, 2), windows_per_s=round(len(windows) / wall, 1),
+           n_nodes=n_nodes,
+           ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
+           speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))
+
+
+# ---------------------------------------------------------------------------
+# pileup — 10 Mb region at 30x (HG002 chr20 is 64 Mb at ~35x; rate scales)
+# ---------------------------------------------------------------------------
+
+def bench_pileup(region_mb=10):
+    from genomicsbench_tpu.io import bam as B
+    from genomicsbench_tpu.ops.pileup import pileup_counts
+
+    REG = region_mb * 1_000_000
+    path = f"{SCRATCH}/pileup_{region_mb}.bam"
+    RL, COV = 150, 30
+    n_reads = REG * COV // RL
+    if not os.path.exists(path):
+        rng = np.random.default_rng(8)
+        pos = np.sort(rng.integers(0, REG - RL - 10, n_reads))
+        recs = []
+        for i in range(n_reads):
+            ln = RL
+            cig = [("M", ln)]
+            if i % 7 == 3:
+                cig = [("M", 60), ("I", 2), ("M", 40), ("D", 3), ("M", 48)]
+            recs.append(B.BamRecord(
+                name=f"r{i}", flag=16 if i % 2 else 0, ref_id=0,
+                pos=int(pos[i]), mapq=50, cigar=cig,
+                seq=rng.integers(0, 4, ln).astype(np.uint8),
+                qual=np.full(ln, 30, np.uint8)))
+        B.write_bam(path, B.BamFile(header_text="@HD\tVN:1.6\n",
+                                    ref_names=["chr1"], ref_lens=[REG],
+                                    records=recs))
+        B.write_bai(path)
+    ib = B.IndexedBam(path)
+    t0 = time.time()
+    res = pileup_counts(ib, f"chr1:1-{REG}")
+    wall = time.time() - t0
+    record(workload="pileup", region_mb=region_mb, coverage=COV,
+           n_reads=n_reads, wall_s=round(wall, 2),
+           cols_per_s=round(len(res.major) / wall, -3),
+           bases_per_s=round(float(res.matrix.sum()) / wall, -3),
+           n_cols=int(len(res.major)))
+
+
+# ---------------------------------------------------------------------------
+# grm — 100k variants x 2504 samples (chr22 phase3 scale, run-cpu.sh:84)
+# ---------------------------------------------------------------------------
+
+def bench_grm(n_variants=100_000, n_samples=2504):
+    from genomicsbench_tpu.ops.grm import grm
+
+    rng = np.random.default_rng(13)
+    # realistic allele-frequency spectrum: mostly rare variants
+    af = rng.beta(0.3, 2.0, n_variants)
+    geno = (rng.random((n_variants, n_samples)) < af[:, None]).astype(np.uint8)
+    geno += (rng.random((n_variants, n_samples)) < af[:, None]).astype(np.uint8)
+    geno[rng.random(geno.shape) < 0.001] = 3  # missing
+    g, nobs = grm(geno[:2048])  # warm
+    t0 = time.time()
+    g, nobs = grm(geno)
+    g = np.asarray(g)
+    wall = time.time() - t0
+    flops = 2.0 * n_variants * n_samples * n_samples
+    record(workload="grm", n_variants=n_variants, n_samples=n_samples,
+           wall_s=round(wall, 2), gflops=round(flops / wall / 1e9, 1),
+           checksum=float(np.trace(g)))
+
+
+# ---------------------------------------------------------------------------
+# phmm — 100k (read, hap) pairs at GATK sizes (large.in scale)
+# ---------------------------------------------------------------------------
+
+def bench_phmm(n_pairs=100_000):
+    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch
+
+    rng = np.random.default_rng(17)
+    reads, haps, pairs = [], [], []
+    cells = 0
+    for i in range(n_pairs):
+        R = int(rng.integers(10, 152))
+        H = int(rng.integers(200, 401))
+        mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
+        reads.append(dict(bases=rng.integers(0, 4, R).astype(np.uint8),
+                          q=mk(6, 61), i=mk(30, 51), d=mk(30, 51),
+                          c=mk(8, 13)))
+        haps.append(rng.integers(0, 4, H).astype(np.uint8))
+        pairs.append((i, i))
+        cells += R * H
+    sub = [(i, i) for i in range(256)]
+    pairhmm_batch(reads[:256], haps[:256], pairs=sub)  # warm
+    t0 = time.time()
+    out = pairhmm_batch(reads, haps, pairs=pairs)
+    wall = time.time() - t0
+    record(workload="phmm", n_pairs=n_pairs, cells=cells,
+           wall_s=round(wall, 2), cells_per_s=round(cells / wall, -6),
+           checksum=float(np.sum(out)))
+
+
+# ---------------------------------------------------------------------------
+# poa — 5k consensus windows of 10 x ~800 bp sequences (racon window scale)
+# ---------------------------------------------------------------------------
+
+def bench_poa(n_windows=5_000):
+    from genomicsbench_tpu.ops.poa import msa_consensus_batch
+
+    rng = np.random.default_rng(19)
+    windows = []
+    for _ in range(n_windows):
+        L = int(rng.integers(600, 1000))
+        base = rng.integers(0, 4, L).astype(np.int64)
+        seqs = []
+        for _ in range(10):
+            s = base.copy()
+            mut = rng.random(L) < 0.04
+            s[mut] = rng.integers(0, 4, mut.sum())
+            seqs.append(s)
+        windows.append(seqs)
+    msa_consensus_batch(windows[:8])  # warm
+    t0 = time.time()
+    cons = msa_consensus_batch(windows)
+    wall = time.time() - t0
+    record(workload="poa", n_windows=n_windows, wall_s=round(wall, 2),
+           windows_per_s=round(n_windows / wall, 2),
+           total_cons_bases=int(sum(len(c) for c in cons)))
+
+
+# ---------------------------------------------------------------------------
+# fmi — 1M reads x 151 bp vs the 100 Mb index (SRR7733443 scale)
+# ---------------------------------------------------------------------------
+
+def bench_fmi(n_reads=1_000_000, batch=65_536):
+    import pickle
+
+    from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+
+    L = 151
+    idx_path = f"{SCRATCH}/idx100.pkl"
+    ref_path = f"{SCRATCH}/ref100.npy"
+    if not os.path.exists(idx_path):
+        rng = np.random.default_rng(0)
+        ref = rng.integers(0, 4, 100_000_000).astype(np.uint8)
+        np.save(ref_path, ref)
+        t0 = time.time()
+        idx = build_fmd_index(ref)
+        print(f"# index build (100 Mb): {time.time()-t0:.0f}s")
+        with open(idx_path, "wb") as f:
+            pickle.dump(idx, f, protocol=4)
+    ref = np.load(ref_path)
+    with open(idx_path, "rb") as f:
+        idx = pickle.load(f)
+    rng = np.random.default_rng(23)
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    total_smems = 0
+    done = 0
+    # warm on one batch
+    starts = rng.integers(0, len(ref) - L, batch)
+    q = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(q.shape) < 0.005
+    q[mut] = rng.integers(0, 4, mut.sum())
+    qlen = np.full(batch, L, np.int32)
+    pipe.run(q, qlen)
+    t0 = time.time()
+    while done < n_reads:
+        b = min(batch, n_reads - done)
+        starts = rng.integers(0, len(ref) - L, b)
+        q = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+        mut = rng.random(q.shape) < 0.005
+        q[mut] = rng.integers(0, 4, mut.sum())
+        _p1, _p2, _p3, tot = pipe.run(q, np.full(b, L, np.int32))
+        total_smems += tot
+        done += b
+    wall = time.time() - t0
+    record(workload="fmi", n_reads=n_reads, read_len=L, index_mb=100,
+           batch=batch, wall_s=round(wall, 2),
+           bases_per_s=round(n_reads * L / wall, -3),
+           reads_per_s=round(n_reads / wall, -2), total_smems=int(total_smems))
+
+
+# ---------------------------------------------------------------------------
+# abea — 10k reads (run-gpu.sh:45 10000reads dataset scale)
+# ---------------------------------------------------------------------------
+
+def bench_abea(n_reads=10_000, batch=512):
+    from genomicsbench_tpu.ops.abea import align_batch, kmer_ranks, synthetic_model
+
+    mean, stdv = synthetic_model(0)
+    rng = np.random.default_rng(29)
+    band_cells = 0
+    total = 0
+    wall = 0.0
+    ref_wall = None
+    while total < n_reads:
+        b = min(batch, n_reads - total)
+        seqs, evs_l, scalings = [], [], []
+        for c in range(b):
+            slen = int(rng.integers(800, 1200))
+            seq = rng.integers(0, 4, slen).astype(np.uint8)
+            ranks = kmer_ranks(seq)
+            scale = float(rng.uniform(0.9, 1.1))
+            shift = float(rng.uniform(-5, 5))
+            evs = []
+            for r in ranks:
+                if rng.random() < 0.05:
+                    continue
+                reps = int(rng.integers(1, 4)) if rng.random() > 0.3 else 1
+                for _ in range(reps):
+                    evs.append(mean[r] * scale + shift
+                               + rng.normal(0, stdv[r] * 0.5))
+            seqs.append(seq)
+            evs_l.append(np.array(evs, np.float32))
+            scalings.append([scale, shift])
+            band_cells += (slen - 5 + len(evs) + 2) * 100
+        scal = np.array(scalings, np.float32)
+        if total == 0:
+            align_batch(seqs, evs_l, mean, stdv, scal)  # warm
+        t0 = time.time()
+        align_batch(seqs, evs_l, mean, stdv, scal)
+        wall += time.time() - t0
+        if total == 0 and os.path.exists(f"{REFBUILD}/abea_gold_f32"):
+            # time the reference CPU align() on this batch's inputs
+            path = f"{SCRATCH}/abea_ref.in"
+            with open(path, "w") as f:
+                f.write("align\n")
+                f.write(f"{b}\n")
+                for m, s in zip(mean, stdv):
+                    f.write(f"{m:.6f} {s:.6f}\n")
+                for seq, evs, (scale, shift) in zip(seqs, evs_l, scalings):
+                    f.write(f"{len(seq)}\n")
+                    f.write("".join("ACGT"[x] for x in seq) + "\n")
+                    f.write(f"{len(evs)}\n")
+                    for e in evs:
+                        f.write(f"{e:.6f} 1.0\n")
+                    f.write(f"{scale:.6f} {shift:.6f}\n")
+            ref_batch_wall = ref_time([f"{REFBUILD}/abea_gold_f32", path])
+            ref_wall = ref_batch_wall * (n_reads / b)
+        total += b
+    record(workload="abea", n_reads=n_reads, band_cells=band_cells,
+           wall_s=round(wall, 2),
+           band_cells_per_s=round(band_cells / wall, -6),
+           ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
+           speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))
+
+
+# ---------------------------------------------------------------------------
+# nn-base — 100k signal chunks through the full basecaller
+# ---------------------------------------------------------------------------
+
+def bench_nn_base(n_signals=2_000, sig_len=20_000):
+    import jax
+
+    from genomicsbench_tpu.models import basecaller as bc
+
+    cfg = bc.BasecallerConfig()
+    params = bc.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(31)
+    signals = [rng.normal(size=sig_len).astype(np.float32)
+               for _ in range(n_signals)]
+    bc.basecall_signals(params, signals[:8], cfg)  # warm
+    t0 = time.time()
+    out = bc.basecall_signals(params, signals, cfg)
+    wall = time.time() - t0
+    samples = float(n_signals * sig_len)
+    record(workload="nn-base", n_signals=n_signals, sig_len=sig_len,
+           wall_s=round(wall, 2), samples_per_s=round(samples / wall, -3),
+           n_called=len(out))
+
+
+# ---------------------------------------------------------------------------
+# nn-variant — 1M tensors through the fused inference path
+# ---------------------------------------------------------------------------
+
+def bench_nn_variant(n_tensors=1_000_000):
+    import jax
+
+    from genomicsbench_tpu.models import variant_caller as vc
+
+    cfg = vc.ClairConfig()
+    params = vc.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(37)
+    # process in 128k-tensor slabs (h5 file batching analog)
+    slab = 131_072
+    done = 0
+    wall = 0.0
+    while done < n_tensors:
+        b = min(slab, n_tensors - done)
+        batches = [rng.standard_normal((1000, cfg.seq_len, 8, 4),
+                                       dtype=np.float32)
+                   for _ in range(-(-b // 1000))]
+        if done == 0:
+            vc.predict_batches(params, batches, cfg)  # warm
+        t0 = time.time()
+        vc.predict_batches(params, batches, cfg)
+        wall += time.time() - t0
+        done += b
+    record(workload="nn-variant", n_tensors=n_tensors, wall_s=round(wall, 2),
+           samples_per_s=round(n_tensors / wall, -2))
+
+
+WORKLOADS = {
+    "bsw": bench_bsw,
+    "chain": bench_chain,
+    "kmer": bench_kmer,
+    "dbg": bench_dbg,
+    "pileup": bench_pileup,
+    "grm": bench_grm,
+    "phmm": bench_phmm,
+    "poa": bench_poa,
+    "fmi": bench_fmi,
+    "abea": bench_abea,
+    "nn-base": bench_nn_base,
+    "nn-variant": bench_nn_variant,
+}
+
+
+if __name__ == "__main__":
+    os.makedirs(SCRATCH, exist_ok=True)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    names = list(WORKLOADS) if which == "all" else [which]
+    for name in names:
+        fn = WORKLOADS[name]
+        if n is not None:
+            fn(n)
+        else:
+            fn()

@@ -29,6 +29,12 @@ TPU-first design:
 * Pass 3's sequential pivot hopping (x advances to each hit's end) is a
   device walk (_pass3_jump) over a precomputed per-position ambiguous-base
   stop table, flat-pipelined per lane like pass 1.
+* Emit buffers carry a trash column and are written by PURE scatter
+  (packed m/e words), so XLA updates them in place inside the while_loop;
+  the occ line drops the validity plane (sentinel corrected
+  arithmetically) — both direct results of the measured per-round cost
+  model (row gathers ~2 GB/s; select-formulated buffer updates copied
+  every buffer every round).
 """
 
 from __future__ import annotations
@@ -94,14 +100,16 @@ class FmdIndex:
         """Device tables: (C, packed occ "cacheline", sentinel row).
 
         The per-block checkpoint + bit planes are fused into ONE
-        (n_blocks, 10) int32 row — cols 0-3 occ counts, 4-5 plane0,
-        6-7 plane1, 8-9 valid — so a rank query costs a single gather
-        (the TPU analog of bwa-mem2's one-cacheline occ layout,
-        fmi.cpp:44 CLMUL)."""
+        (n_blocks, 8) int32 row — cols 0-3 occ counts, 4-5 plane0,
+        6-7 plane1 — so a rank query costs a single 32-byte gather (the
+        TPU analog of bwa-mem2's one-cacheline occ layout, fmi.cpp:44
+        CLMUL).  The single invalid row (the sentinel, whose cleaned BWT
+        symbol is 0) is corrected arithmetically in _rank4 instead of
+        carrying a validity bitplane: row gathers are the kernel's
+        bandwidth bound, so 20% less line is 20% more rank throughput."""
         packed = np.concatenate([
             self.occ_cp.astype(np.int32),
             self.plane0.view(np.int32), self.plane1.view(np.int32),
-            self.valid.view(np.int32),
         ], axis=1)
         return jax.device_put((
             jnp.asarray(self.C.astype(np.int32)),
@@ -201,18 +209,18 @@ def _popcount_below(word, nbits):
 
 def _rank4_from_line(line, off):
     """Finish a rank query given the gathered checkpoint line + in-block
-    offset (shared by the replicated and table-sharded paths)."""
+    offset (shared by the replicated and table-sharded paths).  The
+    sentinel row is counted as base 0 here; _rank4 subtracts it."""
     cp = line[..., 0:4]
     w0 = jax.lax.bitcast_convert_type(line[..., 4:6], jnp.uint32)
     w1 = jax.lax.bitcast_convert_type(line[..., 6:8], jnp.uint32)
-    va = jax.lax.bitcast_convert_type(line[..., 8:10], jnp.uint32)
     off_a = off
     off_b = off - 32
     ranks = []
     for c in range(4):
         c0 = U32(0xFFFFFFFF) if (c & 1) else U32(0)
         c1 = U32(0xFFFFFFFF) if (c & 2) else U32(0)
-        m = ~(w0 ^ c0) & ~(w1 ^ c1) & va
+        m = ~(w0 ^ c0) & ~(w1 ^ c1)
         cnt = _popcount_below(m[..., 0], off_a) + _popcount_below(m[..., 1], off_b)
         ranks.append(cp[..., c] + cnt)
     return jnp.stack(ranks, axis=-1)
@@ -231,7 +239,7 @@ class ShardedOccTable:
     shards.  Drop-in for the dense table in _rank4 (trace-time dispatch)."""
 
     def __init__(self, slab, slab_blocks: int, axis: str):
-        self.slab = slab                  # (n_blocks/D, 10) local shard
+        self.slab = slab                  # (n_blocks/D, 8) local shard
         self.slab_blocks = slab_blocks    # static: blocks per device
         self.axis = axis
 
@@ -251,25 +259,31 @@ class ShardedOccTable:
         return jax.lax.psum(got, self.axis)
 
 
-def _rank4(table, row):
+def _rank4(table, row, sent_row):
     """Counts of each base in BWT[0:row].  row (...,) -> (..., 4).
-    table: packed (n_blocks, 10) int32 — one gather per query — or a
-    ShardedOccTable (gather + psum across the index shards)."""
+    table: packed (n_blocks, 8) int32 — one gather per query — or a
+    ShardedOccTable (gather + psum across the index shards).
+
+    Checkpoints exclude the sentinel row; the intra-block popcount sees
+    its cleaned symbol (0), so base 0 is corrected when the sentinel sits
+    in the queried block below the offset."""
     blk = row // BLOCK
     off = row % BLOCK
     if isinstance(table, ShardedOccTable):
         line = table.line(blk)
     else:
-        line = table[blk]  # (..., 10): the single fused gather
-    return _rank4_from_line(line, off)
+        line = table[blk]  # (..., 8): the single fused gather
+    ranks = _rank4_from_line(line, off)
+    over = ((sent_row // BLOCK == blk) & (sent_row < row)).astype(jnp.int32)
+    return ranks.at[..., 0].add(-over)
 
 
-def _rank4_pair(table, row_a, row_b):
+def _rank4_pair(table, row_a, row_b, sent_row):
     """rank4 at two row vectors with ONE fused gather (the backward-extension
     step always needs occ at interval start AND end — batching the rows
     halves the per-step gather dispatches, the dominant cost of the SMEM
     walk)."""
-    both = _rank4(table, jnp.stack([row_a, row_b], 0))
+    both = _rank4(table, jnp.stack([row_a, row_b], 0), sent_row)
     return both[0], both[1]
 
 
@@ -301,7 +315,7 @@ def _extend_lanes_run(
     N = query.shape[0]
 
     def back_ext(k, l, s):
-        r_lo, r_hi = _rank4_pair(table, k, k + s)
+        r_lo, r_hi = _rank4_pair(table, k, k + s, sent_row)
         s_new = r_hi - r_lo
         k_new = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
@@ -493,7 +507,7 @@ class FmiPipeline:
         Both paths emit identical SMEM sets in identical order."""
         B, L = query.shape
         max_rounds = 64 * L  # flat walk: cap counts extension BASES
-        sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+        sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(query),
             self._put(qlen.astype(np.int32)),
             self._put(np.ones(B, np.int32)), self._put(np.zeros(B, np.int32)),
@@ -501,6 +515,7 @@ class FmiPipeline:
         ))
         if int(rounds) >= max_rounds:
             return self._pass1_etable(query, qlen)
+        sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
         rid = np.repeat(np.arange(B), count)
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
             if len(rid) else np.zeros(0, np.int64)
@@ -536,7 +551,7 @@ class FmiPipeline:
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
         max_rounds = 64 * L  # flat walk: cap counts extension BASES
-        sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+        sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
             self._put(mintv.astype(np.int32)),
             self._put(pivots.astype(np.int32)),
@@ -549,6 +564,7 @@ class FmiPipeline:
             return self._pass2_etable(pq[: len(prid)], plen[: len(prid)],
                                       prid, pivots[: len(prid)],
                                       mintv[: len(prid)])
+        sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
         pi = np.repeat(np.arange(P), count[:P])
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
             if len(pi) else np.zeros(0, np.int64)
@@ -584,7 +600,7 @@ class FmiPipeline:
         nxt = np.minimum(nxt, n_arr[:, None])
 
         max_rounds = 32 * L  # flat walk: cap counts extension BASES
-        em_m_a, em_n_a, count, rounds = jax.device_get(_pass3_jump(
+        em_mn_a, count, rounds = jax.device_get(_pass3_jump(
             *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
             self._put(nxt.astype(np.int32)), self.max_mem_intv,
             min_len=min_len, max_rounds=max_rounds,
@@ -594,8 +610,9 @@ class FmiPipeline:
         if len(em_rid) == 0:
             return _mk_smem([], [], [], [], [])
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64)
-        em_m = em_m_a[em_rid, cols].astype(np.int64)
-        em_n = em_n_a[em_rid, cols].astype(np.int64)
+        em_mn = em_mn_a[em_rid, cols].astype(np.int64)
+        em_m = em_mn & 0xFFFF
+        em_n = em_mn >> 16
         # interval of [x, i*+1), no floor (s may legitimately reach 0)
         e, k, s = self._extend(
             query[em_rid], qlen[em_rid], em_m,
@@ -645,7 +662,7 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = c["alive"] & in_read & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, c["l"], c["l"] + c["s"])
+        r_lo, r_hi = _rank4_pair(table, c["l"], c["l"] + c["s"], sent_row)
         s_new4 = r_hi - r_lo
         k2 = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= c["l"]) & (sent_row < c["l"] + c["s"])).astype(jnp.int32)
@@ -712,14 +729,19 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
                    (init_lo + init_hi) // 2)
     p0 = jnp.where(done0, jnp.int32(L), jnp.clip(p0, 0, L - 1))
     ext0 = init_ext(p0)
+    # emit buffers carry one trash column (index L): rejected rounds
+    # scatter there UNCONDITIONALLY, so each buffer update is a pure
+    # scatter XLA aliases in place — the gather+select formulation copied
+    # every buffer every round (measured: 4x full-buffer copy/round).
+    # m/e pack into one int32 (both < 2^15: L is a read length).
+    assert L < (1 << 15), "read length overflows the packed m/e emit word"
     init = dict(
         mode=init_mode, b=jnp.zeros(B, jnp.int32),
         lo=init_lo, hi=init_hi, e0=init_e0, done=done0,
         count=jnp.zeros(B, jnp.int32),
-        sm_m=jnp.full((B, L), -1, jnp.int32),
-        sm_e=jnp.zeros((B, L), jnp.int32),
-        sm_k=jnp.zeros((B, L), jnp.int32),
-        sm_s=jnp.zeros((B, L), jnp.int32),
+        sm_me=jnp.full((B, L + 1), -1, jnp.int32),
+        sm_k=jnp.zeros((B, L + 1), jnp.int32),
+        sm_s=jnp.zeros((B, L + 1), jnp.int32),
         p=p0, ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
         ealive=ext0["alive"], round=jnp.int32(0),
     )
@@ -737,13 +759,11 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         accept = proc & probing & (e_p - p >= min_seed_len) & (p < qlen)
         if has_pivot:  # pass-2 covering rule: b <= pivot < e_b
             accept = accept & (p <= pivot) & (e_p > pivot)
-        slot = jnp.clip(c["count"], 0, L - 1)
-        write = lambda buf, v: buf.at[jnp.arange(B), slot].set(
-            jnp.where(accept, v, buf[jnp.arange(B), slot]))
-        sm_m = write(c["sm_m"], p)
-        sm_e = write(c["sm_e"], e_p)
-        sm_k = write(c["sm_k"], k_p.astype(jnp.int32))
-        sm_s = write(c["sm_s"], s_p.astype(jnp.int32))
+        slot = jnp.where(accept, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
+        rows = jnp.arange(B)
+        sm_me = c["sm_me"].at[rows, slot].set((e_p << 16) | p)
+        sm_k = c["sm_k"].at[rows, slot].set(k_p.astype(jnp.int32))
+        sm_s = c["sm_s"].at[rows, slot].set(s_p.astype(jnp.int32))
         count = c["count"] + accept.astype(jnp.int32)
 
         was_probe = proc & probing
@@ -783,7 +803,7 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = ealive & (pos < qlen) & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, el, el + es)
+        r_lo, r_hi = _rank4_pair(table, el, el + es, sent_row)
         s_new4 = r_hi - r_lo
         k2 = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
@@ -800,7 +820,7 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
 
         return dict(
             mode=mode_n, b=b_n, lo=lo_n, hi=hi_n, e0=e0_n, done=done_n,
-            count=count, sm_m=sm_m, sm_e=sm_e, sm_k=sm_k, sm_s=sm_s,
+            count=count, sm_me=sm_me, sm_k=sm_k, sm_s=sm_s,
             p=p_new,
             ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
             es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
@@ -808,8 +828,8 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return (final["sm_m"], final["sm_e"], final["sm_k"], final["sm_s"],
-            final["count"], final["round"])
+    return (final["sm_me"][:, :L], final["sm_k"][:, :L],
+            final["sm_s"][:, :L], final["count"], final["round"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))
@@ -841,11 +861,11 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
     done0 = qlen < 1
     x0 = jnp.where(done0, jnp.int32(L), jnp.zeros(B, jnp.int32))
     ext0 = init_ext(x0)
+    assert L < (1 << 15), "read length overflows the packed m/n emit word"
     init = dict(
         x=x0, done=done0,
         count=jnp.zeros(B, jnp.int32),
-        em_m=jnp.full((B, L), -1, jnp.int32),
-        em_n=jnp.zeros((B, L), jnp.int32),
+        em_mn=jnp.full((B, L + 1), -1, jnp.int32),  # trash col: pure scatter
         ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
         ealive=ext0["alive"], round=jnp.int32(0),
     )
@@ -864,12 +884,9 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         nn = jnp.minimum(nn, qlen)
         i_star = jnp.maximum(e_x, x + min_len)
         emit = proc & ~is_n_base & (i_star < jnp.minimum(nn, qlen))
-        slot = jnp.clip(c["count"], 0, L - 1)
+        slot = jnp.where(emit, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
         rows = jnp.arange(B)
-        em_m = c["em_m"].at[rows, slot].set(
-            jnp.where(emit, x, c["em_m"][rows, slot]))
-        em_n = c["em_n"].at[rows, slot].set(
-            jnp.where(emit, i_star, c["em_n"][rows, slot]))
+        em_mn = c["em_mn"].at[rows, slot].set((i_star << 16) | x)
         count = c["count"] + emit.astype(jnp.int32)
         x_next = jnp.where(is_n_base, c["x"] + 1,
                            jnp.where(emit, i_star + 1,
@@ -891,7 +908,7 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = ealive & (pos < qlen) & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, el, el + es)
+        r_lo, r_hi = _rank4_pair(table, el, el + es, sent_row)
         s_new4 = r_hi - r_lo
         k2 = C[:4][None, :] + r_lo
         sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
@@ -907,11 +924,11 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         ok = can & (s_n >= mi)
 
         return dict(
-            x=x_new, done=done_n, count=count, em_m=em_m, em_n=em_n,
+            x=x_new, done=done_n, count=count, em_mn=em_mn,
             ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
             es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
             ealive=ok, round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return final["em_m"], final["em_n"], final["count"], final["round"]
+    return final["em_mn"][:, :L], final["count"], final["round"]

@@ -23,12 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def pack_occ_table(index) -> np.ndarray:
-    """The (n_blocks, 10) int32 checkpoint lines (same layout as
+    """The (n_blocks, 8) int32 checkpoint lines (same layout as
     FmdIndex.device, host-side)."""
     return np.concatenate([
         index.occ_cp.astype(np.int32),
         index.plane0.view(np.int32), index.plane1.view(np.int32),
-        index.valid.view(np.int32),
     ], axis=1)
 
 
@@ -76,8 +75,9 @@ def pass1_sharded_table(mesh: Mesh, index, query, qlen, min_seed_len=19):
         out_specs=P(),
         check_vma=False,
     )(table, jnp.asarray(query), jnp.asarray(qlen))
-    sm_m, sm_e, sm_k, sm_s, count, rounds = jax.device_get(out)
+    sm_me, sm_k, sm_s, count, rounds = jax.device_get(out)
     assert int(rounds) < max_rounds
+    sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
     rid = np.repeat(np.arange(B), count)
     cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
         if len(rid) else np.zeros(0, np.int64)

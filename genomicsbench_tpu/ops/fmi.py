@@ -287,6 +287,36 @@ def _rank4_pair(table, row_a, row_b, sent_row):
     return both[0], both[1]
 
 
+def _select4(c0, c1, c2, c3, idx):
+    """cols[idx] per lane via a 2-level select tree — gathers of one
+    element from tiny arrays still pay the measured ~17ns/row gather
+    cost on TPU; three selects are free on the VPU."""
+    lo = jnp.where((idx & 1) == 0, c0, c1)
+    hi = jnp.where((idx & 1) == 0, c2, c3)
+    return jnp.where(idx < 2, lo, hi)
+
+
+def _fwd_extend_pick(C, table, sent_row, k, l, s, nb):
+    """One FMD forward-extension step for symbol nb (0..3): single paired
+    rank gather + FMD synchronization, returning the picked (k', l', s')
+    with arithmetic selects only.  Equivalent to building all four
+    candidate intervals (reverse-complement mapping c -> 3-c) and
+    indexing at nb."""
+    r_lo, r_hi = _rank4_pair(table, l, l + s, sent_row)
+    s4 = r_hi - r_lo
+    sent_cnt = ((sent_row >= l) & (sent_row < l + s)).astype(jnp.int32)
+    acc0 = k + sent_cnt
+    suf2 = s4[:, 3]
+    suf1 = suf2 + s4[:, 2]
+    suf0 = suf1 + s4[:, 1]
+    cnb = 3 - nb
+    k_n = acc0 + _select4(suf0, suf1, suf2, jnp.zeros_like(acc0), cnb)
+    l_n = _select4(C[0], C[1], C[2], C[3], cnb) \
+        + _select4(r_lo[:, 0], r_lo[:, 1], r_lo[:, 2], r_lo[:, 3], cnb)
+    s_n = _select4(s4[:, 0], s4[:, 1], s4[:, 2], s4[:, 3], cnb)
+    return k_n, l_n, s_n
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _extend_lanes_init(C, query, qlen, start, min_intv):
     """Initial (k, l, s, e, alive) lane state for forward extension."""
@@ -295,9 +325,9 @@ def _extend_lanes_init(C, query, qlen, start, min_intv):
     )[:, 0].astype(jnp.int32)
     counts = (C[1:5] - C[:4]).astype(jnp.int32)
     b0 = jnp.clip(base0, 0, 3)
-    k0 = jnp.take(C[:4], b0)
-    s0 = jnp.take(counts, b0)
-    l0 = jnp.take(C[:4], 3 - b0)
+    k0 = _select4(C[0], C[1], C[2], C[3], b0)
+    s0 = _select4(counts[0], counts[1], counts[2], counts[3], b0)
+    l0 = _select4(C[3], C[2], C[1], C[0], b0)  # C[3 - b0]
     alive0 = (base0 < 4) & (start < qlen) & (start >= 0) & (s0 >= min_intv)
     return dict(
         k=k0, l=l0, s=jnp.where(alive0, s0, 0),
@@ -314,22 +344,6 @@ def _extend_lanes_run(
     """Continue extension from `state` for up to `steps` more bases."""
     N = query.shape[0]
 
-    def back_ext(k, l, s):
-        r_lo, r_hi = _rank4_pair(table, k, k + s, sent_row)
-        s_new = r_hi - r_lo
-        k_new = C[:4][None, :] + r_lo
-        sent_cnt = ((sent_row >= k) & (sent_row < k + s)).astype(jnp.int32)
-        l_new = jnp.zeros_like(s_new)
-        acc = l + sent_cnt
-        for c in (3, 2, 1, 0):
-            l_new = l_new.at[:, c].set(acc)
-            acc = acc + s_new[:, c]
-        return k_new, l_new, s_new
-
-    def fwd_ext_all(k, l, s):
-        k2, l2, s2 = back_ext(l, k, s)
-        return l2[:, ::-1], k2[:, ::-1], s2[:, ::-1]
-
     def step(c, _):
         pos = c["e"]
         in_read = (pos < qlen) & (pos < max_e)
@@ -337,10 +351,8 @@ def _extend_lanes_run(
             query, jnp.clip(pos, 0, query.shape[1] - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = c["alive"] & in_read & (nb < 4)
-        kf, lf, sf = fwd_ext_all(c["k"], c["l"], c["s"])
-        sel = jnp.clip(nb, 0, 3)[:, None]
-        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
-        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, c["k"], c["l"], c["s"], jnp.clip(nb, 0, 3))
         ok = can & (s_n >= min_intv)
         return dict(
             k=jnp.where(ok, k_n, c["k"]),
@@ -501,20 +513,48 @@ class FmiPipeline:
         mask = (e > prev) & (e - pos >= min_len) & (pos < qlen[:, None])
         return mask
 
+    # queued walk: persistent lanes each process a queue of reads, so the
+    # batch doesn't wait on the slowest single read's walk (tail skew
+    # measured ~4x the mean).  Engaged when there are enough reads to
+    # keep every lane's queue deep.
+    QUEUE_LANES = 8192
+
     def pass1(self, query, qlen):
         """Monotone-jump enumeration (one device program); falls back to
         the e-table + containment mask on pathological inputs (round cap).
         Both paths emit identical SMEM sets in identical order."""
         B, L = query.shape
-        max_rounds = 64 * L  # flat walk: cap counts extension BASES
-        sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
-            *self.dev, self._put(query),
-            self._put(qlen.astype(np.int32)),
-            self._put(np.ones(B, np.int32)), self._put(np.zeros(B, np.int32)),
-            min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-        ))
-        if int(rounds) >= max_rounds:
-            return self._pass1_etable(query, qlen)
+        if self.mesh is None and B >= 2 * self.QUEUE_LANES:
+            lanes = self.QUEUE_LANES
+            R = -(-B // lanes)
+            padN = lanes * R
+            q_in, ql_in = query, qlen.astype(np.int32)
+            if padN != B:
+                q_in = np.concatenate(
+                    [q_in, np.zeros((padN - B, L), q_in.dtype)])
+                ql_in = np.concatenate([ql_in, np.zeros(padN - B, np.int32)])
+            max_rounds = 70 * L * R
+            sm_me, sm_k, sm_s, rounds = jax.device_get(_pass1_jump_queued(
+                *self.dev, jnp.asarray(q_in), jnp.asarray(ql_in),
+                jnp.asarray(np.ones(padN, np.int32)),
+                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                lanes=lanes,
+            ))
+            if int(rounds) >= max_rounds:
+                return self._pass1_etable(query, qlen)
+            sm_me, sm_k, sm_s = sm_me[:B], sm_k[:B], sm_s[:B]
+            count = (sm_me != -1).sum(1).astype(np.int64)
+        else:
+            max_rounds = 64 * L  # flat walk: cap counts extension BASES
+            sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+                *self.dev, self._put(query),
+                self._put(qlen.astype(np.int32)),
+                self._put(np.ones(B, np.int32)),
+                self._put(np.zeros(B, np.int32)),
+                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+            ))
+            if int(rounds) >= max_rounds:
+                return self._pass1_etable(query, qlen)
         sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
         rid = np.repeat(np.arange(B), count)
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
@@ -662,19 +702,8 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = c["alive"] & in_read & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, c["l"], c["l"] + c["s"], sent_row)
-        s_new4 = r_hi - r_lo
-        k2 = C[:4][None, :] + r_lo
-        sent_cnt = ((sent_row >= c["l"]) & (sent_row < c["l"] + c["s"])).astype(jnp.int32)
-        l2 = jnp.zeros_like(s_new4)
-        acc = c["k"] + sent_cnt
-        for cc in (3, 2, 1, 0):
-            l2 = l2.at[:, cc].set(acc)
-            acc = acc + s_new4[:, cc]
-        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
-        sel = jnp.clip(nb, 0, 3)[:, None]
-        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
-        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, c["k"], c["l"], c["s"], jnp.clip(nb, 0, 3))
         ok = can & (s_n >= min_intv)
         return dict(
             k=jnp.where(ok, k_n, c["k"]), l=jnp.where(ok, l_n, c["l"]),
@@ -684,6 +713,149 @@ def _extend_forward_fori(C, table, sent_row, query, qlen, p, min_intv):
 
     final = jax.lax.while_loop(cond, body, state)
     return final["e"], final["k"], final["s"]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_seed_len", "max_rounds", "lanes"))
+def _pass1_jump_queued(C, table, sent_row, query, qlen, min_intv,
+                       *, min_seed_len, max_rounds, lanes):
+    """Work-queue variant of _pass1_jump (no-pivot pass only): `lanes`
+    persistent lanes each walk reads [i*R, (i+1)*R) sequentially, starting
+    the next read the moment the current one finishes (one INIT round per
+    switch).  Kills the tail-skew of one-read-per-lane dispatch, where the
+    whole batch waited ~4x the mean lane time on the slowest read's walk.
+    Emits land in per-READ rows; counts are recovered on the host from the
+    -1 sentinel (packed m/e words are always >= 0).
+
+    Returns (sm_me, sm_k, sm_s, rounds) over all N reads."""
+    N, L = query.shape
+    Bl = lanes
+    R = N // Bl
+    assert Bl * R == N, "pad reads to a multiple of `lanes`"
+    INIT, PROBE, SEARCH = 2, 0, 1
+    counts = (C[1:5] - C[:4]).astype(jnp.int32)
+    qflat = query.reshape(-1)
+    meta = jnp.stack(
+        [qlen.astype(jnp.int32), min_intv.astype(jnp.int32)], axis=1)
+    lane_base = jnp.arange(Bl, dtype=jnp.int32) * R
+    assert L < (1 << 15), "read length overflows the packed m/e emit word"
+
+    def qbase(rd, p):
+        """base at (read rd, clipped position p): one element per lane."""
+        return jnp.take(
+            qflat, rd * L + jnp.clip(p, 0, L - 1)).astype(jnp.int32)
+
+    def init_ext(rd, ql, mi, p):
+        base0 = qbase(rd, p)
+        b0 = jnp.clip(base0, 0, 3)
+        k0 = _select4(C[0], C[1], C[2], C[3], b0)
+        s0 = _select4(counts[0], counts[1], counts[2], counts[3], b0)
+        l0 = _select4(C[3], C[2], C[1], C[0], b0)  # C[3 - b0]
+        alive0 = (base0 < 4) & (p < ql) & (p >= 0) & (s0 >= mi)
+        return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+                    e=jnp.where(alive0, p + 1, p), alive=alive0)
+
+    init = dict(
+        ridx=jnp.zeros(Bl, jnp.int32),
+        mode=jnp.full(Bl, INIT, jnp.int32),
+        b=jnp.zeros(Bl, jnp.int32),
+        lo=jnp.zeros(Bl, jnp.int32), hi=jnp.zeros(Bl, jnp.int32),
+        e0=jnp.zeros(Bl, jnp.int32),
+        lane_done=jnp.zeros(Bl, jnp.bool_),
+        count=jnp.zeros(Bl, jnp.int32),
+        sm_me=jnp.full((N, L + 1), -1, jnp.int32),
+        sm_k=jnp.zeros((N, L + 1), jnp.int32),
+        sm_s=jnp.zeros((N, L + 1), jnp.int32),
+        p=jnp.full(Bl, L, jnp.int32),
+        ek=jnp.zeros(Bl, jnp.int32), el=jnp.zeros(Bl, jnp.int32),
+        es=jnp.zeros(Bl, jnp.int32), ee=jnp.full(Bl, L, jnp.int32),
+        ealive=jnp.zeros(Bl, jnp.bool_),
+        round=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (~c["lane_done"]).any() & (c["round"] < max_rounds)
+
+    def step(c):
+        rd = lane_base + jnp.minimum(c["ridx"], R - 1)
+        mrow = meta[rd]                    # (Bl, 2) per-read scalars
+        ql, mi = mrow[:, 0], mrow[:, 1]
+
+        # ---- phase B: lanes whose extension has finished consume the
+        # result and set up the next probe; INIT lanes set up their read
+        proc = ~c["ealive"] & ~c["lane_done"]
+        initing = c["mode"] == INIT
+        probing = c["mode"] == PROBE
+        p, e_p, k_p, s_p = c["p"], c["ee"], c["ek"], c["es"]
+
+        accept = proc & probing & (e_p - p >= min_seed_len) & (p < ql)
+        slot = jnp.where(accept, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
+        sm_me = c["sm_me"].at[rd, slot].set((e_p << 16) | p)
+        sm_k = c["sm_k"].at[rd, slot].set(k_p.astype(jnp.int32))
+        sm_s = c["sm_s"].at[rd, slot].set(s_p.astype(jnp.int32))
+        count = c["count"] + accept.astype(jnp.int32)
+
+        was_probe = proc & probing
+        e0_n = jnp.where(was_probe, e_p, c["e0"])
+        probe_done = was_probe & ((e_p >= ql) | (p + 1 >= ql))
+        lo_n = jnp.where(was_probe, p + 1, c["lo"])
+        hi_n = jnp.where(was_probe, jnp.minimum(e_p + 1, ql - 1) + 1, c["hi"])
+
+        searching = proc & (c["mode"] == SEARCH)
+        gt = e_p > c["e0"]
+        lo_n = jnp.where(searching, jnp.where(gt, c["lo"], p + 1), lo_n)
+        hi_n = jnp.where(searching, jnp.where(gt, p, c["hi"]), hi_n)
+
+        converged = lo_n >= hi_n
+        mode_n = jnp.where(was_probe, SEARCH, c["mode"])
+        mode_n = jnp.where(searching | was_probe,
+                           jnp.where(converged, PROBE, SEARCH), mode_n)
+        b_n = jnp.where(proc & converged & ~initing, lo_n, c["b"])
+        # the lane's CURRENT read finishes here (same rules as the
+        # one-read kernel's done)
+        fresh = probe_done | (proc & ~initing & converged & (lo_n >= ql))
+        fresh = fresh | (proc & initing & (ql < 1))  # empty read: skip
+        ridx_n = c["ridx"] + fresh.astype(jnp.int32)
+        lane_done_n = c["lane_done"] | (ridx_n >= R)
+        mode_n = jnp.where(fresh, INIT, mode_n)
+        count = jnp.where(fresh, 0, count)
+        # INIT lanes (with a live read) become fresh probes at position 0
+        start_now = proc & initing & ~fresh
+        mode_n = jnp.where(start_now, PROBE, mode_n)
+        b_n = jnp.where(start_now, 0, b_n)
+
+        p_next = jnp.where(mode_n == PROBE, b_n, (lo_n + hi_n) // 2)
+        idle = fresh | lane_done_n
+        p_next = jnp.where(idle, jnp.int32(L), jnp.clip(p_next, 0, L - 1))
+        nxt = init_ext(rd, ql, mi, p_next)
+        p_new = jnp.where(proc, p_next, c["p"])
+        ek = jnp.where(proc, nxt["k"], c["ek"])
+        el = jnp.where(proc, nxt["l"], c["el"])
+        es = jnp.where(proc, nxt["s"], c["es"])
+        ee = jnp.where(proc, nxt["e"], c["ee"])
+        ealive = jnp.where(proc, nxt["alive"], c["ealive"])
+
+        # ---- phase A: all alive extensions advance one base
+        pos = ee
+        nb = qbase(rd, pos)
+        can = ealive & (pos < ql) & (nb < 4)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, ek, el, es, jnp.clip(nb, 0, 3))
+        ok = can & (s_n >= mi)
+
+        return dict(
+            ridx=ridx_n, mode=mode_n, b=b_n, lo=lo_n, hi=hi_n, e0=e0_n,
+            lane_done=lane_done_n, count=count,
+            sm_me=sm_me, sm_k=sm_k, sm_s=sm_s,
+            p=p_new,
+            ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
+            es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
+            ealive=ok, round=c["round"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, step, init)
+    return (final["sm_me"][:, :L], final["sm_k"][:, :L],
+            final["sm_s"][:, :L], final["round"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds", "has_pivot"))
@@ -706,9 +878,9 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
             query, jnp.clip(p, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         b0 = jnp.clip(base0, 0, 3)
-        k0 = jnp.take(C[:4], b0)
-        s0 = jnp.take(counts, b0)
-        l0 = jnp.take(C[:4], 3 - b0)
+        k0 = _select4(C[0], C[1], C[2], C[3], b0)
+        s0 = _select4(counts[0], counts[1], counts[2], counts[3], b0)
+        l0 = _select4(C[3], C[2], C[1], C[0], b0)  # C[3 - b0]
         alive0 = (base0 < 4) & (p < qlen) & (p >= 0) & (s0 >= min_intv)
         return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
                     e=jnp.where(alive0, p + 1, p), alive=alive0)
@@ -739,6 +911,8 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
         mode=init_mode, b=jnp.zeros(B, jnp.int32),
         lo=init_lo, hi=init_hi, e0=init_e0, done=done0,
         count=jnp.zeros(B, jnp.int32),
+        # three scalar-scatter buffers; a fused (B, L+1, 4) windowed
+        # scatter measured 1.8x SLOWER (XLA copies the wider buffer)
         sm_me=jnp.full((B, L + 1), -1, jnp.int32),
         sm_k=jnp.zeros((B, L + 1), jnp.int32),
         sm_s=jnp.zeros((B, L + 1), jnp.int32),
@@ -803,19 +977,8 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = ealive & (pos < qlen) & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, el, el + es, sent_row)
-        s_new4 = r_hi - r_lo
-        k2 = C[:4][None, :] + r_lo
-        sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
-        l2 = jnp.zeros_like(s_new4)
-        acc = ek + sent_cnt
-        for cc in (3, 2, 1, 0):
-            l2 = l2.at[:, cc].set(acc)
-            acc = acc + s_new4[:, cc]
-        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
-        sel = jnp.clip(nb, 0, 3)[:, None]
-        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
-        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, ek, el, es, jnp.clip(nb, 0, 3))
         ok = can & (s_n >= min_intv)
 
         return dict(
@@ -849,9 +1012,9 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
             query, jnp.clip(p, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         b0 = jnp.clip(base0, 0, 3)
-        k0 = jnp.take(C[:4], b0)
-        s0 = jnp.take(counts, b0)
-        l0 = jnp.take(C[:4], 3 - b0)
+        k0 = _select4(C[0], C[1], C[2], C[3], b0)
+        s0 = _select4(counts[0], counts[1], counts[2], counts[3], b0)
+        l0 = _select4(C[3], C[2], C[1], C[0], b0)  # C[3 - b0]
         alive0 = (base0 < 4) & (p < qlen) & (p >= 0) & (s0 >= mi)
         return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
                     e=jnp.where(alive0, p + 1, p), alive=alive0)
@@ -908,19 +1071,8 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
             query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
         can = ealive & (pos < qlen) & (nb < 4)
-        r_lo, r_hi = _rank4_pair(table, el, el + es, sent_row)
-        s_new4 = r_hi - r_lo
-        k2 = C[:4][None, :] + r_lo
-        sent_cnt = ((sent_row >= el) & (sent_row < el + es)).astype(jnp.int32)
-        l2 = jnp.zeros_like(s_new4)
-        acc = ek + sent_cnt
-        for cc in (3, 2, 1, 0):
-            l2 = l2.at[:, cc].set(acc)
-            acc = acc + s_new4[:, cc]
-        kf, lf, sf = l2[:, ::-1], k2[:, ::-1], s_new4[:, ::-1]
-        sel = jnp.clip(nb, 0, 3)[:, None]
-        pick = lambda m: jnp.take_along_axis(m, sel, axis=1)[:, 0]
-        k_n, l_n, s_n = pick(kf), pick(lf), pick(sf)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, ek, el, es, jnp.clip(nb, 0, 3))
         ok = can & (s_n >= mi)
 
         return dict(

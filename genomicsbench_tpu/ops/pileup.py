@@ -276,7 +276,7 @@ def pileup_counts(
                 got = native.pileup_events(soa, hit, start, end)
                 if got is None:
                     got = _events_soa(soa, hit, start, end)
-                pos_a, j_a, feat_a, q_a = got
+                pos_a, j_a, feat_a, q_a = got  # int32 until the key stage
                 if len(pos_a):
                     if num_homop > 1:
                         enc = feat_a + FEATLEN * np.where(
@@ -285,8 +285,8 @@ def pileup_counts(
                     else:
                         enc = feat_a
                     events.append((pos_a, j_a, enc))
-                lo = np.maximum(soa["pos"][hit].astype(np.int64), start) - start
-                hi = np.minimum(soa["end_pos"][hit].astype(np.int64), end) - start
+                lo = np.maximum(soa["pos"][hit], start) - start
+                hi = np.minimum(soa["end_pos"][hit], end) - start
                 ok = hi > lo
                 np.add.at(cov_diff, lo[ok], 1)
                 np.add.at(cov_diff, hi[ok], -1)
@@ -332,9 +332,11 @@ def pileup_counts(
         if hi > lo:
             covered_arr[lo - start : hi - start] = True
     if events:
-        ev_pos = np.concatenate([t[0] for t in events]).astype(np.int64)
-        ev_j = np.concatenate([t[1] for t in events]).astype(np.int64)
-        ev_enc = np.concatenate([t[2] for t in events]).astype(np.int64)
+        # int32 end-to-end: pos/j/enc all fit; the key computation below
+        # promotes to int64 through the col_lut gather
+        ev_pos = np.concatenate([t[0] for t in events])
+        ev_j = np.concatenate([t[1] for t in events])
+        ev_enc = np.concatenate([t[2] for t in events])
     else:
         ev_pos = ev_j = ev_enc = np.zeros(0, np.int64)
     if len(ev_pos) == 0 and not wb_events and not covered_arr.any():

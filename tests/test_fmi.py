@@ -366,3 +366,63 @@ def test_pass1_sharded_table_matches_single(small_index):
     got = pass1_sharded_table(mesh, idx, q, qlen, min_seed_len=19)
     assert got.sorted_tuples(with_interval=True) == \
         want.sorted_tuples(with_interval=True)
+
+
+def test_pass1_queued_matches_single(small_index):
+    """The work-queue walk (lanes processing reads sequentially) must emit
+    exactly the per-read SMEM sets of the one-read-per-lane kernel,
+    including empty and short reads interleaved in the queues."""
+    import jax.numpy as jnp
+    from genomicsbench_tpu.ops.fmi import _pass1_jump_queued
+
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(91)
+    N, L = 32, 80
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        if i % 9 == 5:
+            continue  # empty read in the queue
+        ln = int(rng.integers(25, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, rng.integers(0, ln, 2)] = rng.integers(0, 5, 2)  # incl. N
+        qlen[i] = ln
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    want = pipe.pass1(q, qlen)  # single-read kernel (N < queue threshold)
+
+    for lanes in (4, 8, 16):
+        max_rounds = 70 * L * (N // lanes)
+        sm_me, sm_k, sm_s, rounds = (np.asarray(a) for a in _pass1_jump_queued(
+            *pipe.dev, jnp.asarray(q), jnp.asarray(qlen),
+            jnp.asarray(np.ones(N, np.int32)),
+            min_seed_len=19, max_rounds=max_rounds, lanes=lanes,
+        ))
+        assert int(rounds) < max_rounds
+        count = (sm_me != -1).sum(1)
+        rid = np.repeat(np.arange(N), count)
+        cols = np.concatenate([np.arange(c) for c in count]) if len(rid) \
+            else np.zeros(0, np.int64)
+        got = sorted(zip(rid.tolist(), (sm_me[rid, cols] & 0xFFFF).tolist(),
+                         ((sm_me[rid, cols] >> 16) - 1).tolist(),
+                         sm_s[rid, cols].tolist()))
+        assert got == want.sorted_tuples(with_interval=True), lanes
+
+
+def test_pass1_queue_threshold_path(small_index):
+    """A batch over the queue threshold routes through the queued kernel
+    and matches the e-table formulation."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(92)
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    pipe.QUEUE_LANES = 8  # small threshold for the test
+    N, L = 24, 60
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.full(N, L, np.int32)
+    for i in range(N):
+        at = int(rng.integers(0, len(ref) - L))
+        q[i] = ref[at : at + L]
+    got = pipe.pass1(q, qlen)
+    want = pipe._pass1_etable(q, qlen)
+    assert got.sorted_tuples(with_interval=True) == \
+        want.sorted_tuples(with_interval=True)

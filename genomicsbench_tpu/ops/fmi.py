@@ -513,18 +513,22 @@ class FmiPipeline:
         mask = (e > prev) & (e - pos >= min_len) & (pos < qlen[:, None])
         return mask
 
-    # queued walk: persistent lanes each process a queue of reads, so the
-    # batch doesn't wait on the slowest single read's walk (tail skew
-    # measured ~4x the mean).  Engaged when there are enough reads to
-    # keep every lane's queue deep.
-    QUEUE_LANES = 8192
+    # Optional work-queue walk (persistent lanes, each walking a run of
+    # reads).  Measured at the 100 Mb index: NO win — per-read round
+    # counts are dominated by the mean probe work (~26 extension bases
+    # per read base from the binary-search re-probing), not by tail
+    # skew, so queues only add per-round meta gathers.  Kept (with
+    # parity tests) for workloads with genuinely skewed read lengths;
+    # enable by setting QUEUE_LANES.
+    QUEUE_LANES = None
 
     def pass1(self, query, qlen):
         """Monotone-jump enumeration (one device program); falls back to
         the e-table + containment mask on pathological inputs (round cap).
         Both paths emit identical SMEM sets in identical order."""
         B, L = query.shape
-        if self.mesh is None and B >= 2 * self.QUEUE_LANES:
+        if self.mesh is None and self.QUEUE_LANES \
+                and B >= 2 * self.QUEUE_LANES:
             lanes = self.QUEUE_LANES
             R = -(-B // lanes)
             padN = lanes * R

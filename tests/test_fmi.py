@@ -415,7 +415,7 @@ def test_pass1_queue_threshold_path(small_index):
     ref, idx, _ = small_index
     rng = np.random.default_rng(92)
     pipe = FmiPipeline(idx, min_seed_len=19)
-    pipe.QUEUE_LANES = 8  # small threshold for the test
+    pipe.QUEUE_LANES = 8  # enable the queued path for the test
     N, L = 24, 60
     q = np.zeros((N, L), np.uint8)
     qlen = np.full(N, L, np.int32)

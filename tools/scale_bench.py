@@ -62,10 +62,10 @@ def bench_bsw(n_pairs=1_000_000):
     qs, ts, h0s = gen_workload(n_pairs=n_pairs, seed=7)
     cells = float(sum(len(q) * len(t) for q, t in zip(qs, ts)))
     batch = as_pairbatch(qs, ts, h0s)
-    scorer = BswScorer()
-    res = scorer.score(batch)          # warm (compiles all buckets)
+    scorer = BswScorer(batch)
+    res = scorer.score()               # warm (compiles all buckets)
     t0 = time.time()
-    res = scorer.score(batch)
+    res = scorer.score()
     wall = time.time() - t0
     checksum = int(np.asarray(res.score, np.int64).sum())
 

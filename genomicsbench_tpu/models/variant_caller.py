@@ -208,11 +208,22 @@ def predict_batches(params, batches, cfg: ClairConfig):
     sizes = [len(x) for x in batches]
     total = sum(sizes)
     xs = np.concatenate(batches, axis=0)
-    cap = 1 << max(0, total - 1).bit_length()
-    if cap > total:
-        xs = np.concatenate(
-            [xs, np.zeros((cap - total,) + xs.shape[1:], xs.dtype)], axis=0)
-    packed = np.asarray(_predict_packed(params, jnp.asarray(xs), cfg))[:total]
+    # 64k samples per dispatch: big enough to amortize the round trip,
+    # small enough that the BiLSTM gate intermediates fit HBM (a single
+    # 131k-sample dispatch allocated 17.7 GB and OOMed a 16 GB chip)
+    SLAB = 65_536
+    outs_d = []
+    for off in range(0, total, SLAB):
+        part = xs[off : off + SLAB]
+        cap = 1 << max(0, len(part) - 1).bit_length()
+        if cap > len(part):
+            part = np.concatenate(
+                [part, np.zeros((cap - len(part),) + part.shape[1:],
+                                part.dtype)], axis=0)
+        outs_d.append((_predict_packed(params, jnp.asarray(part), cfg),
+                       min(SLAB, total - off)))
+    packed = np.concatenate(  # async dispatches above; fetch here
+        [np.asarray(d)[:keep] for d, keep in outs_d], axis=0)
     splits = np.cumsum(cfg.head_sizes)[:-1]
     host = dict(zip(HEAD_NAMES, np.split(packed, splits, axis=-1)))
     outs = []

@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, donate_argnums=(2, 3))
-def _grm_block(packed, maf_ok, acc_num, acc_den):
+def _grm_block_body(packed, maf_ok, acc_num, acc_den):
     """packed (Mb, N/4) uint8, four 2-bit genotype codes per byte
     (sample-major within a variant — plink2's own .pgen 2-bit layout):
     0/1/2 = dosage, 3 = missing.  Shipping packed bytes cuts the
@@ -62,31 +61,56 @@ def _grm_block(packed, maf_ok, acc_num, acc_den):
     return acc_num, acc_den
 
 
+@functools.partial(jax.jit, donate_argnums=(2, 3))
+def _grm_block(packed, maf_ok, acc_num, acc_den):
+    """Single-block entry (kept for incremental/streaming callers)."""
+    return _grm_block_body(packed, maf_ok, acc_num, acc_den)
+
+
+@jax.jit
+def _grm_scan(packed3, maf2):
+    """All blocks in ONE device program: packed3 (n_blocks, block, N/4),
+    maf2 (n_blocks, block).  A host loop dispatching per block paid one
+    tunnel upload round trip per block (49 blocks cost ~7 s of pure
+    latency at chr22 scale); here the packed matrix uploads once and
+    lax.scan accumulates on device."""
+    Nb = packed3.shape[2] * 4
+    acc = (jnp.zeros((Nb, Nb), jnp.float32), jnp.zeros((Nb, Nb), jnp.float32))
+
+    def body(acc, xs):
+        pk, ok = xs
+        return _grm_block_body(pk, ok, *acc), None
+
+    (num, den), _ = jax.lax.scan(body, acc, (packed3, maf2))
+    return num, den
+
+
 def grm(geno: np.ndarray, maf: float = 0.01, block: int = 2048):
     """geno (M, N) uint8: 0/1/2 dosage of the counted allele, 3 = missing.
 
     Returns (grm (N, N) float32, nobs (N, N) float32)."""
     M, N = geno.shape
     Nb = -(-N // 128) * 128
-    acc_num = jnp.zeros((Nb, Nb), jnp.float32)
-    acc_den = jnp.zeros((Nb, Nb), jnp.float32)
-    for s in range(0, M, block):
-        blk = geno[s : s + block]
-        miss = blk == 3
-        n_obs = (~miss).sum(1)
-        alt = np.where(miss, 0, blk).sum(1)
-        p = alt / np.maximum(2 * n_obs, 1)
-        maf_ok = (np.minimum(p, 1 - p) >= maf) & (n_obs > 0)
-        pad = np.zeros((blk.shape[0], Nb), np.uint8)
-        pad[:, :N] = blk
-        pad[:, N:] = 3  # padding samples are "missing" everywhere
-        q = pad.reshape(pad.shape[0], Nb // 4, 4)
-        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
-                  | (q[..., 3] << 6)).astype(np.uint8)
-        acc_num, acc_den = _grm_block(
-            jnp.asarray(packed), jnp.asarray(maf_ok), acc_num, acc_den
-        )
-    num, den = jax.device_get((acc_num, acc_den))
+    n_blocks = -(-M // block)
+    Mp = n_blocks * block
+    # host-side per-variant maf filter (observed allele frequencies)
+    miss = geno == 3
+    n_obs = (~miss).sum(1)
+    alt = np.where(miss, 0, geno).sum(1)
+    p = alt / np.maximum(2 * n_obs, 1)
+    maf_ok = (np.minimum(p, 1 - p) >= maf) & (n_obs > 0)
+    # pad: extra samples AND extra variant rows are all-missing
+    pad = np.full((Mp, Nb), 3, np.uint8)
+    pad[:M, :N] = geno
+    q = pad.reshape(Mp, Nb // 4, 4)
+    packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+              | (q[..., 3] << 6)).astype(np.uint8)
+    maf_all = np.zeros(Mp, bool)
+    maf_all[:M] = maf_ok
+    num, den = jax.device_get(_grm_scan(
+        jnp.asarray(packed.reshape(n_blocks, block, Nb // 4)),
+        jnp.asarray(maf_all.reshape(n_blocks, block)),
+    ))
     num, den = num[:N, :N], den[:N, :N]
     out = num / np.maximum(den, 1.0)
     return out.astype(np.float32), den.astype(np.float32)

@@ -42,9 +42,23 @@ MIN_ACCEPTED = 1e-28
 
 
 @functools.partial(jax.jit, static_argnames=("r_steps",))
-def _phmm_scan(read, hap, rslen, haplen, mm, gapm, mx, xx, my, yy, qprob, *, r_steps):
-    """read (B,Rmax) u8; hap (B,H) u8; quals -> per-row transition arrays
-    (B,Rmax) f32; returns (B,) scaled f32 likelihoods."""
+def _phmm_scan(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
+    """read (B,Rmax) u8; hap (B,H) u8; q/i/d/c (B,Rmax) uint8 Phred
+    values; returns (B,) scaled f32 likelihoods.
+
+    The per-row transition arrays are built ON DEVICE from the uint8
+    quals via exact _PH2PR_F32 table lookups — shipping the seven f32
+    arrays cost 7x the transfer of the quals and dominated large-batch
+    walls on slow links (GKL likewise derives them in its Context from
+    the byte quals)."""
+    from genomicsbench_tpu.oracle.pairhmm import _PH2PR_F32
+
+    tbl = jnp.asarray(_PH2PR_F32)
+    look = lambda a: jnp.take(tbl, jnp.clip(a.astype(jnp.int32), 0, 127))
+    pi, pd, pc, pq = look(i8), look(d8), look(c8), look(q8)
+    mm = jnp.float32(1.0) - jnp.minimum(jnp.float32(1.0), pi + pd)
+    gapm = jnp.float32(1.0) - pc
+    mx, xx, my, yy, qprob = pi, pc, pd, pc, pq
     B, H = hap.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)  # hap position j-1
     in_hap = cols < haplen[:, None]
@@ -153,21 +167,16 @@ def pairhmm_batch(reads, haps, pairs=None):
 
     read_arr = np.zeros((B, rmax), np.uint8)
     hap_arr = np.zeros((B, hmax), np.uint8)
-    q, i_, d, c = [], [], [], []
+    quals = {k: np.zeros((B, rmax), np.uint8) for k in "qidc"}
     for k, (r, h) in enumerate(pairs):
         rd = reads[r]
         read_arr[k, : rl[k]] = rd["bases"]
         hap_arr[k, : hl[k]] = haps[h]
-        q.append(np.asarray(rd["q"], np.int32))
-        i_.append(np.asarray(rd["i"], np.int32))
-        d.append(np.asarray(rd["d"], np.int32))
-        c.append(np.asarray(rd["c"], np.int32))
-    trans = _transition_arrays(q, i_, d, c, rmax)
-
+        for key in "qidc":
+            quals[key][k, : rl[k]] = np.asarray(rd[key], np.uint8)
     dev = jax.device_put(
         (read_arr, hap_arr, rl, hl,
-         trans["mm"], trans["gapm"], trans["mx"], trans["xx"],
-         trans["my"], trans["yy"], trans["qprob"])
+         quals["q"], quals["i"], quals["d"], quals["c"])
     )
     scaled = np.asarray(_phmm_scan(*dev, r_steps=rmax))
 

@@ -80,20 +80,16 @@ def pairhmm_sharded(mesh: Mesh, reads, haps, pairs=None):
     hmax = int(-(-hl.max() // 128) * 128)
     read_arr = np.zeros((B, rmax), np.uint8)
     hap_arr = np.zeros((B, hmax), np.uint8)
-    q, i_, d, c = [], [], [], []
+    quals = {k: np.zeros((B, rmax), np.uint8) for k in "qidc"}
     for k, (r, h) in enumerate(pairs):
         rd = reads[r]
         read_arr[k, : rl[k]] = rd["bases"]
         hap_arr[k, : hl[k]] = haps[h]
-        q.append(np.asarray(rd["q"], np.int32))
-        i_.append(np.asarray(rd["i"], np.int32))
-        d.append(np.asarray(rd["d"], np.int32))
-        c.append(np.asarray(rd["c"], np.int32))
-    trans = ph._transition_arrays(q, i_, d, c, rmax)
+        for key in "qidc":
+            quals[key][k, : rl[k]] = np.asarray(rd[key], np.uint8)
     b, padded = _pad_rows(
         n_dev, read_arr, hap_arr, rl, hl,
-        trans["mm"], trans["gapm"], trans["mx"], trans["xx"],
-        trans["my"], trans["yy"], trans["qprob"],
+        quals["q"], quals["i"], quals["d"], quals["c"],
     )
     sharded = shard_batch(mesh, padded)
     scaled = np.asarray(ph._phmm_scan(*sharded, r_steps=rmax))[:b]

@@ -354,7 +354,9 @@ def bench_poa(n_windows=5_000):
         windows.append(seqs)
     msa_consensus_batch(windows[:8])  # warm
     t0 = time.time()
-    cons = msa_consensus_batch(windows)
+    cons = []
+    for off in range(0, n_windows, 256):  # slab: DP arrays must fit HBM
+        cons.extend(msa_consensus_batch(windows[off : off + 256]))
     wall = time.time() - t0
     record(workload="poa", n_windows=n_windows, wall_s=round(wall, 2),
            windows_per_s=round(n_windows / wall, 2),
@@ -550,13 +552,26 @@ WORKLOADS = {
 
 
 if __name__ == "__main__":
+    import traceback
+
     os.makedirs(SCRATCH, exist_ok=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else None
     names = list(WORKLOADS) if which == "all" else [which]
+    failed = []
     for name in names:
-        fn = WORKLOADS[name]
-        if n is not None:
-            fn(n)
-        else:
-            fn()
+        print(f"### scale_bench: {name}", flush=True)
+        try:
+            t0 = time.time()
+            if n is not None:
+                WORKLOADS[name](n)
+            else:
+                WORKLOADS[name]()
+            print(f"### {name} done in {time.time()-t0:.0f}s", flush=True)
+        except Exception:
+            traceback.print_exc()
+            failed.append(name)
+    if failed:
+        print(f"### FAILED: {failed}", flush=True)
+        sys.exit(1)
+    print("### all workloads recorded", flush=True)

@@ -384,3 +384,35 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
     return ChainBatchResult(
         scores=scores[:, W:], parents=parents[:, W:], peak_scores=peak[:, W:], n=ns
     )
+
+
+def chain_batch_bucketed(calls, bucket_rows: int = 512, **kwargs):
+    """chain_batch with reads grouped into power-of-two anchor-count
+    buckets: mixed-length workloads pad each read to the batch max, which
+    doubles the (transfer-dominated) upload/fetch bytes on skewed length
+    mixes.  Identical per-read results, original order."""
+    R = len(calls)
+    order = sorted(range(R), key=lambda r: calls[r].n)
+    groups = {}
+    for r in order:
+        cap = max(128, 1 << max(calls[r].n - 1, 0).bit_length())
+        groups.setdefault(cap, []).append(r)
+    out: list = [None] * R
+    for cap, idxs in sorted(groups.items()):
+        for off in range(0, len(idxs), bucket_rows):
+            part = idxs[off : off + bucket_rows]
+            res = chain_batch([calls[r] for r in part], **kwargs)
+            for j, r in enumerate(part):
+                out[r] = (res.scores[j], res.parents[j], res.peak_scores[j])
+    ns = np.array([c.n for c in calls], np.int32)
+    N = int(ns.max()) if R else 0
+
+    def stackpad(col):
+        a = np.zeros((R, N), np.int32)
+        for r in range(R):
+            a[r, : len(out[r][col])] = out[r][col][:N]
+        return a
+
+    return ChainBatchResult(
+        scores=stackpad(0), parents=stackpad(1), peak_scores=stackpad(2), n=ns
+    )

@@ -72,3 +72,30 @@ class TestChainHelpers:
             if i - st_ref > 100:
                 st_ref = i - 100
             assert st[i] == st_ref, i
+
+
+def test_bucketed_matches_plain():
+    """chain_batch_bucketed must reproduce chain_batch per read on a
+    mixed-length workload (the padding-savings path for skewed mixes)."""
+    import numpy as np
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import chain_batch, chain_batch_bucketed
+
+    rng = np.random.default_rng(55)
+    calls = []
+    for _ in range(17):
+        nn = int(rng.integers(5, 600))
+        xs = np.sort(rng.integers(0, 100000, nn)).astype(np.uint64)
+        qs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
+        span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
+        calls.append(AnchorCall(x=xs, y=qs | span,
+                                avg_qspan=float(rng.uniform(10, 20)),
+                                max_dist_x=5000, max_dist_y=5000,
+                                bw=500, n_segs=1))
+    a = chain_batch(calls)
+    b = chain_batch_bucketed(calls, bucket_rows=8)
+    for r, c in enumerate(calls):
+        np.testing.assert_array_equal(a.scores[r, : c.n], b.scores[r, : c.n])
+        np.testing.assert_array_equal(a.parents[r, : c.n], b.parents[r, : c.n])
+        np.testing.assert_array_equal(a.peak_scores[r, : c.n],
+                                      b.peak_scores[r, : c.n])

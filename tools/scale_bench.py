@@ -112,10 +112,12 @@ def bench_chain(n_reads=10_000):
                                 bw=500, n_segs=1))
         lines.append(f"{nn} {avg} 5000 5000 500 1")
         lines += [f"{int(x)} {int(y)}" for x, y in zip(xs, qs | span)]
+    from genomicsbench_tpu.ops.chain import chain_batch_bucketed
+
     n_anchors = sum(c.n for c in calls)
-    res = chain_batch(calls)           # warm
+    res = chain_batch_bucketed(calls)  # warm
     t0 = time.time()
-    res = chain_batch(calls)
+    res = chain_batch_bucketed(calls)
     wall = time.time() - t0
     checksum = int(sum(int(np.asarray(r, np.int64).sum())
                        for r in res.scores))

@@ -306,18 +306,29 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
             rank = np.empty(len(inv), np.int64)
             rank[by_grp] = ranks_sorted
             keep = rank < 4
-            ewq = eweights[fo]
-            for wid in range(len(windows)):
+            # per-window slices WITHOUT per-window masks (a full boolean
+            # mask per window is O(windows x nodes) — quadratic at
+            # chromosome scale): nodes are wid-sorted, so searchsorted
+            # bounds slice them; edges group by a stable wid argsort that
+            # preserves first-mention order inside each window
+            nW = len(windows)
+            nb_ = np.searchsorted(node_wids, np.arange(nW + 1))
+            kept = np.nonzero(keep)[0]
+            e_by_wid = kept[np.argsort(ewids[kept], kind="stable")]
+            eb_ = np.searchsorted(ewids[e_by_wid], np.arange(nW + 1))
+            colours64 = colours.astype(np.int64)
+            weights64 = weights.astype(np.int64)
+            ewq = eweights[fo].astype(np.int64)
+            for wid in range(nW):
                 if has_n[wid]:
                     continue
-                nm = node_wids == wid
-                em = keep & (ewids == wid)
+                ns_ = slice(nb_[wid], nb_[wid + 1])
+                es_ = e_by_wid[eb_[wid] : eb_[wid + 1]]
                 results[wid] = dict(
-                    node_keys=n5[nm], colours=colours[nm].astype(np.int64),
-                    weights=weights[nm].astype(np.int64),
-                    positions=positions[nm],
-                    edge_start=start5[em], edge_succ=succ5[em],
-                    edge_weight=ewq[em].astype(np.int64),
+                    node_keys=n5[ns_], colours=colours64[ns_],
+                    weights=weights64[ns_], positions=positions[ns_],
+                    edge_start=start5[es_], edge_succ=succ5[es_],
+                    edge_weight=ewq[es_],
                 )
         else:
             for i in range(len(starts)):

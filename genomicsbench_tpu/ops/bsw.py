@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +121,9 @@ def _bsw_core(
         active=jnp.ones((B,), jnp.bool_),
     )
 
-    UNROLL = 2  # 2x is the sweet spot (4x measured flat, longer compiles)
+    # 2x is the sweet spot (4x measured flat in r1, longer compiles);
+    # env override for experiments
+    UNROLL = int(os.environ.get("GENOMICSBENCH_BSW_UNROLL", "2"))
 
     def row_pair(c, i2):
         for u in range(UNROLL):

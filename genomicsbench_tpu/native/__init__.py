@@ -83,6 +83,11 @@ def _load():
             c_i64p, c_i64, c_i64, c_i64,
             c_i32p, c_i32p, c_i32p, c_i32p,
         ]
+        lib.gb_dbg_mentions.restype = c_i64
+        lib.gb_dbg_mentions.argtypes = [
+            c_u8p, c_i32p, c_i64p, c_i64p, c_i64, c_i32, c_i32,
+            c_i64p, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -283,6 +288,38 @@ def pileup_events(soa, hit, start: int, end: int):
     got = lib.gb_pileup_events(*args, *(ip32(a) for a in out))
     assert got == n_ev, (got, n_ev)
     return out
+
+
+def dbg_mentions(seqs_flat, quals_flat, offs, lens, k: int, min_qual: int):
+    """Native de Bruijn read-mention extraction (gb_dbg_mentions).
+    Returns (key1, key2, ekey, w, t, c) arrays or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_dbg_mentions"):
+        return None
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    ip64 = lambda a: a.ctypes.data_as(c_i64p)
+    ip32 = lambda a: a.ctypes.data_as(c_i32p)
+    seqs_flat = np.ascontiguousarray(seqs_flat, np.uint8)
+    quals_flat = np.ascontiguousarray(quals_flat, np.int32)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    base_args = (_u8p(seqs_flat), ip32(quals_flat), ip64(offs), ip64(lens),
+                 len(lens), k, min_qual)
+    null64 = ctypes.cast(None, c_i64p)
+    null32 = ctypes.cast(None, c_i32p)
+    n = lib.gb_dbg_mentions(*base_args, null64, null64, null64,
+                            null32, null32, null32)
+    key1 = np.empty(n, np.int64)
+    key2 = np.empty(n, np.int64)
+    ekey = np.empty(n, np.int64)
+    w = np.empty(n, np.int32)
+    t = np.empty(n, np.int32)
+    c = np.empty(n, np.int32)
+    got = lib.gb_dbg_mentions(*base_args, ip64(key1), ip64(key2), ip64(ekey),
+                              ip32(w), ip32(t), ip32(c))
+    assert got == n, (got, n)
+    return key1, key2, ekey, w, t, c
 
 
 def pairhmm_f64(cases):

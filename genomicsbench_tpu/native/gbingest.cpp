@@ -411,6 +411,55 @@ int64_t gb_bam_parse(const uint8_t* raw, int64_t n, int64_t off,
 }
 
 // ---------------------------------------------------------------------------
+// de Bruijn read-mention extraction (Platypus loadReadIntoGraph semantics,
+// debruijn.cpp:1322-1367): for each read position i with all bases of the
+// (k+1)-span valid (<=3) and min qual >= min_qual, emit the two node k-mer
+// keys (2-bit packed), the (k+1)-base edge key, and the span weight.
+// Two-pass: out_* null -> count.
+// ---------------------------------------------------------------------------
+
+int64_t gb_dbg_mentions(
+    const uint8_t* seqs, const int32_t* quals, const int64_t* offs,
+    const int64_t* lens, int64_t n_reads, int32_t k, int32_t min_qual,
+    int64_t* out_key1, int64_t* out_key2, int64_t* out_ekey,
+    int32_t* out_w, int32_t* out_t, int32_t* out_c) {
+    const bool count_only = out_key1 == nullptr;
+    const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
+    int64_t n_out = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* s = seqs + offs[r];
+        const int32_t* q = quals + offs[r];
+        const int64_t L = lens[r];
+        const int64_t nE = L - k - 1;
+        if (nE <= 0) continue;
+        // rolling key over k+1 bases + rolling validity/min-qual window
+        int64_t key = 0;
+        int64_t last_bad = -1;   // last position with base > 3
+        for (int64_t i = 0; i < L; i++) {
+            key = ((key << 2) | (s[i] <= 3 ? s[i] : 0)) & (((int64_t)1 << (2 * (k + 1))) - 1);
+            if (s[i] > 3) last_bad = i;
+            const int64_t c = i - k;  // span [c, c+k] just completed
+            if (c < 0 || c >= nE) continue;
+            if (last_bad >= c) continue;
+            int32_t mq = q[c];
+            for (int64_t j = c + 1; j <= c + k; j++)
+                if (q[j] < mq) mq = q[j];
+            if (mq < min_qual) continue;
+            if (!count_only) {
+                out_ekey[n_out] = key;              // (k+1)-mer: (key1<<2)|nb
+                out_key1[n_out] = (key >> 2) & mask;
+                out_key2[n_out] = key & mask;
+                out_w[n_out] = mq;
+                out_t[n_out] = (int32_t)r;
+                out_c[n_out] = (int32_t)c;
+            }
+            n_out++;
+        }
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Pileup event extraction (medaka_counts.c:383-459 feature walk) over a SoA
 // record batch: for each selected record, walk the cigar and emit one
 // (ref_pos, minor_j, feature_code, qual) observation per counted base or

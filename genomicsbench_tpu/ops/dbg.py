@@ -111,13 +111,22 @@ def build_window_graph_oracle(ref_codes, ref_start, reads, k=K_DEFAULT,
 
 
 def _device_sort_pairs(wids: np.ndarray, keys: np.ndarray):
-    """Stable lexsort by (window id, 32-bit key) on device (two stable
-    sort passes — JAX on TPU has no 64-bit lanes).  Returns the combined
-    sorted keys (as python-int-safe int64 = wid<<32 | key) and the order."""
+    """Stable lexsort by (window id, 32-bit key).  Returns the combined
+    sorted keys (as python-int-safe int64 = wid<<32 | key) and the order.
+
+    Small inputs sort on device (two stable 32-bit passes — JAX on TPU
+    has no 64-bit lanes); large inputs sort on the HOST: the result must
+    come back for the per-window reduction anyway, and fetching hundreds
+    of MB of sorted mentions dominated chromosome-scale builds on slow
+    links (the same lesson as pileup's count keys)."""
     import jax
     import jax.numpy as jnp
 
     n = len(keys)
+    if n > (1 << 22):
+        combined_all = (wids.astype(np.int64) << 32) | keys.astype(np.int64)
+        order = np.argsort(combined_all, kind="stable")
+        return combined_all[order], order
     # power-of-two padding: every distinct length would otherwise compile a
     # fresh sort executable (regions produce a different k-mer total each)
     pad = max(128, 1 << (max(n, 1) - 1).bit_length())
@@ -164,6 +173,7 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     nw_, nc_, np_, no_, nk_, nwid = [], [], [], [], [], []
     ek_, ew_, eo_, ewid = [], [], [], []
     has_n = []
+    read_entries = []  # (wid, seq, quals, order base): batched below
 
     order_counter = 0
     for wid, (ref, ref_start, reads) in enumerate(windows):
@@ -194,31 +204,89 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
             if qcfail:
                 continue
             seq = np.asarray(seq)
-            quals = np.asarray(quals)
             nE2 = len(seq) - k - 1
             if nE2 <= 0:
                 continue
-            rkeys, rvalid = _kmers_2bit(seq, k)
-            mq = quals.astype(np.int64)[:nE2].copy()
-            for j in range(1, k + 1):
-                mq = np.minimum(mq, quals.astype(np.int64)[j : j + nE2])
-            span_ok = rvalid[:nE2] & rvalid[1 : nE2 + 1] & (mq >= min_qual)
-            idx = np.nonzero(span_ok)[0]
-            if len(idx) == 0:
-                continue
-            sk = rkeys[idx]
-            w = mq[idx]
-            nk_ += [sk, rkeys[idx + 1]]
-            nwid += [np.full(len(idx), wid, np.int32)] * 2
-            nc_ += [np.full(len(idx), READ, np.int64)] * 2
-            nw_ += [w, w]
-            np_ += [np.full(len(idx), -1, np.int64)] * 2
-            no_ += [idx * 2 + order_counter, idx * 2 + order_counter + 1]
-            ek_.append((sk << 2) | seq[idx + k].astype(np.int64))
-            ewid.append(np.full(len(idx), wid, np.int32))
-            ew_.append(w)
-            eo_.append(idx + order_counter)
+            read_entries.append((wid, seq, np.asarray(quals), order_counter))
             order_counter += 2 * nE2 + 1
+
+    # Batched read-mention extraction.  Preferred: one native C++ pass
+    # (gb_dbg_mentions — the Platypus loadReadIntoGraph walk over a flat
+    # read buffer); fallback: one vectorized numpy pass per 100k-read
+    # slab.  Values identical to the per-read formulation, including
+    # per-read order bases.
+    done_native = False
+    if read_entries:
+        from genomicsbench_tpu import native
+
+        lens_all = np.array([len(s) for _, s, _, _ in read_entries], np.int64)
+        offs_all = np.concatenate([[0], np.cumsum(lens_all)])[:-1]
+        seqs_flat = np.concatenate([s for _, s, _, _ in read_entries])
+        quals_flat = np.concatenate(
+            [q for _, _, q, _ in read_entries]).astype(np.int32)
+        got = native.dbg_mentions(seqs_flat, quals_flat, offs_all, lens_all,
+                                  k, min_qual)
+        if got is not None:
+            key1, key2, ekey, w32, t_idx, c_idx = got
+            widv = np.array([e[0] for e in read_entries], np.int64)
+            basev = np.array([e[3] for e in read_entries], np.int64)
+            w = w32.astype(np.int64)
+            base = basev[t_idx]
+            c64 = c_idx.astype(np.int64)
+            nk_ += [key1, key2]
+            nwid += [widv[t_idx].astype(np.int32)] * 2
+            nc_ += [np.full(len(key1), READ, np.int64)] * 2
+            nw_ += [w, w]
+            np_ += [np.full(len(key1), -1, np.int64)] * 2
+            no_ += [c64 * 2 + base, c64 * 2 + base + 1]
+            ek_.append(ekey)
+            ewid.append(widv[t_idx].astype(np.int32))
+            ew_.append(w)
+            eo_.append(c64 + base)
+            done_native = True
+    for s0 in ([] if done_native else
+               range(0, len(read_entries), 100_000)):
+        slab = read_entries[s0 : s0 + 100_000]
+        E = len(slab)
+        Lmax = max(len(s) for _, s, _, _ in slab)
+        seqm = np.zeros((E, Lmax), np.uint8)
+        qualm = np.zeros((E, Lmax), np.int16)
+        lens = np.empty(E, np.int64)
+        widv = np.empty(E, np.int64)
+        basev = np.empty(E, np.int64)
+        for t, (w_, s_, q_, b_) in enumerate(slab):
+            seqm[t, : len(s_)] = s_
+            qualm[t, : len(s_)] = q_
+            lens[t], widv[t], basev[t] = len(s_), w_, b_
+        nK = Lmax - k + 1
+        keys = np.zeros((E, nK), np.int64)
+        validm = np.ones((E, nK), bool)
+        for j in range(k):
+            cj = seqm[:, j : j + nK]
+            keys = (keys << 2) | np.minimum(cj, 3).astype(np.int64)
+            validm &= cj <= 3
+        W2 = Lmax - k - 1
+        mq = qualm[:, :W2].astype(np.int64)
+        for j in range(1, k + 1):
+            mq = np.minimum(mq, qualm[:, j : j + W2])
+        span_ok = validm[:, :W2] & validm[:, 1 : W2 + 1] & (mq >= min_qual)
+        span_ok &= np.arange(W2)[None, :] < (lens - k - 1)[:, None]
+        t_idx, c_idx = np.nonzero(span_ok)
+        if not len(t_idx):
+            continue
+        sk = keys[t_idx, c_idx]
+        w = mq[t_idx, c_idx]
+        base = basev[t_idx]
+        nk_ += [sk, keys[t_idx, c_idx + 1]]
+        nwid += [widv[t_idx].astype(np.int32)] * 2
+        nc_ += [np.full(len(sk), READ, np.int64)] * 2
+        nw_ += [w, w]
+        np_ += [np.full(len(sk), -1, np.int64)] * 2
+        no_ += [c_idx * 2 + base, c_idx * 2 + base + 1]
+        ek_.append((sk << 2) | seqm[t_idx, c_idx + k].astype(np.int64))
+        ewid.append(widv[t_idx].astype(np.int32))
+        ew_.append(w)
+        eo_.append(c_idx + base)
 
     def _empty_arrays():
         z = np.zeros(0, np.int64)

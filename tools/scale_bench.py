@@ -294,7 +294,7 @@ def bench_grm(n_variants=100_000, n_samples=2504):
     geno = (rng.random((n_variants, n_samples)) < af[:, None]).astype(np.uint8)
     geno += (rng.random((n_variants, n_samples)) < af[:, None]).astype(np.uint8)
     geno[rng.random(geno.shape) < 0.001] = 3  # missing
-    g, nobs = grm(geno[:2048])  # warm
+    grm(geno)  # warm at FULL shape (compile + executable cache load)
     t0 = time.time()
     g, nobs = grm(geno)
     g = np.asarray(g)
@@ -325,8 +325,7 @@ def bench_phmm(n_pairs=100_000):
         haps.append(rng.integers(0, 4, H).astype(np.uint8))
         pairs.append((i, i))
         cells += R * H
-    sub = [(i, i) for i in range(256)]
-    pairhmm_batch(reads[:256], haps[:256], pairs=sub)  # warm
+    pairhmm_batch(reads, haps, pairs=pairs)  # warm at FULL shape
     t0 = time.time()
     out = pairhmm_batch(reads, haps, pairs=pairs)
     wall = time.time() - t0

@@ -88,12 +88,39 @@ def _load():
             c_u8p, c_i32p, c_i64p, c_i64p, c_i64, c_i32, c_i32,
             c_i64p, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
         ]
+        lib.gb_poa_fuse.restype = c_i64
+        lib.gb_poa_fuse.argtypes = [
+            c_u8p, c_i32p, c_u8p, c_i32p, c_i32p, c_i32p, c_i32p,   # graph
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,                 # edge pool
+            c_i64p, c_i64p, c_i64, c_i64,                           # counts/caps
+            c_i32p, c_i32p, c_i64, c_u8p, c_i32,                    # alignment
+        ]
+        lib.gb_poa_export.restype = c_i64
+        lib.gb_poa_export.argtypes = [
+            c_u8p, c_i32p, c_u8p, c_i32p, c_i32p,
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+            c_i64, c_i64, c_i64,
+            c_i32p, c_i32p, c_i32p, c_u8p, c_u8p,
+        ]
+        lib.gb_poa_consensus.restype = c_i64
+        lib.gb_poa_consensus.argtypes = [
+            c_u8p, c_i32p, c_u8p, c_i32p, c_i32p,
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+            c_i64, c_i32p,
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def lib():
+    """The loaded ctypes library (None if unavailable) — for in-package
+    callers that manage their own array marshalling (e.g. the POA graph
+    engine in ops/poa.py)."""
+    return _load()
 
 
 def _u8p(arr: np.ndarray):

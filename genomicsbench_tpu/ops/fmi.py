@@ -296,24 +296,35 @@ def _select4(c0, c1, c2, c3, idx):
     return jnp.where(idx < 2, lo, hi)
 
 
+def _ext_pick_sym(C, table, sent_row, a, other, s, c):
+    """Symmetric FMD extension core: rank-pair gather at rows (a, a+s),
+    picking symbol c.  Returns (a', other', s') where a' is the new
+    interval start on the ranked side and other' the synchronized twin.
+    Forward extension with base nb = this with (a, other) = (l, k) and
+    c = 3-nb; backward extension = (a, other) = (k, l) and c = nb — the
+    two directions are mirror images on an FMD index, so one primitive
+    (and, in the smem1 walk, ONE shared per-round gather) serves both."""
+    r_lo, r_hi = _rank4_pair(table, a, a + s, sent_row)
+    s4 = r_hi - r_lo
+    sent_cnt = ((sent_row >= a) & (sent_row < a + s)).astype(jnp.int32)
+    suf2 = s4[:, 3]
+    suf1 = suf2 + s4[:, 2]
+    suf0 = suf1 + s4[:, 1]
+    other_n = other + sent_cnt \
+        + _select4(suf0, suf1, suf2, jnp.zeros_like(other), c)
+    a_n = _select4(C[0], C[1], C[2], C[3], c) \
+        + _select4(r_lo[:, 0], r_lo[:, 1], r_lo[:, 2], r_lo[:, 3], c)
+    s_n = _select4(s4[:, 0], s4[:, 1], s4[:, 2], s4[:, 3], c)
+    return a_n, other_n, s_n
+
+
 def _fwd_extend_pick(C, table, sent_row, k, l, s, nb):
     """One FMD forward-extension step for symbol nb (0..3): single paired
     rank gather + FMD synchronization, returning the picked (k', l', s')
     with arithmetic selects only.  Equivalent to building all four
     candidate intervals (reverse-complement mapping c -> 3-c) and
     indexing at nb."""
-    r_lo, r_hi = _rank4_pair(table, l, l + s, sent_row)
-    s4 = r_hi - r_lo
-    sent_cnt = ((sent_row >= l) & (sent_row < l + s)).astype(jnp.int32)
-    acc0 = k + sent_cnt
-    suf2 = s4[:, 3]
-    suf1 = suf2 + s4[:, 2]
-    suf0 = suf1 + s4[:, 1]
-    cnb = 3 - nb
-    k_n = acc0 + _select4(suf0, suf1, suf2, jnp.zeros_like(acc0), cnb)
-    l_n = _select4(C[0], C[1], C[2], C[3], cnb) \
-        + _select4(r_lo[:, 0], r_lo[:, 1], r_lo[:, 2], r_lo[:, 3], cnb)
-    s_n = _select4(s4[:, 0], s4[:, 1], s4[:, 2], s4[:, 3], cnb)
+    l_n, k_n, s_n = _ext_pick_sym(C, table, sent_row, l, k, s, 3 - nb)
     return k_n, l_n, s_n
 
 
@@ -522,11 +533,44 @@ class FmiPipeline:
     # enable by setting QUEUE_LANES.
     QUEUE_LANES = None
 
+    # SMEM engine: "smem1" (bwa-order forward-collect + backward-emit;
+    # ~6-8x fewer rank gathers) or "jump" (binary-search re-probing).
+    # Both emit identical SMEM sets; smem1 re-sorts to canonical order.
+    ENGINE = "smem1"
+
+    @staticmethod
+    def _sort_by_start(lane, m, n, k, s):
+        """Canonical per-lane increasing-start order (the e-table order)."""
+        if len(lane) == 0:
+            return lane, m, n, k, s
+        o = np.lexsort((m, lane))
+        return lane[o], m[o], n[o], k[o], s[o]
+
     def pass1(self, query, qlen):
-        """Monotone-jump enumeration (one device program); falls back to
-        the e-table + containment mask on pathological inputs (round cap).
-        Both paths emit identical SMEM sets in identical order."""
+        """SMEM enumeration in one device program (smem1 walk; see
+        _pass1_smem1), falling back to the e-table + containment mask on
+        pathological inputs (round cap).  All engines emit identical
+        SMEM sets in identical (increasing-start) order."""
         B, L = query.shape
+        if self.ENGINE == "smem1":
+            max_rounds = 24 * L  # ~3-4 extension steps/base typical
+            sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_smem1(
+                *self.dev, self._put(query),
+                self._put(qlen.astype(np.int32)),
+                self._put(np.ones(B, np.int32)),
+                self._put(np.zeros(B, np.int32)),
+                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+            ))
+            if int(rounds) >= max_rounds:
+                return self._pass1_etable(query, qlen)
+            sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
+            rid = np.repeat(np.arange(B), count)
+            cols = np.concatenate(
+                [np.arange(cc) for cc in count]).astype(np.int64) \
+                if len(rid) else np.zeros(0, np.int64)
+            return _mk_smem(*self._sort_by_start(
+                rid, sm_m[rid, cols], sm_e[rid, cols] - 1,
+                sm_k[rid, cols], sm_s[rid, cols]))
         if self.mesh is None and self.QUEUE_LANES \
                 and B >= 2 * self.QUEUE_LANES:
             lanes = self.QUEUE_LANES
@@ -594,8 +638,9 @@ class FmiPipeline:
             pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
-        max_rounds = 64 * L  # flat walk: cap counts extension BASES
-        sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
+        engine = _pass1_smem1 if self.ENGINE == "smem1" else _pass1_jump
+        max_rounds = (24 if self.ENGINE == "smem1" else 64) * L
+        sm_me, sm_k, sm_s, count, rounds = jax.device_get(engine(
             *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
             self._put(mintv.astype(np.int32)),
             self._put(pivots.astype(np.int32)),
@@ -612,9 +657,10 @@ class FmiPipeline:
         pi = np.repeat(np.arange(P), count[:P])
         cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
             if len(pi) else np.zeros(0, np.int64)
-        m = sm_m[pi, cols]
-        return _mk_smem(prid[pi], m, sm_e[pi, cols] - 1, sm_k[pi, cols],
-                        sm_s[pi, cols])
+        pi2, m, n, k, s = self._sort_by_start(
+            pi, sm_m[pi, cols], sm_e[pi, cols] - 1,
+            sm_k[pi, cols], sm_s[pi, cols])
+        return _mk_smem(prid[pi2], m, n, k, s)
 
     def _pass2_etable(self, pq, plen, prid, pivots, mintv):
         e, k, s = self._e_table(pq, plen, mintv.astype(np.int32),
@@ -992,6 +1038,195 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
             ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
             es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
             ealive=ok, round=c["round"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, step, init)
+    return (final["sm_me"][:, :L], final["sm_k"][:, :L],
+            final["sm_s"][:, :L], final["count"], final["round"])
+
+
+@functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
+                                             "has_pivot"))
+def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
+                 *, min_seed_len, max_rounds, has_pivot=False):
+    """SMEM enumeration in bwa-mem's smem1 order: from pivot x, forward-
+    collect the distinct-occurrence-count prefixes [x, end) (recorded at
+    every count change), then sweep j = x-1 .. -1 backward-extending the
+    surviving intervals longest-end-first; an interval that dies while no
+    longer-end interval survived this column is a maximal match and is
+    emitted.  Next pivot = e(x) (no match can span both x and e(x), so
+    the jump is complete and duplicate-free).
+
+    This replaces the binary-search re-probing walk (_pass1_jump), which
+    measured ~26 extension steps per read base: smem1 does one forward
+    step per base plus ~|prev| (typically 1-3) backward steps per base —
+    the round count, and with it the dominant per-round rank-pair gather
+    cost, drops ~6-8x for identical SMEM sets (bwa-mem's own pass-1
+    ordering trick; see fmi.cpp:218-266 for the pass structure).
+
+    Flat-pipelined like _pass1_jump: each lane owns one read and runs its
+    own phase machine (INIT/FWD/BWD), every lane performing at most ONE
+    rank-pair gather per loop round — forward and backward extension are
+    FMD mirror images, so they share the gather (_ext_pick_sym).
+
+    Emission order is per-pivot decreasing start; callers re-sort by
+    start to match the e-table order.  Returns (sm_me, sm_k, sm_s,
+    count, rounds); rounds >= max_rounds means "fall back to e-table".
+    """
+    B, L = query.shape
+    CP = L + 1  # collected intervals per forward run (<= pushes <= L+1)
+    INIT, FWD, BWD, DONE = 0, 1, 2, 3
+    assert L < (1 << 15), "read length overflows the packed m/e emit word"
+
+    counts4 = (C[1:5] - C[:4]).astype(jnp.int32)
+    rows = jnp.arange(B)
+
+    init = dict(
+        phase=jnp.where(qlen < 1, jnp.int32(DONE), jnp.int32(INIT)),
+        x=(pivot if has_pivot else jnp.zeros(B, jnp.int32)),
+        i=jnp.zeros(B, jnp.int32), j=jnp.zeros(B, jnp.int32),
+        ptr=jnp.zeros(B, jnp.int32), prev_n=jnp.zeros(B, jnp.int32),
+        curr_n=jnp.zeros(B, jnp.int32), cnt=jnp.zeros(B, jnp.int32),
+        last_s=jnp.zeros(B, jnp.int32), emitted=jnp.zeros(B, jnp.bool_),
+        first=jnp.zeros(B, jnp.bool_), par=jnp.zeros(B, jnp.int32),
+        ex=jnp.zeros(B, jnp.int32),
+        wk=jnp.zeros(B, jnp.int32), wl=jnp.zeros(B, jnp.int32),
+        ws=jnp.zeros(B, jnp.int32),
+        # double-buffered (prev|curr) interval planes + one trash column;
+        # scalar pure scatters only (windowed/select updates copy, see
+        # the measured cost model in the module docstring)
+        bk=jnp.zeros((B, 2 * CP + 1), jnp.int32),
+        bl=jnp.zeros((B, 2 * CP + 1), jnp.int32),
+        bs=jnp.zeros((B, 2 * CP + 1), jnp.int32),
+        be=jnp.zeros((B, 2 * CP + 1), jnp.int32),
+        sm_me=jnp.full((B, L + 1), -1, jnp.int32),
+        sm_k=jnp.zeros((B, L + 1), jnp.int32),
+        sm_s=jnp.zeros((B, L + 1), jnp.int32),
+        count=jnp.zeros(B, jnp.int32),
+        round=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
+
+    def step(c):
+        phase, x = c["phase"], c["x"]
+        is_init = phase == INIT
+        is_fwd = phase == FWD
+        is_bwd = phase == BWD
+
+        # ---- shared query-char gather (INIT reads x, FWD reads i, BWD j)
+        pos = jnp.where(is_fwd, c["i"], jnp.where(is_bwd, c["j"], x))
+        nb_raw = jnp.take_along_axis(
+            query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        nb = jnp.clip(nb_raw, 0, 3)
+        nb_ok = (nb_raw < 4) & (pos >= 0) & (pos < qlen)
+
+        # ---- BWD lanes: fetch prev[idx] (longest-end-first on round 1)
+        bwd_live = is_bwd & (c["ptr"] < c["prev_n"])
+        idx = jnp.where(c["first"], c["prev_n"] - 1 - c["ptr"], c["ptr"])
+        pcol = jnp.clip(c["par"] * CP + jnp.clip(idx, 0, CP - 1), 0, 2 * CP)
+        pk = c["bk"][rows, pcol]
+        pl = c["bl"][rows, pcol]
+        ps = c["bs"][rows, pcol]
+        pe = c["be"][rows, pcol]
+
+        # ---- ONE shared rank-pair extension for FWD and BWD lanes
+        a_in = jnp.where(is_fwd, c["wl"], pk)
+        o_in = jnp.where(is_fwd, c["wk"], pl)
+        s_in = jnp.where(is_fwd, c["ws"], jnp.maximum(ps, 0))
+        c_in = jnp.where(is_fwd, 3 - nb, nb)
+        a_n, o_n, s_n = _ext_pick_sym(
+            C, table, sent_row, a_in, o_in, jnp.maximum(s_in, 1), c_in)
+
+        # ================= INIT: seed the single-char interval at x
+        k0 = _select4(C[0], C[1], C[2], C[3], nb)
+        s0 = _select4(counts4[0], counts4[1], counts4[2], counts4[3], nb)
+        l0 = _select4(C[3], C[2], C[1], C[0], nb)  # C[3 - nb]
+        seed_ok = is_init & nb_ok & (s0 >= min_intv)
+        init_done = is_init & (x >= qlen)
+        init_dead = is_init & ~seed_ok & ~init_done
+
+        # ================= FWD: one forward base, record on count change
+        kf, lf, sf = o_n, a_n, s_n  # (k', l', s') in fwd orientation
+        stopf = is_fwd & (~nb_ok | (sf < min_intv))
+        growf = is_fwd & ~stopf
+        push = stopf | (growf & (sf != c["ws"]))
+        ccol = jnp.where(push, c["par"] * CP + jnp.clip(c["cnt"], 0, CP - 1),
+                         jnp.int32(2 * CP))
+
+        # ================= BWD: one backward try of prev[idx]
+        kb, lb, sb = a_n, o_n, s_n  # (k', l', s') in bwd orientation
+        die = bwd_live & (~nb_ok | (sb < min_intv))
+        surv = bwd_live & ~die
+        emit = die & (c["curr_n"] == 0) & ~c["emitted"] \
+            & (pe - (c["j"] + 1) >= min_seed_len)
+        eslot = jnp.where(emit, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
+        append = surv & ((c["curr_n"] == 0) | (sb != c["last_s"]))
+        acol = jnp.where(
+            append,
+            (1 - c["par"]) * CP + jnp.clip(c["curr_n"], 0, CP - 1),
+            jnp.int32(2 * CP))
+
+        # ---- buffer writes (pure scalar scatters; trash col = 2*CP)
+        wr_k = jnp.where(push, c["wk"], kb)
+        wr_l = jnp.where(push, c["wl"], lb)
+        wr_s = jnp.where(push, c["ws"], sb)
+        wr_e = jnp.where(push, c["i"], pe)
+        col = jnp.where(push, ccol, acol)
+        bkb = c["bk"].at[rows, col].set(wr_k)
+        blb = c["bl"].at[rows, col].set(wr_l)
+        bsb = c["bs"].at[rows, col].set(wr_s)
+        beb = c["be"].at[rows, col].set(wr_e)
+        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
+        sm_k = c["sm_k"].at[rows, eslot].set(pk)
+        sm_s = c["sm_s"].at[rows, eslot].set(ps)
+        count = c["count"] + emit.astype(jnp.int32)
+
+        # ---- BWD bookkeeping: ptr advance, column end, pivot end
+        cnt_n = c["cnt"] + push.astype(jnp.int32)
+        curr_n1 = c["curr_n"] + append.astype(jnp.int32)
+        emitted1 = c["emitted"] | (die & (c["curr_n"] == 0))
+        ptr1 = c["ptr"] + bwd_live.astype(jnp.int32)
+        col_end = is_bwd & (ptr1 >= c["prev_n"])
+        col_next = col_end & (curr_n1 > 0)  # j -= 1, swap buffers
+        piv_end = (col_end & (curr_n1 == 0)) | (is_bwd & (c["prev_n"] == 0))
+
+        # ---- pivot completion / INIT advance
+        x_next = jnp.maximum(c["ex"], x + 1)
+        new_x = jnp.where(piv_end, x_next, jnp.where(init_dead, x + 1, x))
+        to_done = init_done | (piv_end & bool(has_pivot)) \
+            | (piv_end & (x_next >= qlen))
+        to_init = (piv_end & ~to_done) | init_dead
+
+        phase_n = jnp.where(seed_ok, jnp.int32(FWD), phase)
+        phase_n = jnp.where(stopf, jnp.int32(BWD), phase_n)
+        phase_n = jnp.where(to_init, jnp.int32(INIT), phase_n)
+        phase_n = jnp.where(to_done, jnp.int32(DONE), phase_n)
+
+        return dict(
+            phase=phase_n,
+            x=new_x,
+            i=jnp.where(seed_ok, x + 1, jnp.where(growf, c["i"] + 1, c["i"])),
+            j=jnp.where(stopf, x - 1,
+                        jnp.where(col_next, c["j"] - 1, c["j"])),
+            ptr=jnp.where(stopf | col_next, 0, ptr1),
+            prev_n=jnp.where(stopf, cnt_n,
+                             jnp.where(col_next, curr_n1, c["prev_n"])),
+            curr_n=jnp.where(stopf | col_next, 0, curr_n1),
+            cnt=jnp.where(seed_ok, 0, cnt_n),
+            last_s=jnp.where(append, sb, c["last_s"]),
+            emitted=jnp.where(stopf | col_next, False, emitted1),
+            first=jnp.where(stopf, True, c["first"] & ~col_next),
+            par=jnp.where(col_next, 1 - c["par"], c["par"]),
+            ex=jnp.where(stopf, c["i"], c["ex"]),
+            wk=jnp.where(seed_ok, k0, jnp.where(growf, kf, c["wk"])),
+            wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
+            ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
+            bk=bkb, bl=blb, bs=bsb, be=beb,
+            sm_me=sm_me, sm_k=sm_k, sm_s=sm_s, count=count,
+            round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)

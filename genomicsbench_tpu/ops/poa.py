@@ -58,6 +58,111 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ----------------------------------------------------------- native graph
+class NativePoaGraph:
+    """PoaGraph with the per-round pointer work (AddAlignment fusion,
+    topo export, heaviest-bundle consensus) in C (native/gbingest.cpp
+    gb_poa_*), bit-exact to oracle/poa.PoaGraph.  The graph lives in
+    caller-owned flat numpy arrays, so there is no per-node Python
+    object churn — at racon-window scale the Python graph bookkeeping
+    rivaled the device DP in wall time."""
+
+    def __init__(self, params, cap: int, ecap: int | None = None):
+        from genomicsbench_tpu import native
+
+        self._lib = native.lib()
+        assert self._lib is not None, "native library unavailable"
+        self.params = params
+        ecap = ecap if ecap is not None else cap + 16
+        self.cap, self.ecap = cap, ecap
+        self.base = np.zeros(cap, np.uint8)
+        self.ring = np.zeros(cap * 3, np.int32)
+        self.ring_n = np.zeros(cap, np.uint8)
+        self.out_head = np.full(cap, -1, np.int32)
+        self.in_head = np.full(cap, -1, np.int32)
+        self.in_tail = np.full(cap, -1, np.int32)
+        self.indeg = np.zeros(cap, np.int32)
+        self.e_src = np.zeros(ecap, np.int32)
+        self.e_dst = np.zeros(ecap, np.int32)
+        self.e_w = np.zeros(ecap, np.int32)
+        self.e_nin = np.zeros(ecap, np.int32)
+        self.e_nout = np.zeros(ecap, np.int32)
+        self.n = 0
+        self.n_edges = 0
+        self.n_seqs = 0
+
+    def _p(self, a):
+        import ctypes
+
+        t = ctypes.c_uint8 if a.dtype == np.uint8 else ctypes.c_int32
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def add_alignment(self, alignment, seq, weight: int = 1):
+        import ctypes
+
+        seq = np.ascontiguousarray(np.asarray(seq, np.int64)).astype(np.uint8)
+        if self.n == 0:
+            alignment = [(None, j) for j in range(len(seq))]
+        an = np.fromiter(
+            (-1 if a[0] is None else a[0] for a in alignment), np.int32,
+            count=len(alignment))
+        aq = np.fromiter(
+            (-1 if a[1] is None else a[1] for a in alignment), np.int32,
+            count=len(alignment))
+        nn = ctypes.c_int64(self.n)
+        ne = ctypes.c_int64(self.n_edges)
+        rc = self._lib.gb_poa_fuse(
+            self._p(self.base), self._p(self.ring), self._p(self.ring_n),
+            self._p(self.out_head), self._p(self.in_head),
+            self._p(self.in_tail), self._p(self.indeg),
+            self._p(self.e_src), self._p(self.e_dst), self._p(self.e_w),
+            self._p(self.e_nin), self._p(self.e_nout),
+            ctypes.byref(nn), ctypes.byref(ne), self.cap, self.ecap,
+            self._p(an), self._p(aq), len(alignment), self._p(seq),
+            int(weight))
+        assert rc >= 0, "POA graph capacity overflow"
+        self.n, self.n_edges = nn.value, ne.value
+        self.n_seqs += 1
+
+    def max_in_degree(self) -> int:
+        return max(int(self.indeg[: self.n].max(initial=0)), 1)
+
+    def export_arrays(self, n_pad: int, p_pad: int):
+        assert self.n <= n_pad
+        order = np.zeros(self.n, np.int32)
+        base = np.zeros(n_pad, np.int32)
+        pred = np.zeros((n_pad, p_pad), np.int32)
+        pmask = np.zeros((n_pad, p_pad), np.uint8)
+        sink = np.zeros(n_pad, np.uint8)
+        rc = self._lib.gb_poa_export(
+            self._p(self.base), self._p(self.ring), self._p(self.ring_n),
+            self._p(self.out_head), self._p(self.in_head),
+            self._p(self.e_src), self._p(self.e_nin), self._p(self.e_nout),
+            self._p(self.e_dst), self._p(self.indeg),
+            self.n, n_pad, p_pad,
+            self._p(order), self._p(base), self._p(pred.reshape(-1)),
+            self._p(pmask.reshape(-1)), self._p(sink))
+        assert rc == self.n, f"gb_poa_export failed: {rc}"
+        return (
+            dict(base=base, pred=pred, pmask=pmask.astype(bool),
+                 sink=sink.astype(bool), n=np.int32(self.n)),
+            order.tolist(),
+        )
+
+    def consensus(self) -> np.ndarray:
+        if self.n == 0:
+            return np.zeros(0, dtype=np.int64)
+        out = np.zeros(self.n, np.int32)
+        ln = self._lib.gb_poa_consensus(
+            self._p(self.base), self._p(self.ring), self._p(self.ring_n),
+            self._p(self.out_head), self._p(self.in_head),
+            self._p(self.e_src), self._p(self.e_w), self._p(self.e_nin),
+            self._p(self.e_nout), self._p(self.e_dst), self._p(self.indeg),
+            self.n, self._p(out))
+        assert ln >= 0, "cycle in POA graph"
+        return out[:ln].astype(np.int64)
+
+
 # --------------------------------------------------------------- graph export
 def export_graph_arrays(graph: PoaGraph, n_pad: int, p_pad: int):
     """Flatten a PoaGraph into fixed-shape arrays for the device DP.
@@ -89,6 +194,21 @@ def max_in_degree(graph: PoaGraph) -> int:
     return max(max((len(n.preds) for n in graph.nodes), default=1), 1)
 
 
+def _graph_n(g) -> int:
+    return g.n if isinstance(g, NativePoaGraph) else len(g.nodes)
+
+
+def _graph_max_indeg(g) -> int:
+    return g.max_in_degree() if isinstance(g, NativePoaGraph) \
+        else max_in_degree(g)
+
+
+def _graph_export(g, n_pad, p_pad):
+    if isinstance(g, NativePoaGraph):
+        return g.export_arrays(n_pad, p_pad)
+    return export_graph_arrays(g, n_pad, p_pad)
+
+
 # -------------------------------------------------------------- device kernel
 def _masked_first_argmax(vals, mask):
     """(max over masked vals, first index achieving it)."""
@@ -116,20 +236,27 @@ def _closed_form_e(gf, oo, ee, qp):
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "p_pad", "q_pad", "params"))
 def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, params):
-    """Batched graph-NW forward DP.
+    """Batched graph-NW forward DP + on-device backtrack.
 
     Shapes (B = batch of windows): base (B,N), pred (B,N,P), pmask
     (B,N,P), sink (B,N), n (B,), seq (B,Qp), qlen (B,).
-    Returns score (B,), best_rank (B,), moves (B,N,Qp) i8,
-    predsel (B,N,Qp) i8, gapk (B,N,Qp) i32.
+    Returns score (B,), path (B, N+Qp+1) i32 (entries rank*(Qp+1)+jcode
+    emitted in BACKWARD order; rank 0 = query-only column, jcode 0 =
+    graph-gap), plen (B,) i32 valid entry count.
+
+    The traceback tensors (move/aux per cell) stay on device as one
+    packed uint16 plane — fetching them to the host was the round-2
+    scale bottleneck (~2.5 GB per MSA round at B=256 over a ~28 MB/s
+    link); only the O(n+q) paths leave the chip.
     """
+    assert q_pad < (1 << 13) and p_pad < (1 << 13), "aux field is 13 bits"
     p: PoaParams = params
     o1, e1 = jnp.int32(-p.gap_open1), jnp.int32(-p.gap_ext1)
     o2, e2 = jnp.int32(-p.gap_open2), jnp.int32(-p.gap_ext2)
     match, mism = jnp.int32(p.match), jnp.int32(p.mismatch)
     cols = jnp.arange(q_pad, dtype=jnp.int32)
 
-    def one_window(base, pred, pmask, sink, n, seq, qlen):
+    def one_window(base, pred, pmask, sink, n, seq, qlen, n_max):
         colmask = cols <= qlen
         # Virtual start row: leading query gap, convex cost.
         h0 = jnp.maximum(-o1 - cols * e1, -o2 - cols * e2).at[0].set(0)
@@ -138,9 +265,11 @@ def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad,
         F1 = jnp.full((n_pad + 1, q_pad), NEG, jnp.int32)
         F2 = jnp.full((n_pad + 1, q_pad), NEG, jnp.int32)
 
-        def step(carry, xs):
-            H, F1, F2 = carry
-            r0, b, pr, pm = xs  # rank-1, base, (P,) preds, (P,) mask
+        def step(r0, carry):
+            H, F1, F2, trace = carry
+            b = base[r0]
+            pr = jax.lax.dynamic_index_in_dim(pred, r0, 0, keepdims=False)
+            pm = jax.lax.dynamic_index_in_dim(pmask, r0, 0, keepdims=False)
             live = r0 < n
             Hp = jnp.take(H, pr, axis=0)  # (P, Qp)
             sub = jnp.where(seq == b, match, mism)
@@ -177,20 +306,23 @@ def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad,
             ps = jnp.where(F1v == Hr, F1i, ps)
             mv = jnp.where(Mv == Hr, jnp.int8(MOVE_M), mv)
             ps = jnp.where(Mv == Hr, Mi, ps)
-            # gapk only meaningful for E moves; predsel for M/F moves.
-            is_e = (mv == MOVE_E1) | (mv == MOVE_E2)
-            predsel = jnp.where(is_e, 0, ps).astype(jnp.int8)
-            gapk = jnp.where(is_e, ps, 0)
+            # Packed trace cell: 3-bit move | 13-bit aux (pred slot for
+            # M/F, gap-origin column for E).
+            tr = ((mv.astype(jnp.int32) << 13) | ps).astype(jnp.uint16)
             F1row = jnp.where(colmask & live, F1v, NEG)
             F2row = jnp.where(colmask & live, F2v, NEG)
             H = jax.lax.dynamic_update_index_in_dim(H, Hr, r0 + 1, 0)
             F1 = jax.lax.dynamic_update_index_in_dim(F1, F1row, r0 + 1, 0)
             F2 = jax.lax.dynamic_update_index_in_dim(F2, F2row, r0 + 1, 0)
-            return (H, F1, F2), (mv, predsel, gapk)
+            trace = jax.lax.dynamic_update_index_in_dim(trace, tr, r0, 0)
+            return H, F1, F2, trace
 
-        ranks = jnp.arange(n_pad, dtype=jnp.int32)
-        (H, _, _), (moves, predsel, gapk) = jax.lax.scan(
-            step, (H, F1, F2), (ranks, base, pred, pmask)
+        # fori to the batch-max live row count, not the padded bucket:
+        # graphs sit well under the next power-of-two most rounds, and
+        # the sequential row loop is the whole cost of the forward DP.
+        trace0 = jnp.zeros((n_pad, q_pad), jnp.uint16)
+        H, _, _, trace = jax.lax.fori_loop(
+            0, n_max, step, (H, F1, F2, trace0)
         )
         # Best sink at column qlen, smallest rank on tie.
         hq = jnp.take_along_axis(H[1:], qlen[None, None].repeat(n_pad, 0), axis=1)[:, 0]
@@ -198,36 +330,89 @@ def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad,
         hv = jnp.where(sink & live, hq, NEG)
         score = jnp.max(hv)
         best_rank = jnp.argmax(hv == score).astype(jnp.int32) + 1
-        return score, best_rank, moves, predsel, gapk
+        return score, best_rank, trace
 
-    return jax.vmap(one_window)(base, pred, pmask, sink, n, seq, qlen)
+    score, best_rank, trace = jax.vmap(
+        one_window, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
+    )(base, pred, pmask, sink, n, seq, qlen, jnp.max(n))
+    path, plen = _backtrack_batch(
+        trace, pred, best_rank, qlen, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad
+    )
+    return score, path, plen
 
 
-# ------------------------------------------------------------- host backtrack
-def _backtrack(order, pred_arr, moves, predsel, gapk, best_rank, qlen):
-    """Reconstruct the (node_id | None, qpos | None) alignment path."""
-    aln = []
-    r, j = int(best_rank), int(qlen)
-    while r > 0 or j > 0:
-        if r == 0:
-            aln.append((None, j - 1))
-            j -= 1
-            continue
-        m = int(moves[r - 1, j])
-        nid = order[r - 1]
-        if m == MOVE_M:
-            aln.append((nid, j - 1))
-            r, j = int(pred_arr[r - 1, int(predsel[r - 1, j])]), j - 1
-        elif m in (MOVE_F1_OPEN, MOVE_F1_EXT, MOVE_F2_OPEN, MOVE_F2_EXT):
-            aln.append((nid, None))
-            r = int(pred_arr[r - 1, int(predsel[r - 1, j])])
-        else:  # MOVE_E1 / MOVE_E2: jump the whole query gap
-            k = int(gapk[r - 1, j])
-            for jj in range(j, k, -1):
-                aln.append((None, jj - 1))
-            j = k
-    aln.reverse()
-    return aln
+def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
+    """Lockstep on-device backtrack over all windows.
+
+    Replicates the host `_backtrack` walk exactly (same move priority
+    and E-gap-run expansion) but each while_loop iteration advances
+    every window one path entry: one uint16 trace gather + one pred
+    gather per lane, one in-place scatter into the path buffer.
+    Finished lanes scatter into a trash column.
+    """
+    b = best_rank.shape[0]
+    qw = q_pad + 1
+    lp = n_pad + q_pad + 1
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    tr_flat = trace.reshape(-1)
+    pred_flat = pred.reshape(-1)
+
+    def cond(st):
+        r, j, gk, t, path = st
+        return jnp.any((r > 0) | (j > 0))
+
+    def body(st):
+        r, j, gk, t, path = st
+        active = (r > 0) | (j > 0)
+        ri = jnp.clip(r - 1, 0, n_pad - 1)
+        cell = jnp.take(
+            tr_flat, bidx * (n_pad * q_pad) + ri * q_pad + jnp.clip(j, 0, q_pad - 1)
+        ).astype(jnp.int32)
+        mv = cell >> 13
+        aux = cell & 0x1FFF
+        in_gap = active & (gk >= 0)
+        is_r0 = active & ~in_gap & (r == 0)
+        on_node = active & ~in_gap & (r > 0)
+        is_m = on_node & (mv == MOVE_M)
+        is_e = on_node & ((mv == MOVE_E1) | (mv == MOVE_E2))
+        is_f = on_node & ~is_m & ~is_e
+        # Entry: rank*(Qp+1) + jcode; rank 0 = no node, jcode 0 = no qpos.
+        rank_emit = jnp.where(is_m | is_f, r, 0)
+        q_emit = jnp.where(is_f, 0, j)
+        entry = rank_emit * qw + q_emit
+        pr = jnp.take(
+            pred_flat, bidx * (n_pad * p_pad) + ri * p_pad + jnp.clip(aux, 0, p_pad - 1)
+        )
+        r_new = jnp.where(is_m | is_f, pr, r)
+        j_new = jnp.where(in_gap | is_r0 | is_m | is_e, j - 1, j)
+        gk_tmp = jnp.where(is_e, aux, gk)
+        gk_new = jnp.where((in_gap | is_e) & (j_new > gk_tmp), gk_tmp, jnp.int32(-1))
+        tcol = jnp.where(active, jnp.minimum(t, lp - 1), lp)
+        path = path.at[bidx, tcol].set(entry)
+        t_new = jnp.where(active, t + 1, t)
+        return r_new, j_new, gk_new, t_new, path
+
+    st0 = (
+        best_rank.astype(jnp.int32),
+        qlen.astype(jnp.int32),
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, lp + 1), jnp.int32),
+    )
+    r, j, gk, t, path = jax.lax.while_loop(cond, body, st0)
+    return path[:, :lp], t
+
+
+# ----------------------------------------------------------- path decoding
+def _decode_path(order, path_row, plen, qw):
+    """Device path entries (backward order) -> [(node_id|None, qpos|None)]."""
+    ent = path_row[:plen][::-1]
+    ranks = ent // qw
+    jcodes = ent % qw
+    return [
+        (order[r - 1] if r > 0 else None, j - 1 if j > 0 else None)
+        for r, j in zip(ranks.tolist(), jcodes.tolist())
+    ]
 
 
 # ------------------------------------------------------------------ MSA driver
@@ -251,8 +436,8 @@ def align_batch(graphs, seqs, params: PoaParams):
             v *= 2
         return v
 
-    n_pad = bucket(max(len(g.nodes) for g in graphs) + 1, 128)
-    p_pad = bucket(max(max_in_degree(g) for g in graphs), 2)
+    n_pad = bucket(max(_graph_n(g) for g in graphs) + 1, 128)
+    p_pad = bucket(max(_graph_max_indeg(g) for g in graphs), 2)
     q_pad = bucket(max(len(s) for s in seqs) + 1, 128)
     base = np.zeros((b, n_pad), np.int32)
     pred = np.zeros((b, n_pad, p_pad), np.int32)
@@ -263,7 +448,7 @@ def align_batch(graphs, seqs, params: PoaParams):
     qlen = np.zeros(b, np.int32)
     orders = []
     for i, (g, s) in enumerate(zip(graphs, seqs)):
-        arrs, order = export_graph_arrays(g, n_pad, p_pad)
+        arrs, order = _graph_export(g, n_pad, p_pad)
         orders.append(order)
         base[i], pred[i], pmask[i], sink[i], n[i] = (
             arrs["base"], arrs["pred"], arrs["pmask"], arrs["sink"], arrs["n"],
@@ -272,18 +457,15 @@ def align_batch(graphs, seqs, params: PoaParams):
         seq_a[i, 1 : len(s) + 1] = np.asarray(s, np.int32)
         seq_a[i, 0] = -1
         qlen[i] = len(s)
-    score, best_rank, moves, predsel, gapk = _poa_dp_batch(
+    score, path, plen = _poa_dp_batch(
         jnp.asarray(base), jnp.asarray(pred), jnp.asarray(pmask), jnp.asarray(sink),
         jnp.asarray(n), jnp.asarray(seq_a), jnp.asarray(qlen),
         n_pad=n_pad, p_pad=p_pad, q_pad=q_pad, params=params,
     )
-    moves, predsel, gapk = np.asarray(moves), np.asarray(predsel), np.asarray(gapk)
-    best_rank, score = np.asarray(best_rank), np.asarray(score)
-    out = []
-    for i in range(b):
-        out.append(
-            _backtrack(orders[i], pred[i], moves[i], predsel[i], gapk[i], best_rank[i], qlen[i])
-        )
+    path, plen, score = np.asarray(path), np.asarray(plen), np.asarray(score)
+    out = [
+        _decode_path(orders[i], path[i], int(plen[i]), q_pad + 1) for i in range(b)
+    ]
     return [int(s) for s in score], out
 
 
@@ -297,7 +479,15 @@ def msa_consensus_batch(windows, params: PoaParams | None = None):
     windows, msa_spoa_omp.cpp:230-260).
     """
     params = params or PoaParams()
-    graphs = [PoaGraph(params) for _ in windows]
+    from genomicsbench_tpu import native as _native
+
+    if _native.available():
+        graphs = [
+            NativePoaGraph(params, cap=sum(len(s) for s in w) + 8)
+            for w in windows
+        ]
+    else:
+        graphs = [PoaGraph(params) for _ in windows]
     max_rounds = max(len(w) for w in windows)
     for s in range(max_rounds):
         idx = [i for i, w in enumerate(windows) if s < len(w)]

@@ -151,3 +151,40 @@ def test_msa_fasta_reader(tmp_path):
     assert len(ws) == 2 and len(ws[0]) == 3 and len(ws[1]) == 2
     assert decode_seq(ws[0][0]) == "ACGT"
     np.testing.assert_array_equal(ws[1][1], encode_seq("TTAT"))
+
+
+def test_native_graph_matches_oracle():
+    """NativePoaGraph (C fusion/topo/export/consensus) vs the Python
+    oracle graph: identical export arrays, orders, and consensus after
+    every fusion round on randomized windows."""
+    from genomicsbench_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        truth = _rand_seq(rng, 60, 120)
+        seqs = [truth] + [_mutate(rng, truth, 0.12) for _ in range(6)]
+        g_or = PoaGraph(P)
+        g_nat = poa_ops.NativePoaGraph(P, cap=sum(len(s) for s in seqs) + 8)
+        for si, s in enumerate(seqs):
+            if si == 0:
+                g_or.add_alignment([], s)
+                g_nat.add_alignment([], s)
+            else:
+                (sc,), (aln,) = poa_ops.align_batch([g_or], [s], P)
+                g_or.add_alignment(aln, s)
+                g_nat.add_alignment(aln, s)
+            assert g_nat.n == len(g_or.nodes)
+            n_pad = 128
+            while n_pad < g_nat.n + 1:
+                n_pad *= 2
+            p_pad = max(g_nat.max_in_degree(), poa_ops.max_in_degree(g_or), 2)
+            a_or, o_or = poa_ops.export_graph_arrays(g_or, n_pad, p_pad)
+            a_nat, o_nat = g_nat.export_arrays(n_pad, p_pad)
+            assert o_or == o_nat
+            for key in ("base", "pred", "pmask", "sink"):
+                np.testing.assert_array_equal(a_or[key], a_nat[key], err_msg=key)
+        np.testing.assert_array_equal(g_or.consensus(), g_nat.consensus())

@@ -88,6 +88,15 @@ def _load():
             c_u8p, c_i32p, c_i64p, c_i64p, c_i64, c_i32, c_i32,
             c_i64p, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
         ]
+        lib.gb_dbg_build.restype = c_i64
+        lib.gb_dbg_build.argtypes = [
+            c_u8p, c_i64p, c_i64p, c_i64p, c_i64,        # ref windows
+            c_u8p, c_i32p, c_i64p, c_i64p, c_i64p,       # reads
+            c_i32, c_i32, c_i64, c_i64,                  # k minq caps
+            c_i64p, c_i64p, c_u8p,                       # offsets + skip flags
+            c_i64p, c_i64p, c_i64p, c_i64p,              # node arrays
+            c_i64p, c_i64p, c_i64p,                      # edge arrays
+        ]
         lib.gb_poa_fuse.restype = c_i64
         lib.gb_poa_fuse.argtypes = [
             c_u8p, c_i32p, c_u8p, c_i32p, c_i32p, c_i32p, c_i32p,   # graph
@@ -347,6 +356,73 @@ def dbg_mentions(seqs_flat, quals_flat, offs, lens, k: int, min_qual: int):
                               ip32(w), ip32(t), ip32(c))
     assert got == n, (got, n)
     return key1, key2, ekey, w, t, c
+
+
+def dbg_build(refs, ref_starts, reads_per_window, k: int, min_qual: int):
+    """Full native de Bruijn window-graph build (gb_dbg_build): per-window
+    sort-reduce of all node/edge mentions in C.
+
+    refs: list of (L,) uint8 ref slices; reads_per_window: list of lists
+    of (seq_codes, quals) with QC-fail reads already removed.  Returns
+    (node_off, edge_off, skip_n, node_keys5, colours, weights, positions,
+    edge_start5, edge_succ5, edge_weight) or None if unavailable;
+    windows flagged in skip_n need the Python oracle fallback (ref Ns)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_dbg_build"):
+        return None
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    ip64 = lambda a: a.ctypes.data_as(c_i64p)
+    ip32 = lambda a: a.ctypes.data_as(c_i32p)
+    nw = len(refs)
+    ref_lens = np.array([len(r) for r in refs], np.int64)
+    ref_offs = np.concatenate([[0], np.cumsum(ref_lens)])[:-1]
+    refs_flat = (np.concatenate([np.asarray(r, np.uint8) for r in refs])
+                 if nw else np.zeros(0, np.uint8))
+    ref_starts = np.ascontiguousarray(ref_starts, np.int64)
+    seqs, quals, lens, row = [], [], [], [0]
+    for rd in reads_per_window:
+        for s, q in rd:
+            seqs.append(np.asarray(s, np.uint8))
+            quals.append(np.asarray(q, np.int32))
+            lens.append(len(s))
+        row.append(len(lens))
+    lens = np.array(lens, np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    seqs_flat = np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)
+    quals_flat = (np.concatenate(quals).astype(np.int32)
+                  if quals else np.zeros(0, np.int32))
+    row = np.array(row, np.int64)
+    # mention-count upper bounds -> heuristic caps with one exact retry
+    spans = np.maximum(lens - k - 1, 0).sum() \
+        + int(np.maximum(ref_lens - k - 1, 0).sum())
+    node_cap = int(min(2 * spans, 2 * spans // 4 + (1 << 21)))
+    edge_cap = int(min(spans, spans // 4 + (1 << 21)))
+    for _ in range(2):
+        node_off = np.zeros(nw + 1, np.int64)
+        edge_off = np.zeros(nw + 1, np.int64)
+        skip_n = np.zeros(nw, np.uint8)
+        nk5 = np.empty(node_cap, np.int64)
+        nc = np.empty(node_cap, np.int64)
+        nwt = np.empty(node_cap, np.int64)
+        npos = np.empty(node_cap, np.int64)
+        es5 = np.empty(edge_cap, np.int64)
+        eu5 = np.empty(edge_cap, np.int64)
+        ew = np.empty(edge_cap, np.int64)
+        rc = lib.gb_dbg_build(
+            _u8p(refs_flat), ip64(ref_offs), ip64(ref_lens),
+            ip64(ref_starts), nw,
+            _u8p(seqs_flat), ip32(quals_flat), ip64(offs), ip64(lens),
+            ip64(row), k, min_qual, node_cap, edge_cap,
+            ip64(node_off), ip64(edge_off), _u8p(skip_n),
+            ip64(nk5), ip64(nc), ip64(nwt), ip64(npos),
+            ip64(es5), ip64(eu5), ip64(ew))
+        if rc == 0:
+            return (node_off, edge_off, skip_n, nk5, nc, nwt, npos,
+                    es5, eu5, ew)
+        node_cap = int(node_off[nw])
+        edge_cap = int(edge_off[nw])
+    raise RuntimeError("gb_dbg_build capacity retry failed")
 
 
 def pairhmm_f64(cases):

@@ -461,6 +461,193 @@ int64_t gb_dbg_mentions(
 }
 
 // ---------------------------------------------------------------------------
+// Full de Bruijn window-graph build (Platypus debruijn.cpp:1262-1367 +
+// DeBruijnGraph_AddEdge:888-920 semantics, matching ops/dbg.py's batched
+// sort-reduce bit-exactly).  The numpy formulation concatenates ~100M-row
+// int64 mention arrays and sorts them globally; windows are independent and
+// their mention sets are ~100k rows, so a per-window C sort-reduce stays in
+// cache and skips the global argsort/reduceat/unique passes entirely.
+//
+// Capacity protocol: caller preallocates node/edge output arrays; if they
+// are too small the function keeps COUNTING (without writing) and returns
+// -1 with the required totals in node_off[n_windows] / edge_off[n_windows].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DbgNodeM { int64_t key; int64_t pos; int32_t w; int32_t idx; uint8_t colour; };
+struct DbgEdgeM { int64_t key; int32_t w; int32_t idx; };
+
+static inline int64_t dbg_to5(int64_t key2bit, int32_t k) {
+    int64_t out = 0;
+    for (int32_t shift = 2 * (k - 1); shift >= 0; shift -= 2)
+        out = out * 5 + ((key2bit >> shift) & 3);
+    return out;
+}
+
+// LSD radix sort of packed (key << 24 | mention-idx) words — the packed
+// idx makes it stable by construction; ~4x over std::sort on the ~150k
+// mention sets a window produces.  bits: highest used bit count.
+static void dbg_radix_u64(std::vector<uint64_t>& v, std::vector<uint64_t>& tmp,
+                          int bits) {
+    const int R = 11, RADIX = 1 << R;
+    size_t cnt[1 << R];
+    tmp.resize(v.size());
+    for (int shift = 0; shift < bits; shift += R) {
+        memset(cnt, 0, sizeof(cnt));
+        for (uint64_t x : v) cnt[(x >> shift) & (RADIX - 1)]++;
+        size_t run = 0;
+        for (int i = 0; i < RADIX; i++) { size_t c = cnt[i]; cnt[i] = run; run += c; }
+        for (uint64_t x : v) tmp[cnt[(x >> shift) & (RADIX - 1)]++] = x;
+        v.swap(tmp);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t gb_dbg_build(
+    const uint8_t* refs, const int64_t* ref_offs, const int64_t* ref_lens,
+    const int64_t* ref_starts, int64_t n_windows,
+    const uint8_t* seqs, const int32_t* quals, const int64_t* offs,
+    const int64_t* lens, const int64_t* read_off_w,  // per-window read range
+    int32_t k, int32_t min_qual,
+    int64_t node_cap, int64_t edge_cap,
+    int64_t* node_off, int64_t* edge_off, uint8_t* skip_n,
+    int64_t* node_keys5, int64_t* colours, int64_t* weights,
+    int64_t* positions,
+    int64_t* edge_start5, int64_t* edge_succ5, int64_t* edge_weight) {
+    const uint8_t REFC = 1, READC = 2;
+    const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
+    const int64_t emask = ((int64_t)1 << (2 * (k + 1))) - 1;
+    // mention streams: packed (key << 24 | mention-idx) sort words plus
+    // payload arrays indexed by mention-idx (pos/weight/colour)
+    std::vector<uint64_t> npk, epk, rtmp;
+    std::vector<int64_t> nposv;
+    std::vector<int32_t> nwv, ewv;
+    std::vector<uint8_t> ncolv;
+    std::vector<DbgEdgeM> eg;  // reduced edge groups: key, wsum, first idx
+    std::unordered_map<int64_t, int32_t> slots;
+    int64_t n_total = 0, e_total = 0;
+    bool overflow = false;
+    for (int64_t wid = 0; wid < n_windows; wid++) {
+        node_off[wid] = n_total;
+        edge_off[wid] = e_total;
+        const uint8_t* ref = refs + ref_offs[wid];
+        const int64_t rl = ref_lens[wid];
+        const int64_t nE = rl - k - 1;
+        bool has_n = false;
+        if (rl >= k + 1)  // mirror ops/dbg.py: keys 0..nE checked -> bases 0..rl-2
+            for (int64_t i = 0; i + 1 < rl; i++)
+                if (ref[i] > 3) { has_n = true; break; }
+        skip_n[wid] = has_n ? 1 : 0;
+        if (has_n) continue;
+        npk.clear(); epk.clear();
+        nposv.clear(); nwv.clear(); ewv.clear(); ncolv.clear();
+        if (nE > 0) {
+            int64_t key = 0;  // rolling k-mer ending at i
+            for (int64_t i = 0; i < k - 1; i++) key = (key << 2) | ref[i];
+            for (int64_t c = 0; c < nE; c++) {
+                key = ((key << 2) | ref[c + k - 1]) & mask;
+                const int64_t key2 = ((key << 2) | ref[c + k]) & mask;
+                npk.push_back(((uint64_t)key << 24) | nposv.size());
+                nposv.push_back(ref_starts[wid] + c);
+                nwv.push_back(1); ncolv.push_back(REFC);
+                npk.push_back(((uint64_t)key2 << 24) | nposv.size());
+                nposv.push_back(ref_starts[wid] + c + 1);
+                nwv.push_back(1); ncolv.push_back(REFC);
+                epk.push_back((((uint64_t)key << 2 | ref[c + k]) << 24)
+                              | ewv.size());
+                ewv.push_back(1);
+            }
+        }
+        for (int64_t r = read_off_w[wid]; r < read_off_w[wid + 1]; r++) {
+            const uint8_t* s = seqs + offs[r];
+            const int32_t* q = quals + offs[r];
+            const int64_t L = lens[r];
+            const int64_t nE2 = L - k - 1;
+            if (nE2 <= 0) continue;
+            int64_t key = 0;
+            int64_t last_bad = -1;
+            for (int64_t i = 0; i < L; i++) {
+                key = ((key << 2) | (s[i] <= 3 ? s[i] : 0)) & emask;
+                if (s[i] > 3) last_bad = i;
+                const int64_t c = i - k;
+                if (c < 0 || c >= nE2) continue;
+                if (last_bad >= c) continue;
+                int32_t mq = q[c];
+                for (int64_t j = c + 1; j <= c + k; j++)
+                    if (q[j] < mq) mq = q[j];
+                if (mq < min_qual) continue;
+                npk.push_back(((uint64_t)((key >> 2) & mask) << 24) | nposv.size());
+                nposv.push_back(-1); nwv.push_back(mq); ncolv.push_back(READC);
+                npk.push_back(((uint64_t)(key & mask) << 24) | nposv.size());
+                nposv.push_back(-1); nwv.push_back(mq); ncolv.push_back(READC);
+                epk.push_back(((uint64_t)key << 24) | ewv.size());
+                ewv.push_back(mq);
+            }
+        }
+        if (npk.size() >= (1u << 24) || epk.size() >= (1u << 24))
+            return -2;  // idx field overflow (mentions per window > 16M)
+        // ---- node reduce: radix by packed (key, mention order)
+        dbg_radix_u64(npk, rtmp, 2 * k + 24);
+        for (size_t i = 0; i < npk.size();) {
+            const uint64_t key = npk[i] >> 24;
+            size_t j = i;
+            int64_t wsum = 0; uint8_t col = 0;
+            for (; j < npk.size() && (npk[j] >> 24) == key; j++) {
+                const uint32_t mi = npk[j] & 0xFFFFFF;
+                wsum += nwv[mi]; col |= ncolv[mi];
+            }
+            if (!overflow && n_total < node_cap) {
+                node_keys5[n_total] = dbg_to5((int64_t)key, k);
+                colours[n_total] = col;
+                weights[n_total] = wsum;
+                positions[n_total] = nposv[npk[i] & 0xFFFFFF];
+            } else if (n_total >= node_cap) overflow = true;
+            n_total++;
+            i = j;
+        }
+        // ---- edge reduce, then first-mention order with the 4-slot cap
+        dbg_radix_u64(epk, rtmp, 2 * (k + 1) + 24);
+        eg.clear();
+        for (size_t i = 0; i < epk.size();) {
+            const uint64_t key = epk[i] >> 24;
+            size_t j = i;
+            int64_t wsum = 0;
+            for (; j < epk.size() && (epk[j] >> 24) == key; j++)
+                wsum += ewv[epk[j] & 0xFFFFFF];
+            eg.push_back({(int64_t)key,
+                          (int32_t)std::min<int64_t>(wsum, INT32_MAX),
+                          (int32_t)(epk[i] & 0xFFFFFF)});
+            i = j;
+        }
+        std::sort(eg.begin(), eg.end(), [](const DbgEdgeM& a, const DbgEdgeM& b) {
+            return a.idx < b.idx;
+        });
+        slots.clear();
+        for (const DbgEdgeM& g : eg) {
+            const int64_t prefix = (g.key >> 2) & mask;
+            int32_t& cnt = slots[prefix];
+            if (cnt >= 4) continue;
+            cnt++;
+            if (!overflow && e_total < edge_cap) {
+                edge_start5[e_total] = dbg_to5(prefix, k);
+                edge_succ5[e_total] = dbg_to5(((prefix << 2) | (g.key & 3)) & mask, k);
+                edge_weight[e_total] = g.w;
+            } else if (e_total >= edge_cap) overflow = true;
+            e_total++;
+        }
+    }
+    node_off[n_windows] = n_total;
+    edge_off[n_windows] = e_total;
+    return overflow ? -1 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Pileup event extraction (medaka_counts.c:383-459 feature walk) over a SoA
 // record batch: for each selected record, walk the cigar and emit one
 // (ref_pos, minor_j, feature_code, qual) observation per counted base or

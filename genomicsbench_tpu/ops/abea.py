@@ -534,7 +534,11 @@ def align_batch(
     lp_trim = np.full(B, np.float32(np.log(0.01)), np.float32)
 
     model_log_stdv = np.log(model_stdv.astype(np.float64)).astype(np.float32)
+    # static scan lengths bucket to 256 so mixed-length batches reuse one
+    # compiled program (extra steps are fully masked; every distinct max
+    # was a fresh remote compile + per-program upload charge)
     n_steps = int((n_events + n_kmers + 2).max()) - 2
+    n_steps = -(-n_steps // 256) * 256
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -558,6 +562,7 @@ def align_batch(
     )
     traces_d, bll_es_d, trace1_d, best_d, best_ev_d = dev_out
     max_steps = int((n_events + n_kmers).max()) + 2
+    max_steps = -(-max_steps // 256) * 256
     pairs_dev, sum_em, max_gap = _abea_backtrack_scan(
         traces_d, bll_es_d, trace1_d, best_d, best_ev_d,
         put(ranks), put(ev), put(n_kmers),

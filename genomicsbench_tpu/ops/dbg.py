@@ -156,6 +156,60 @@ def _to5_vec(keys2bit: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def _empty_arrays():
+    z = np.zeros(0, np.int64)
+    return dict(node_keys=z, colours=z, weights=z, positions=z,
+                edge_start=z, edge_succ=z, edge_weight=z)
+
+
+def _graph_to_arrays(g: "WindowGraph"):
+    keys = np.array(sorted(g.nodes), np.int64)
+    vals = [g.nodes[int(kk)] for kk in keys]
+    ekeys = list(g.edges)
+    return dict(
+        node_keys=keys,
+        colours=np.array([v[0] for v in vals], np.int64),
+        weights=np.array([v[1] for v in vals], np.int64),
+        positions=np.array([v[2] for v in vals], np.int64),
+        edge_start=np.array([e[0] for e in ekeys], np.int64),
+        edge_succ=np.array([e[1] for e in ekeys], np.int64),
+        edge_weight=np.array([g.edges[e] for e in ekeys], np.int64),
+    )
+
+
+def _build_window_graphs_native(windows, k, min_qual):
+    """One-call native build (gb_dbg_build): per-window C sort-reduce of
+    all mentions; only ref-N windows fall back to the Python oracle.
+    Returns the as_arrays result list, or None if the lib is missing."""
+    from genomicsbench_tpu import native
+
+    got = native.dbg_build(
+        [np.asarray(w[0], np.uint8) for w in windows],
+        [w[1] for w in windows],
+        [[(np.asarray(s), np.asarray(q)) for s, q, qc in w[2] if not qc]
+         for w in windows],
+        k, min_qual)
+    if got is None:
+        return None
+    node_off, edge_off, skip_n, nk5, nc, nw_, npos, es5, eu5, ew = got
+    results = []
+    for wid in range(len(windows)):
+        if skip_n[wid]:
+            ref, ref_start, reads = windows[wid]
+            g = build_window_graph_oracle(
+                np.asarray(ref), ref_start, reads, k=k, min_qual=min_qual)
+            results.append(_graph_to_arrays(g))
+            continue
+        ns_ = slice(node_off[wid], node_off[wid + 1])
+        es_ = slice(edge_off[wid], edge_off[wid + 1])
+        results.append(dict(
+            node_keys=nk5[ns_], colours=nc[ns_], weights=nw_[ns_],
+            positions=npos[ns_], edge_start=es5[es_], edge_succ=eu5[es_],
+            edge_weight=ew[es_],
+        ))
+    return results
+
+
 def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     """Batched graph build over windows.
 
@@ -169,7 +223,16 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
 
     All windows' mention records share one device lexsort per record type
     ((window id, 32-bit key) pairs).  Reference k-mers containing N take a
-    host dict fallback (N isn't representable in 2-bit keys)."""
+    host dict fallback (N isn't representable in 2-bit keys).
+
+    as_arrays runs fully native when the C library is available
+    (gb_dbg_build: per-window sort-reduce in cache instead of the global
+    concatenate/argsort/reduceat passes, which were the chromosome-scale
+    bottleneck on this 1-vCPU host); identical output either way."""
+    if as_arrays:
+        res = _build_window_graphs_native(windows, k, min_qual)
+        if res is not None:
+            return res
     nw_, nc_, np_, no_, nk_, nwid = [], [], [], [], [], []
     ek_, ew_, eo_, ewid = [], [], [], []
     has_n = []
@@ -287,25 +350,6 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
         ewid.append(widv[t_idx].astype(np.int32))
         ew_.append(w)
         eo_.append(c_idx + base)
-
-    def _empty_arrays():
-        z = np.zeros(0, np.int64)
-        return dict(node_keys=z, colours=z, weights=z, positions=z,
-                    edge_start=z, edge_succ=z, edge_weight=z)
-
-    def _graph_to_arrays(g: "WindowGraph"):
-        keys = np.array(sorted(g.nodes), np.int64)
-        vals = [g.nodes[int(kk)] for kk in keys]
-        ekeys = list(g.edges)
-        return dict(
-            node_keys=keys,
-            colours=np.array([v[0] for v in vals], np.int64),
-            weights=np.array([v[1] for v in vals], np.int64),
-            positions=np.array([v[2] for v in vals], np.int64),
-            edge_start=np.array([e[0] for e in ekeys], np.int64),
-            edge_succ=np.array([e[1] for e in ekeys], np.int64),
-            edge_weight=np.array([g.edges[e] for e in ekeys], np.int64),
-        )
 
     results: list = [None] * len(windows)
     for wid in range(len(windows)):

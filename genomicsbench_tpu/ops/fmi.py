@@ -459,15 +459,35 @@ class FmiPipeline:
         out_e = np.zeros(N, np.int32)
         out_k = np.zeros(N, np.int64)
         out_s = np.zeros(N, np.int64)
+        # pow2-pad the lane batch: callers pass data-dependent counts
+        # (emitted-SMEM totals), and every distinct shape would compile a
+        # fresh executable — expensive on the tunneled remote-compile
+        # service and it bloats the persistent cache.  Pad lanes are born
+        # dead (qlen 0) and are never flushed (idx -1).
+        cap = max(128, 1 << (max(N, 1) - 1).bit_length())
+        lanes_q = np.ascontiguousarray(lanes_q)
+        lanes_len = np.asarray(lanes_len, np.int32)
+        starts = np.asarray(starts, np.int32)
+        min_intv = np.asarray(min_intv, np.int32)
+        max_e = np.asarray(max_e, np.int32)
+        if cap != N:
+            pad = cap - N
+            lanes_q = np.concatenate(
+                [lanes_q, np.zeros((pad, lanes_q.shape[1]), lanes_q.dtype)])
+            lanes_len = np.concatenate([lanes_len, np.zeros(pad, np.int32)])
+            starts = np.concatenate([starts, np.zeros(pad, np.int32)])
+            min_intv = np.concatenate([min_intv, np.ones(pad, np.int32)])
+            max_e = np.concatenate([max_e, np.zeros(pad, np.int32)])
         # device-resident state: only the tiny alive bitmap crosses the
         # (slow, tunneled) host link per chunk; e/k/s rows come back once,
         # at flush points.
-        q_d = jnp.asarray(np.ascontiguousarray(lanes_q))
-        ql_d = jnp.asarray(np.asarray(lanes_len, np.int32))
-        mi_d = jnp.asarray(np.asarray(min_intv, np.int32))
-        me_d = jnp.asarray(np.asarray(max_e, np.int32))
-        st_d = jnp.asarray(np.asarray(starts, np.int32))
-        idx = np.arange(N, dtype=np.int64)
+        q_d = jnp.asarray(lanes_q)
+        ql_d = jnp.asarray(lanes_len)
+        mi_d = jnp.asarray(min_intv)
+        me_d = jnp.asarray(max_e)
+        st_d = jnp.asarray(starts)
+        idx = np.concatenate([np.arange(N, dtype=np.int64),
+                              np.full(cap - N, -1, np.int64)])
         state = _extend_lanes_init(self.dev[0], q_d, ql_d, st_d, mi_d)
         done_steps = 0
         while True:
@@ -538,6 +558,19 @@ class FmiPipeline:
     # Both emit identical SMEM sets; smem1 re-sorts to canonical order.
     ENGINE = "smem1"
 
+    def _spans_intervals(self, query, qlen, rid, m, e):
+        """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
+        batched extension (the same string's interval is reached by any
+        extension path; min_intv floor 0 so the walk runs exactly to e)."""
+        if len(rid) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        e_, k_, s_ = self._extend(
+            query[rid], qlen[rid], m.astype(np.int32),
+            np.zeros(len(rid), np.int32), e.astype(np.int32),
+            steps=int((e - m).max()),
+        )
+        return k_, s_
+
     @staticmethod
     def _sort_by_start(lane, m, n, k, s):
         """Canonical per-lane increasing-start order (the e-table order)."""
@@ -554,7 +587,7 @@ class FmiPipeline:
         B, L = query.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L  # ~3-4 extension steps/base typical
-            sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_smem1(
+            sm_me, count, rounds = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(query),
                 self._put(qlen.astype(np.int32)),
                 self._put(np.ones(B, np.int32)),
@@ -568,9 +601,9 @@ class FmiPipeline:
             cols = np.concatenate(
                 [np.arange(cc) for cc in count]).astype(np.int64) \
                 if len(rid) else np.zeros(0, np.int64)
-            return _mk_smem(*self._sort_by_start(
-                rid, sm_m[rid, cols], sm_e[rid, cols] - 1,
-                sm_k[rid, cols], sm_s[rid, cols]))
+            m, e = sm_m[rid, cols], sm_e[rid, cols]
+            k, s = self._spans_intervals(query, qlen, rid, m, e)
+            return _mk_smem(*self._sort_by_start(rid, m, e - 1, k, s))
         if self.mesh is None and self.QUEUE_LANES \
                 and B >= 2 * self.QUEUE_LANES:
             lanes = self.QUEUE_LANES
@@ -638,9 +671,32 @@ class FmiPipeline:
             pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
-        engine = _pass1_smem1 if self.ENGINE == "smem1" else _pass1_jump
-        max_rounds = (24 if self.ENGINE == "smem1" else 64) * L
-        sm_me, sm_k, sm_s, count, rounds = jax.device_get(engine(
+        if self.ENGINE == "smem1":
+            max_rounds = 24 * L
+            sm_me, count, rounds = jax.device_get(_pass1_smem1(
+                *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
+                self._put(mintv.astype(np.int32)),
+                self._put(pivots.astype(np.int32)),
+                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                has_pivot=True,
+            ))
+            if pad:
+                P = P - pad
+            if int(rounds) >= max_rounds:
+                return self._pass2_etable(pq[: len(prid)], plen[: len(prid)],
+                                          prid, pivots[: len(prid)],
+                                          mintv[: len(prid)])
+            sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
+            pi = np.repeat(np.arange(P), count[:P])
+            cols = np.concatenate(
+                [np.arange(c) for c in count[:P]]).astype(np.int64) \
+                if len(pi) else np.zeros(0, np.int64)
+            m, e = sm_m[pi, cols], sm_e[pi, cols]
+            k, s = self._spans_intervals(pq, plen, pi, m, e)
+            pi2, m, n, k, s = self._sort_by_start(pi, m, e - 1, k, s)
+            return _mk_smem(prid[pi2], m, n, k, s)
+        max_rounds = 64 * L
+        sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
             self._put(mintv.astype(np.int32)),
             self._put(pivots.astype(np.int32)),
@@ -1070,8 +1126,11 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     FMD mirror images, so they share the gather (_ext_pick_sym).
 
     Emission order is per-pivot decreasing start; callers re-sort by
-    start to match the e-table order.  Returns (sm_me, sm_k, sm_s,
-    count, rounds); rounds >= max_rounds means "fall back to e-table".
+    start to match the e-table order.  Returns (sm_me, count, rounds);
+    rounds >= max_rounds means "fall back to e-table".  Only the packed
+    (m, e) spans are emitted — callers recover each SMEM's (k, s) with
+    one batched extension over the emitted spans (pass 3's pattern),
+    which is far cheaper than two more per-round emit scatters.
     """
     B, L = query.shape
     CP = L + 1  # collected intervals per forward run (<= pushes <= L+1)
@@ -1099,9 +1158,10 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         bl=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         bs=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         be=jnp.zeros((B, 2 * CP + 1), jnp.int32),
+        # ONE emit plane: the SMEM spans (m, e) only — intervals (k, s)
+        # are recomputed by a single cheap batched extension afterwards
+        # (the pass-3 pattern), saving two per-round B-row scatters
         sm_me=jnp.full((B, L + 1), -1, jnp.int32),
-        sm_k=jnp.zeros((B, L + 1), jnp.int32),
-        sm_s=jnp.zeros((B, L + 1), jnp.int32),
         count=jnp.zeros(B, jnp.int32),
         round=jnp.int32(0),
     )
@@ -1180,8 +1240,6 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         bsb = c["bs"].at[rows, col].set(wr_s)
         beb = c["be"].at[rows, col].set(wr_e)
         sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
-        sm_k = c["sm_k"].at[rows, eslot].set(pk)
-        sm_s = c["sm_s"].at[rows, eslot].set(ps)
         count = c["count"] + emit.astype(jnp.int32)
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
@@ -1225,13 +1283,12 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
             ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
             bk=bkb, bl=blb, bs=bsb, be=beb,
-            sm_me=sm_me, sm_k=sm_k, sm_s=sm_s, count=count,
+            sm_me=sm_me, count=count,
             round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return (final["sm_me"][:, :L], final["sm_k"][:, :L],
-            final["sm_s"][:, :L], final["count"], final["round"])
+    return final["sm_me"][:, :L], final["count"], final["round"]
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))

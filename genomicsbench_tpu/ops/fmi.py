@@ -587,7 +587,7 @@ class FmiPipeline:
         B, L = query.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L  # ~3-4 extension steps/base typical
-            sm_me, count, rounds = jax.device_get(_pass1_smem1(
+            sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(query),
                 self._put(qlen.astype(np.int32)),
                 self._put(np.ones(B, np.int32)),
@@ -596,6 +596,7 @@ class FmiPipeline:
             ))
             if int(rounds) >= max_rounds:
                 return self._pass1_etable(query, qlen)
+            count = np.where(ovf, 0, count)
             sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
             rid = np.repeat(np.arange(B), count)
             cols = np.concatenate(
@@ -603,7 +604,16 @@ class FmiPipeline:
                 if len(rid) else np.zeros(0, np.int64)
             m, e = sm_m[rid, cols], sm_e[rid, cols]
             k, s = self._spans_intervals(query, qlen, rid, m, e)
-            return _mk_smem(*self._sort_by_start(rid, m, e - 1, k, s))
+            n = e - 1
+            if ovf.any():  # slot-cap overflow: just those reads via e-table
+                sub = np.nonzero(ovf)[0]
+                et = self._pass1_etable(query[sub], qlen[sub])
+                rid = np.concatenate([rid, sub[et.rid]])
+                m = np.concatenate([m, et.m])
+                n = np.concatenate([n, et.n])
+                k = np.concatenate([k, et.k])
+                s = np.concatenate([s, et.s])
+            return _mk_smem(*self._sort_by_start(rid, m, n, k, s))
         if self.mesh is None and self.QUEUE_LANES \
                 and B >= 2 * self.QUEUE_LANES:
             lanes = self.QUEUE_LANES
@@ -673,7 +683,7 @@ class FmiPipeline:
         P, L = pq.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L
-            sm_me, count, rounds = jax.device_get(_pass1_smem1(
+            sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
                 self._put(mintv.astype(np.int32)),
                 self._put(pivots.astype(np.int32)),
@@ -686,15 +696,26 @@ class FmiPipeline:
                 return self._pass2_etable(pq[: len(prid)], plen[: len(prid)],
                                           prid, pivots[: len(prid)],
                                           mintv[: len(prid)])
+            count = np.where(ovf[:P], 0, count[:P])
             sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
-            pi = np.repeat(np.arange(P), count[:P])
+            pi = np.repeat(np.arange(P), count)
             cols = np.concatenate(
-                [np.arange(c) for c in count[:P]]).astype(np.int64) \
+                [np.arange(c) for c in count]).astype(np.int64) \
                 if len(pi) else np.zeros(0, np.int64)
             m, e = sm_m[pi, cols], sm_e[pi, cols]
             k, s = self._spans_intervals(pq, plen, pi, m, e)
-            pi2, m, n, k, s = self._sort_by_start(pi, m, e - 1, k, s)
-            return _mk_smem(prid[pi2], m, n, k, s)
+            rid_out = prid[pi]
+            n = e - 1
+            if ovf[:P].any():
+                sub = np.nonzero(ovf[:P])[0]
+                et = self._pass2_etable(pq[sub], plen[sub], prid[sub],
+                                        pivots[sub], mintv[sub])
+                rid_out = np.concatenate([rid_out, et.rid])
+                m = np.concatenate([m, et.m])
+                n = np.concatenate([n, et.n])
+                k = np.concatenate([k, et.k])
+                s = np.concatenate([s, et.s])
+            return _mk_smem(*self._sort_by_start(rid_out, m, n, k, s))
         max_rounds = 64 * L
         sm_me, sm_k, sm_s, count, rounds = jax.device_get(_pass1_jump(
             *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
@@ -1133,7 +1154,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     which is far cheaper than two more per-round emit scatters.
     """
     B, L = query.shape
-    CP = L + 1  # collected intervals per forward run (<= pushes <= L+1)
+    # Slot caps: scatter cost on this chip scales with the BUFFER ROW
+    # WIDTH (each scalar scatter rewrites the touched rows), so the
+    # interval planes stay narrow.  Random-genome forward runs record
+    # ~10-16 distinct-count prefixes; pathological reads that exceed a
+    # cap set their lane's ovf flag and the caller reruns just those
+    # reads through the e-table.
+    CP = min(L + 1, 24)   # collected intervals per forward run
+    ME = min(L + 1, 48)   # emitted SMEMs per read
     INIT, FWD, BWD, DONE = 0, 1, 2, 3
     assert L < (1 << 15), "read length overflows the packed m/e emit word"
 
@@ -1153,16 +1181,19 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         ws=jnp.zeros(B, jnp.int32),
         # double-buffered (prev|curr) interval planes + one trash column;
         # scalar pure scatters only (windowed/select updates copy, see
-        # the measured cost model in the module docstring)
+        # the measured cost model in the module docstring).  No l plane:
+        # backward-only extension needs just (k, s), and emitted spans
+        # recover their full bi-interval in the post-pass — scatters are
+        # ~15x a gather on this chip, so every dropped plane is real time
         bk=jnp.zeros((B, 2 * CP + 1), jnp.int32),
-        bl=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         bs=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         be=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         # ONE emit plane: the SMEM spans (m, e) only — intervals (k, s)
         # are recomputed by a single cheap batched extension afterwards
         # (the pass-3 pattern), saving two per-round B-row scatters
-        sm_me=jnp.full((B, L + 1), -1, jnp.int32),
+        sm_me=jnp.full((B, ME + 1), -1, jnp.int32),
         count=jnp.zeros(B, jnp.int32),
+        ovf=jnp.zeros(B, jnp.bool_),
         round=jnp.int32(0),
     )
 
@@ -1188,13 +1219,12 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         idx = jnp.where(c["first"], c["prev_n"] - 1 - c["ptr"], c["ptr"])
         pcol = jnp.clip(c["par"] * CP + jnp.clip(idx, 0, CP - 1), 0, 2 * CP)
         pk = c["bk"][rows, pcol]
-        pl = c["bl"][rows, pcol]
         ps = c["bs"][rows, pcol]
         pe = c["be"][rows, pcol]
 
         # ---- ONE shared rank-pair extension for FWD and BWD lanes
         a_in = jnp.where(is_fwd, c["wl"], pk)
-        o_in = jnp.where(is_fwd, c["wk"], pl)
+        o_in = jnp.where(is_fwd, c["wk"], 0)
         s_in = jnp.where(is_fwd, c["ws"], jnp.maximum(ps, 0))
         c_in = jnp.where(is_fwd, 3 - nb, nb)
         a_n, o_n, s_n = _ext_pick_sym(
@@ -1217,29 +1247,30 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
                          jnp.int32(2 * CP))
 
         # ================= BWD: one backward try of prev[idx]
-        kb, lb, sb = a_n, o_n, s_n  # (k', l', s') in bwd orientation
+        kb, sb = a_n, s_n  # (k', s') in bwd orientation (l never needed)
         die = bwd_live & (~nb_ok | (sb < min_intv))
         surv = bwd_live & ~die
         emit = die & (c["curr_n"] == 0) & ~c["emitted"] \
             & (pe - (c["j"] + 1) >= min_seed_len)
-        eslot = jnp.where(emit, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
+        eslot = jnp.where(emit, jnp.clip(c["count"], 0, ME - 1), jnp.int32(ME))
         append = surv & ((c["curr_n"] == 0) | (sb != c["last_s"]))
         acol = jnp.where(
             append,
             (1 - c["par"]) * CP + jnp.clip(c["curr_n"], 0, CP - 1),
             jnp.int32(2 * CP))
 
-        # ---- buffer writes (pure scalar scatters; trash col = 2*CP)
+        # ---- buffer writes (pure scalar scatters; trash col = 2*CP).
+        # Indices are unique by construction (rows = iota) and row-sorted:
+        # say so, or the scatter lowering pays for collision handling.
         wr_k = jnp.where(push, c["wk"], kb)
-        wr_l = jnp.where(push, c["wl"], lb)
         wr_s = jnp.where(push, c["ws"], sb)
         wr_e = jnp.where(push, c["i"], pe)
         col = jnp.where(push, ccol, acol)
-        bkb = c["bk"].at[rows, col].set(wr_k)
-        blb = c["bl"].at[rows, col].set(wr_l)
-        bsb = c["bs"].at[rows, col].set(wr_s)
-        beb = c["be"].at[rows, col].set(wr_e)
-        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
+        _sc = dict(unique_indices=True, indices_are_sorted=True)
+        bkb = c["bk"].at[rows, col].set(wr_k, **_sc)
+        bsb = c["bs"].at[rows, col].set(wr_s, **_sc)
+        beb = c["be"].at[rows, col].set(wr_e, **_sc)
+        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1), **_sc)
         count = c["count"] + emit.astype(jnp.int32)
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
@@ -1251,11 +1282,16 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         col_next = col_end & (curr_n1 > 0)  # j -= 1, swap buffers
         piv_end = (col_end & (curr_n1 == 0)) | (is_bwd & (c["prev_n"] == 0))
 
+        # ---- slot-cap overflow: kill the lane; the caller reruns it
+        # through the e-table (its buffers no longer hold the full truth)
+        new_ovf = (push & (c["cnt"] >= CP)) | (emit & (c["count"] >= ME))
+        ovf = c["ovf"] | new_ovf
+
         # ---- pivot completion / INIT advance
         x_next = jnp.maximum(c["ex"], x + 1)
         new_x = jnp.where(piv_end, x_next, jnp.where(init_dead, x + 1, x))
         to_done = init_done | (piv_end & bool(has_pivot)) \
-            | (piv_end & (x_next >= qlen))
+            | (piv_end & (x_next >= qlen)) | new_ovf
         to_init = (piv_end & ~to_done) | init_dead
 
         phase_n = jnp.where(seed_ok, jnp.int32(FWD), phase)
@@ -1282,13 +1318,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             wk=jnp.where(seed_ok, k0, jnp.where(growf, kf, c["wk"])),
             wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
             ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
-            bk=bkb, bl=blb, bs=bsb, be=beb,
-            sm_me=sm_me, count=count,
+            bk=bkb, bs=bsb, be=beb,
+            sm_me=sm_me, count=count, ovf=ovf,
             round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return final["sm_me"][:, :L], final["count"], final["round"]
+    return (final["sm_me"][:, :ME], final["count"], final["ovf"],
+            final["round"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))

@@ -426,3 +426,32 @@ def test_pass1_queue_threshold_path(small_index):
     want = pipe._pass1_etable(q, qlen)
     assert got.sorted_tuples(with_interval=True) == \
         want.sorted_tuples(with_interval=True)
+
+
+def test_smem1_slot_overflow_fallback():
+    """Reads over a low-complexity (poly-A) region record one collected
+    interval per forward base — far past the smem1 walk's CP slot cap —
+    so their lanes must flag ovf and reroute through the e-table, with
+    results identical to the pure e-table formulation."""
+    rng = np.random.default_rng(44)
+    ref = rng.integers(0, 4, 4000).astype(np.uint8)
+    ref[1000:1600] = 0  # 600 bp homopolymer
+    idx = build_fmd_index(ref)
+    B, L = 8, 80
+    q = np.zeros((B, L), np.uint8)
+    q[0] = 0                      # pure poly-A: s drops by 1 per step
+    for b in range(1, B):
+        at = int(rng.integers(950, 1500))
+        q[b] = ref[at : at + L]
+    lens = np.full(B, L, np.int32)
+    pipe = FmiPipeline(idx, min_seed_len=19)
+    p1 = pipe.pass1(q, lens)
+    want = pipe._pass1_etable(q, lens)
+    assert p1.sorted_tuples(with_interval=True) == \
+        want.sorted_tuples(with_interval=True)
+    p2 = pipe.pass2(q, lens, p1)
+    pipe_j = FmiPipeline(idx, min_seed_len=19)
+    pipe_j.ENGINE = "jump"
+    q2 = pipe_j.pass2(q, lens, p1)
+    assert p2.sorted_tuples(with_interval=True) == \
+        q2.sorted_tuples(with_interval=True)

@@ -1,11 +1,14 @@
 """Serialized chip probes for the round-2 optimization pass (ONE chip on
 a tunnel: never run two chip jobs concurrently — walls pollute).
 Run directly; prints one line per probe, flushed."""
+import os
 import pickle
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def p(*a):

@@ -80,9 +80,59 @@ def gather_row4(seed):
                               (jnp.int32(seed), jnp.zeros(B, jnp.int32)))[1]
 
 
+def scalar4_unique(seed):
+    """Same as scalar4 but promising unique, row-sorted indices — ours
+    always are (rows = iota), and the default scatter lowering pays for
+    collision handling."""
+    bufs = [jnp.zeros((B, W + 1), jnp.int32) for _ in range(4)]
+
+    def body(c):
+        i, b0, b1, b2, b3 = c
+        col = (rows + i) % W
+        v = rows + i
+        upd = lambda b: b.at[rows, col].set(
+            v, unique_indices=True, indices_are_sorted=True)
+        return (i + 1, upd(b0), upd(b1), upd(b2), upd(b3))
+
+    return jax.lax.while_loop(lambda c: c[0] < ITERS, body,
+                              (jnp.int32(seed), *bufs))[1]
+
+
+def scalar4_flat(seed):
+    """1D scatter into a flattened (B*(W+1),) buffer."""
+    bufs = [jnp.zeros(B * (W + 1), jnp.int32) for _ in range(4)]
+
+    def body(c):
+        i, b0, b1, b2, b3 = c
+        col = rows * (W + 1) + (rows + i) % W
+        v = rows + i
+        upd = lambda b: b.at[col].set(
+            v, unique_indices=True, indices_are_sorted=True)
+        return (i + 1, upd(b0), upd(b1), upd(b2), upd(b3))
+
+    return jax.lax.while_loop(lambda c: c[0] < ITERS, body,
+                              (jnp.int32(seed), *bufs))[1]
+
+
 if __name__ == "__main__":
     for name, fn in [("scatter scalar x4", scalar4), ("scatter row4", row4),
+                     ("scatter unique x4", scalar4_unique),
+                     ("scatter flat x4", scalar4_flat),
                      ("gather scalar x4", gather_scalar4),
                      ("gather row4", gather_row4)]:
         us = timed(fn, 0) * 1e6
         print(f"{name:20s} {us:8.0f} us/iter")
+
+
+def scalar4_w(seed, W2):
+    bufs = [jnp.zeros((B, W2 + 1), jnp.int32) for _ in range(4)]
+
+    def body(c):
+        i, b0, b1, b2, b3 = c
+        col = (rows + i) % W2
+        v = rows + i
+        return (i + 1, b0.at[rows, col].set(v), b1.at[rows, col].set(v),
+                b2.at[rows, col].set(v), b3.at[rows, col].set(v))
+
+    return jax.lax.while_loop(lambda c: c[0] < ITERS, body,
+                              (jnp.int32(seed), *bufs))[1]

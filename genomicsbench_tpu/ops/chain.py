@@ -163,8 +163,14 @@ def _chain_scan(
     *, n_steps, window, max_skip, is_cdna,
 ):
     """All (R, Np) anchor arrays are front-padded with `window` junk columns
-    so the predecessor window of anchor i is the slice [i, i+window)."""
+    so the predecessor window of anchor i is the slice [i, i+window).
+
+    span/sid ship as uint8 (their value ranges) and widen on device;
+    parents return as int16 window deltas — at reference scale the
+    anchor arrays are hundreds of MB and the tunnel link is the wall."""
     R, Np = pos.shape
+    span = span.astype(jnp.int32)
+    sid = sid.astype(jnp.int32)
     W = window
     n_words = W // 32
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -307,7 +313,10 @@ def _chain_scan(
     final, _ = jax.lax.scan(
         step2, init, jnp.arange(-(-n_steps // 2), dtype=jnp.int32)
     )
-    return final["scores"], final["parents"], final["peak"]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, Np), 1) - W
+    d16 = jnp.where(final["parents"] >= 0, idx - final["parents"], 0) \
+        .astype(jnp.int16)
+    return final["scores"], d16, final["peak"]
 
 
 def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
@@ -332,8 +341,8 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
     W = window
     Np = W + N
 
-    def packf(get, fill=0):
-        a = np.full((R, Np), fill, dtype=np.int32)
+    def packf(get, fill=0, dtype=np.int32):
+        a = np.full((R, Np), fill, dtype=dtype)
         for r, c in enumerate(calls):
             a[r, W : W + c.n] = get(c)
         return a
@@ -342,8 +351,10 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
     pos = packf(lambda c: (np.asarray(c.x) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
     rid = packf(lambda c: (np.asarray(c.x) >> u64(32)).astype(np.int32))
     qpos = packf(lambda c: (np.asarray(c.y) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
-    span = packf(lambda c: ((np.asarray(c.y) >> u64(32)) & u64(0xFF)).astype(np.int32))
-    sid = packf(lambda c: ((np.asarray(c.y) >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF)).astype(np.int32))
+    span = packf(lambda c: ((np.asarray(c.y) >> u64(32)) & u64(0xFF))
+                 .astype(np.uint8), dtype=np.uint8)
+    sid = packf(lambda c: ((np.asarray(c.y) >> u64(MM_SEED_SEG_SHIFT))
+                           & u64(0xFF)).astype(np.uint8), dtype=np.uint8)
     st_arr = np.zeros((R, Np), dtype=np.int32)
     for r, st in enumerate(sts):
         st_arr[r, W : W + len(st)] = st
@@ -378,11 +389,15 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
         args = shard_batch(mesh, host_args)
     else:
         args = jax.device_put(host_args)
-    scores, parents, peak = jax.device_get(
+    scores, d16, peak = jax.device_get(
         _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip, is_cdna=is_cdna)
     )
+    d16 = d16[:, W:]
+    parents = np.where(
+        d16 > 0, np.arange(d16.shape[1], dtype=np.int32)[None, :] - d16, -1
+    ).astype(np.int32)
     return ChainBatchResult(
-        scores=scores[:, W:], parents=parents[:, W:], peak_scores=peak[:, W:], n=ns
+        scores=scores[:, W:], parents=parents, peak_scores=peak[:, W:], n=ns
     )
 
 

@@ -439,13 +439,16 @@ def align_batch(graphs, seqs, params: PoaParams):
     n_pad = bucket(max(_graph_n(g) for g in graphs) + 1, 128)
     p_pad = bucket(max(_graph_max_indeg(g) for g in graphs), 2)
     q_pad = bucket(max(len(s) for s in seqs) + 1, 128)
-    base = np.zeros((b, n_pad), np.int32)
-    pred = np.zeros((b, n_pad, p_pad), np.int32)
-    pmask = np.zeros((b, n_pad, p_pad), bool)
-    sink = np.zeros((b, n_pad), bool)
-    n = np.zeros(b, np.int32)
-    seq_a = np.zeros((b, q_pad), np.int32)
-    qlen = np.zeros(b, np.int32)
+    # the window-batch axis buckets too: MSA drivers shrink the active
+    # set as windows finish, and each distinct b recompiled the DP
+    bp = bucket(max(b, 1), 8)
+    base = np.zeros((bp, n_pad), np.int32)
+    pred = np.zeros((bp, n_pad, p_pad), np.int32)
+    pmask = np.zeros((bp, n_pad, p_pad), bool)
+    sink = np.zeros((bp, n_pad), bool)
+    n = np.zeros(bp, np.int32)
+    seq_a = np.zeros((bp, q_pad), np.int32)
+    qlen = np.zeros(bp, np.int32)
     orders = []
     for i, (g, s) in enumerate(zip(graphs, seqs)):
         arrs, order = _graph_export(g, n_pad, p_pad)
@@ -466,7 +469,7 @@ def align_batch(graphs, seqs, params: PoaParams):
     out = [
         _decode_path(orders[i], path[i], int(plen[i]), q_pad + 1) for i in range(b)
     ]
-    return [int(s) for s in score], out
+    return [int(s) for s in score[:b]], out
 
 
 def msa_consensus_batch(windows, params: PoaParams | None = None):

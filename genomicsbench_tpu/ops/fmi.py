@@ -674,8 +674,13 @@ class FmiPipeline:
         mintv = parents.s[sel] + 1
         pq = query[prid]
         plen = qlen[prid]
-        pad = self._pad_batch(len(prid))
-        if pad:  # padding lanes have qlen 0 -> born done, emit nothing
+        # pow2-pad the parent batch (then up to the mesh axis): every
+        # data-dependent parent count otherwise compiles a fresh walk
+        # executable.  Padding lanes have qlen 0 -> born done, emit
+        # nothing.
+        cap = max(128, 1 << (len(prid) - 1).bit_length())
+        pad = (cap - len(prid)) + self._pad_batch(cap)
+        if pad:
             pq = np.concatenate([pq, np.zeros((pad, pq.shape[1]), pq.dtype)])
             plen = np.concatenate([plen, np.zeros(pad, plen.dtype)])
             pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
@@ -1260,17 +1265,18 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             jnp.int32(2 * CP))
 
         # ---- buffer writes (pure scalar scatters; trash col = 2*CP).
-        # Indices are unique by construction (rows = iota) and row-sorted:
-        # say so, or the scatter lowering pays for collision handling.
+        # NOTE: no unique_indices/indices_are_sorted hints — they
+        # measured SLOWER on this chip, and a large-batch run (B=85912)
+        # produced corrupted scatters with them (counted emissions whose
+        # slots were never written); the default lowering is correct.
         wr_k = jnp.where(push, c["wk"], kb)
         wr_s = jnp.where(push, c["ws"], sb)
         wr_e = jnp.where(push, c["i"], pe)
         col = jnp.where(push, ccol, acol)
-        _sc = dict(unique_indices=True, indices_are_sorted=True)
-        bkb = c["bk"].at[rows, col].set(wr_k, **_sc)
-        bsb = c["bs"].at[rows, col].set(wr_s, **_sc)
-        beb = c["be"].at[rows, col].set(wr_e, **_sc)
-        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1), **_sc)
+        bkb = c["bk"].at[rows, col].set(wr_k)
+        bsb = c["bs"].at[rows, col].set(wr_s)
+        beb = c["be"].at[rows, col].set(wr_e)
+        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
         count = c["count"] + emit.astype(jnp.int32)
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
@@ -1358,10 +1364,14 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
     x0 = jnp.where(done0, jnp.int32(L), jnp.zeros(B, jnp.int32))
     ext0 = init_ext(x0)
     assert L < (1 << 15), "read length overflows the packed m/n emit word"
+    # each emission advances x by >= min_len+1, so the per-read emission
+    # count is bounded; a narrow emit plane keeps the per-round scatter
+    # cheap (scatter cost scales with buffer row width on this chip)
+    EM3 = min(L + 1, max(16, L // max(min_len, 1) + 2))
     init = dict(
         x=x0, done=done0,
         count=jnp.zeros(B, jnp.int32),
-        em_mn=jnp.full((B, L + 1), -1, jnp.int32),  # trash col: pure scatter
+        em_mn=jnp.full((B, EM3 + 1), -1, jnp.int32),  # trash col: pure scatter
         ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
         ealive=ext0["alive"], round=jnp.int32(0),
     )
@@ -1380,7 +1390,7 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         nn = jnp.minimum(nn, qlen)
         i_star = jnp.maximum(e_x, x + min_len)
         emit = proc & ~is_n_base & (i_star < jnp.minimum(nn, qlen))
-        slot = jnp.where(emit, jnp.clip(c["count"], 0, L - 1), jnp.int32(L))
+        slot = jnp.where(emit, jnp.clip(c["count"], 0, EM3 - 1), jnp.int32(EM3))
         rows = jnp.arange(B)
         em_mn = c["em_mn"].at[rows, slot].set((i_star << 16) | x)
         count = c["count"] + emit.astype(jnp.int32)
@@ -1416,4 +1426,4 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return final["em_mn"][:, :L], final["count"], final["round"]
+    return final["em_mn"][:, :EM3], final["count"], final["round"]

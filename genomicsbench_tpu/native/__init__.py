@@ -484,3 +484,26 @@ def peak_detector(t1: np.ndarray, t2: np.ndarray, w1: int, w2: int,
     if n < 0:
         raise ValueError("peak buffer overflow")
     return out[:n].tolist()
+
+
+def chain_peak(scores: np.ndarray, parents: np.ndarray,
+               ns: np.ndarray) -> np.ndarray | None:
+    """Rebuild the chain peak-score plane v[] from fetched scores f[] and
+    parents p[] (gbingest.cpp gb_chain_peak): peak[i] = max(f[i],
+    peak[parent[i]]).  Saves fetching 4 bytes/anchor from the device.
+    Returns (R, N) int32, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_peak"):
+        return None
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.gb_chain_peak.restype = None
+    lib.gb_chain_peak.argtypes = [c_i32p, c_i32p, c_i32p,
+                                  ctypes.c_int64, ctypes.c_int64, c_i32p]
+    scores = np.ascontiguousarray(scores, np.int32)
+    parents = np.ascontiguousarray(parents, np.int32)
+    ns = np.ascontiguousarray(ns, np.int32)
+    R, N = scores.shape
+    peak = np.zeros((R, N), np.int32)
+    ip = lambda a: a.ctypes.data_as(c_i32p)
+    lib.gb_chain_peak(ip(scores), ip(parents), ip(ns), R, N, ip(peak))
+    return peak

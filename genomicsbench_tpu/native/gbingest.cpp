@@ -1334,3 +1334,29 @@ int64_t gb_peak_detector(const float* t1, const float* t2, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// chain peak-score reconstruction (mm2 v[] recurrence, host_kernel.cpp's
+// chain_dp peak tracking): peak[i] = parent<0 ? f[i] : max(f[i], peak[parent]).
+// The TPU scan carries peak on device for its own recurrence but does not
+// fetch it (4 bytes/anchor of tunnel traffic at reference scale); this O(n)
+// pass rebuilds it exactly from the fetched scores + parents.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void gb_chain_peak(const int32_t* scores, const int32_t* parents,
+                   const int32_t* ns, int64_t R, int64_t N, int32_t* peak) {
+    for (int64_t r = 0; r < R; r++) {
+        const int32_t* f = scores + r * N;
+        const int32_t* p = parents + r * N;
+        int32_t* v = peak + r * N;
+        int64_t n = ns[r];
+        for (int64_t i = 0; i < n; i++) {
+            int32_t pi = p[i];
+            v[i] = (pi >= 0 && v[pi] > f[i]) ? v[pi] : f[i];
+        }
+    }
+}
+
+}  // extern "C"

@@ -155,22 +155,31 @@ class ChainBatchResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "window", "max_skip", "is_cdna"),
+    static_argnames=("n_steps", "window", "max_skip", "is_cdna", "max_iter"),
 )
 def _chain_scan(
     pos, qpos, span, sid, rid, st, n_anchors, k_limbs, p0, r0,
     patch_dd, patch_delta, max_dist_x, max_dist_y, bw, n_segs,
-    *, n_steps, window, max_skip, is_cdna,
+    *, n_steps, window, max_skip, is_cdna, max_iter=None,
 ):
     """All (R, Np) anchor arrays are front-padded with `window` junk columns
     so the predecessor window of anchor i is the slice [i, i+window).
 
-    span/sid ship as uint8 (their value ranges) and widen on device;
-    parents return as int16 window deltas — at reference scale the
-    anchor arrays are hundreds of MB and the tunnel link is the wall."""
+    span/sid ship as uint8 and rid/qpos as uint16 when their values fit
+    (widened on device); parents return as int16 window deltas — at
+    reference scale the anchor arrays are hundreds of MB and the tunnel
+    link is the wall.
+
+    With `max_iter` set (x-sorted anchors, the minimap2 invariant), the
+    per-anchor window-start plane `st` is not consulted: the two-pointer
+    bound (host_kernel.cpp:56-57) is equivalent to
+    `dr <= max_dist_x && j >= i - max_iter` for sorted x, so the bound is
+    derived on device and `st` ships as an (R, 1) dummy."""
     R, Np = pos.shape
     span = span.astype(jnp.int32)
     sid = sid.astype(jnp.int32)
+    rid = rid.astype(jnp.int32)
+    qpos = qpos.astype(jnp.int32)
     W = window
     n_words = W // 32
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -193,7 +202,6 @@ def _chain_scan(
             return jax.lax.dynamic_slice_in_dim(a, i, W, axis=1)
 
         ri, qi, q_span, sidi, ridi = (cur(a) for a in (pos, qpos, span, sid, rid))
-        st_i = cur(st)
         j_ids = (i - W) + p_ids
         pos_w, qpos_w, span_w, sid_w, rid_w = (
             win(a) for a in (pos, qpos, span, sid, rid)
@@ -205,7 +213,12 @@ def _chain_scan(
         dq = qi[:, None] - qpos_w
         same_sid = sid_w == sidi[:, None]
 
-        valid = (j_ids >= jnp.maximum(st_i[:, None], 0)) & (j_ids >= 0)
+        if max_iter is not None:  # device-derived two-pointer bound
+            valid = (j_ids >= 0) & (j_ids >= i - max_iter)
+            valid &= dr <= max_dist_x[:, None]
+        else:
+            st_i = cur(st)
+            valid = (j_ids >= jnp.maximum(st_i[:, None], 0)) & (j_ids >= 0)
         valid &= same_rid
         valid &= ~((same_sid & (dr == 0)) | (dq <= 0))
         valid &= ~((same_sid & (dq > max_dist_y[:, None])) | (dq > max_dist_x[:, None]))
@@ -316,22 +329,28 @@ def _chain_scan(
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, Np), 1) - W
     d16 = jnp.where(final["parents"] >= 0, idx - final["parents"], 0) \
         .astype(jnp.int16)
-    return final["scores"], d16, final["peak"]
+    # Slice the W-column front pad off on device, and do not return the
+    # peak plane at all: it is exactly reconstructible on the host from
+    # scores+parents (native.chain_peak) at 0 transfer bytes.
+    return final["scores"][:, W:], d16[:, W:]
 
 
-def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
-                max_skip: int = 25, is_cdna: bool = False,
-                mesh=None) -> ChainBatchResult:
-    """Run chain_dp over a list of AnchorCall records, batched on device.
-    With `mesh`, reads (rows) shard over the mesh's "data" axis — the
-    caller must pass a multiple of the axis size; results are identical."""
+def _chain_dispatch(calls, window: int | None, max_iter: int,
+                    max_skip: int, is_cdna: bool, mesh):
+    """Marshal one batch and launch the device scan without blocking;
+    returns (device result, ns, N).  Splitting dispatch from collection
+    lets chain_batch_bucketed overlap bucket k+1's upload with bucket k's
+    kernel on the (bandwidth-bound) device link."""
     R = len(calls)
     ns = np.array([c.n for c in calls], dtype=np.int32)
     N = int(ns.max()) if R else 0
     sts = []
     req_w = 1
+    all_sorted = True
     for c in calls:
         assert c.max_dist_x < (1 << MAX_DD_BITS), "max_dist_x too large"
+        xs = np.asarray(c.x, np.uint64)
+        all_sorted &= bool(np.all(xs[1:] >= xs[:-1]))
         st = compute_window_starts(c.x, c.max_dist_x, max_iter)
         sts.append(st)
         if c.n:
@@ -349,15 +368,26 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
 
     u64 = np.uint64
     pos = packf(lambda c: (np.asarray(c.x) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
-    rid = packf(lambda c: (np.asarray(c.x) >> u64(32)).astype(np.int32))
+    rid = packf(lambda c: (np.asarray(c.x) >> u64(32)).astype(np.int64).astype(np.int32))
     qpos = packf(lambda c: (np.asarray(c.y) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    # rid/qpos ship at the narrowest width their values allow (uint16
+    # covers every real contig count and short-read query length)
+    if R and rid.min() >= 0 and rid.max() < (1 << 16):
+        rid = rid.astype(np.uint16)
+    if R and qpos.min() >= 0 and qpos.max() < (1 << 16):
+        qpos = qpos.astype(np.uint16)
     span = packf(lambda c: ((np.asarray(c.y) >> u64(32)) & u64(0xFF))
                  .astype(np.uint8), dtype=np.uint8)
     sid = packf(lambda c: ((np.asarray(c.y) >> u64(MM_SEED_SEG_SHIFT))
                            & u64(0xFF)).astype(np.uint8), dtype=np.uint8)
-    st_arr = np.zeros((R, Np), dtype=np.int32)
-    for r, st in enumerate(sts):
-        st_arr[r, W : W + len(st)] = st
+    if all_sorted:
+        # x-sorted anchors (the minimap2 invariant): the window-start
+        # bound is derived on device; ship a dummy plane.
+        st_arr = np.zeros((R, 1), dtype=np.int32)
+    else:
+        st_arr = np.zeros((R, Np), dtype=np.int32)
+        for r, st in enumerate(sts):
+            st_arr[r, W : W + len(st)] = st
 
     k_limbs = np.zeros((R, 4), dtype=np.int32)
     p0s = np.zeros((R,), dtype=np.int32)
@@ -389,36 +419,70 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
         args = shard_batch(mesh, host_args)
     else:
         args = jax.device_put(host_args)
-    scores, d16, peak = jax.device_get(
-        _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip, is_cdna=is_cdna)
-    )
-    d16 = d16[:, W:]
+    fut = _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip,
+                      is_cdna=is_cdna, max_iter=(max_iter if all_sorted else None))
+    return fut, ns
+
+
+def _chain_collect(fut, ns) -> ChainBatchResult:
+    scores, d16 = jax.device_get(fut)
     parents = np.where(
         d16 > 0, np.arange(d16.shape[1], dtype=np.int32)[None, :] - d16, -1
     ).astype(np.int32)
-    return ChainBatchResult(
-        scores=scores[:, W:], parents=parents, peak_scores=peak[:, W:], n=ns
-    )
+    from genomicsbench_tpu import native
+
+    peak = native.chain_peak(scores, parents, ns)
+    if peak is None:  # pure-Python fallback (toolchain-less hosts)
+        peak = scores.copy()
+        for r in range(len(ns)):
+            p, v = parents[r], peak[r]
+            for i in range(int(ns[r])):
+                pi = p[i]
+                if pi >= 0 and v[pi] > v[i]:
+                    v[i] = v[pi]
+    return ChainBatchResult(scores=scores, parents=parents,
+                            peak_scores=peak, n=ns)
 
 
-def chain_batch_bucketed(calls, bucket_rows: int = 512, **kwargs):
-    """chain_batch with reads grouped into power-of-two anchor-count
-    buckets: mixed-length workloads pad each read to the batch max, which
-    doubles the (transfer-dominated) upload/fetch bytes on skewed length
-    mixes.  Identical per-read results, original order."""
+def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
+                max_skip: int = 25, is_cdna: bool = False,
+                mesh=None) -> ChainBatchResult:
+    """Run chain_dp over a list of AnchorCall records, batched on device.
+    With `mesh`, reads (rows) shard over the mesh's "data" axis — the
+    caller must pass a multiple of the axis size; results are identical."""
+    fut, ns = _chain_dispatch(calls, window, max_iter, max_skip, is_cdna, mesh)
+    return _chain_collect(fut, ns)
+
+
+def chain_batch_bucketed(calls, bucket_rows: int = 512,
+                         granularity: int = 128, **kwargs):
+    """chain_batch with reads grouped into anchor-count buckets rounded
+    up to `granularity`: mixed-length workloads pad each read to the
+    batch max, which doubles the (transfer-dominated) upload/fetch bytes
+    on skewed length mixes.  All buckets are dispatched before any is
+    collected, so bucket k+1's upload overlaps bucket k's kernel.
+    Identical per-read results, original order."""
     R = len(calls)
     order = sorted(range(R), key=lambda r: calls[r].n)
     groups = {}
     for r in order:
-        cap = max(128, 1 << max(calls[r].n - 1, 0).bit_length())
+        cap = max(granularity, -(-calls[r].n // granularity) * granularity)
         groups.setdefault(cap, []).append(r)
-    out: list = [None] * R
+    pending = []
     for cap, idxs in sorted(groups.items()):
         for off in range(0, len(idxs), bucket_rows):
             part = idxs[off : off + bucket_rows]
-            res = chain_batch([calls[r] for r in part], **kwargs)
-            for j, r in enumerate(part):
-                out[r] = (res.scores[j], res.parents[j], res.peak_scores[j])
+            fut, ns = _chain_dispatch(
+                [calls[r] for r in part],
+                kwargs.get("window"), kwargs.get("max_iter", 5000),
+                kwargs.get("max_skip", 25), kwargs.get("is_cdna", False),
+                kwargs.get("mesh"))
+            pending.append((part, fut, ns))
+    out: list = [None] * R
+    for part, fut, ns_part in pending:
+        res = _chain_collect(fut, ns_part)
+        for j, r in enumerate(part):
+            out[r] = (res.scores[j], res.parents[j], res.peak_scores[j])
     ns = np.array([c.n for c in calls], np.int32)
     N = int(ns.max()) if R else 0
 

@@ -187,9 +187,28 @@ def predict(params, x, cfg: ClairConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _predict_packed(params, x, cfg: ClairConfig):
     """All four heads concatenated into one (B, sum(head_dims)) array so the
-    host fetches one buffer (one tunnel round trip) instead of four."""
+    host fetches one buffer (one tunnel round trip) instead of four.
+    x may arrive in a narrow integer dtype (see _narrow_transport); forward
+    widens it on device — exact, since the values are integral."""
     y = forward(params, x, cfg)
     return jnp.concatenate([y[n] for n in HEAD_NAMES], axis=-1)
+
+
+def _narrow_transport(xs: np.ndarray) -> np.ndarray:
+    """Clair input tensors are integer-valued pileup counts (reference
+    clair/plot_tensor.py:65-68: channel 0 = base counts, channels 1-3 =
+    count deltas), shipped by the reference as float32.  When every value
+    is integral and in int8/int16 range, ship the narrow integer instead:
+    widening to f32 on device is exact, and the (upload-bandwidth-bound)
+    transfer shrinks 4x/2x."""
+    if xs.dtype.kind == "f" and xs.size:
+        lo, hi = xs.min(), xs.max()
+        if np.isfinite(lo) and np.isfinite(hi) and np.all(xs == np.floor(xs)):
+            if -128 <= lo and hi <= 127:
+                return xs.astype(np.int8)
+            if -32768 <= lo and hi <= 32767:
+                return xs.astype(np.int16)
+    return xs
 
 
 def predict_batches(params, batches, cfg: ClairConfig):
@@ -207,7 +226,7 @@ def predict_batches(params, batches, cfg: ClairConfig):
         return []
     sizes = [len(x) for x in batches]
     total = sum(sizes)
-    xs = np.concatenate(batches, axis=0)
+    xs = _narrow_transport(np.concatenate(batches, axis=0))
     # 64k samples per dispatch: big enough to amortize the round trip,
     # small enough that the BiLSTM gate intermediates fit HBM (a single
     # 131k-sample dispatch allocated 17.7 GB and OOMed a 16 GB chip)

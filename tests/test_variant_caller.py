@@ -128,3 +128,29 @@ def test_training_step_reduces_focal_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_narrow_transport_bit_exact(params):
+    """Integer-valued count tensors (the real Clair input, reference
+    clair/plot_tensor.py:65-68) ship int8/int16 and widen on device;
+    predictions must be bit-identical to float32 transport."""
+    rng = np.random.default_rng(5)
+    base = rng.poisson(30.0, (7, CFG.seq_len, CFG.rows, 1))
+    delta = rng.integers(-20, 21, (7, CFG.seq_len, CFG.rows, 3))
+    x = np.concatenate([base, delta], axis=-1).astype(np.float32)
+    assert vc._narrow_transport(x).dtype == np.int8
+    big = x.copy(); big[0, 0, 0, 0] = 300.0
+    assert vc._narrow_transport(big).dtype == np.int16
+    frac = x.copy(); frac[0, 0, 0, 0] = 0.5
+    assert vc._narrow_transport(frac).dtype == np.float32
+
+    out_narrow = vc.predict_batches(params, [x[:4], x[4:]], CFG)
+    patched = vc._narrow_transport
+    vc._narrow_transport = lambda a: a
+    try:
+        out_f32 = vc.predict_batches(params, [x[:4], x[4:]], CFG)
+    finally:
+        vc._narrow_transport = patched
+    for bn, bf in zip(out_narrow, out_f32):
+        for hn, hf in zip(bn, bf):
+            np.testing.assert_array_equal(hn, hf)

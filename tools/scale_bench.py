@@ -517,15 +517,22 @@ def bench_nn_variant(n_tensors=1_000_000):
     cfg = vc.ClairConfig()
     params = vc.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(37)
+
+    def count_tensors(n):
+        # realistic Clair input: integer pileup counts (plot_tensor.py:65-68 —
+        # channel 0 base counts at ~30x coverage, channels 1-3 count deltas),
+        # stored float32 in the h5 files like the reference's
+        base = rng.poisson(30.0, (n, cfg.seq_len, 8, 1))
+        delta = rng.integers(-20, 21, (n, cfg.seq_len, 8, 3))
+        return np.concatenate([base, delta], axis=-1).astype(np.float32)
+
     # process in 128k-tensor slabs (h5 file batching analog)
     slab = 131_072
     done = 0
     wall = 0.0
     while done < n_tensors:
         b = min(slab, n_tensors - done)
-        batches = [rng.standard_normal((1000, cfg.seq_len, 8, 4),
-                                       dtype=np.float32)
-                   for _ in range(-(-b // 1000))]
+        batches = [count_tensors(1000) for _ in range(-(-b // 1000))]
         if done == 0:
             vc.predict_batches(params, batches, cfg)  # warm
         t0 = time.time()

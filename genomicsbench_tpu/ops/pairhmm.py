@@ -103,15 +103,21 @@ def _phmm_scan(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
         )
         X_cur = t_mx[:, None] * M_prev + t_xx[:, None] * X_prev
 
-        # Y recurrence via associative scan: y_j = a*y_{j-1} + b_j,
-        # b_j = my * M_cur[j-1], y_0 (j=0 col) = 0 for i >= 1.
-        b = t_my[:, None] * shift1(M_cur, zero)
-        a = jnp.broadcast_to(t_yy[:, None], (B, H))
-
-        def compose(l, r):
-            return (l[0] * r[0], r[1] + r[0] * l[1])
-
-        _, Y_cur = jax.lax.associative_scan(compose, (a, b), axis=1)
+        # Y recurrence y_j = a*y_{j-1} + b_j (b_j = my * M_cur[j-1], y at
+        # the j=0 col = 0 for i >= 1) has a CONSTANT per-row coefficient
+        # a = yy_i, so instead of a generic associative_scan (which carries
+        # an (a, b) pair through odd/even splits) the closed form
+        # y_j = sum_k a^(j-k) b_k is built by log2(H) doubling rounds,
+        # each one fused multiply-add over (B, H) with a scalar-per-row
+        # power: Y += a^(2^s) * shift(Y, 2^s).
+        Y_cur = t_my[:, None] * shift1(M_cur, zero)
+        p = t_yy
+        sh = 1
+        while sh < H:
+            rolled = jnp.roll(Y_cur, sh, axis=1)
+            Y_cur = Y_cur + p[:, None] * jnp.where(cols >= sh, rolled, 0.0)
+            p = p * p
+            sh *= 2
 
         row_sum = jnp.sum(jnp.where(in_hap, M_cur + X_cur, 0.0), axis=1)
         acc = jnp.where(i + 1 == rslen, row_sum, acc)

@@ -340,6 +340,48 @@ def model_stride(cfg: BasecallerConfig) -> int:
     return s
 
 
+def _batched_posteriors(params, signals, cfg, chunksize, overlap,
+                        batch_size, normalize):
+    """Normalize + chunk EVERY read, run the forward over the flat chunk
+    stream, return per-read (posteriors, sig_len).
+
+    The round-1 loop dispatched one tiny batch per read and fetched it
+    before touching the next read — at 2000 reads that is 2000 serialized
+    tunnel round trips, and the 105 s reference-scale wall was pure
+    dispatch latency (the forward itself runs at 1.2e8 samples/s).  Here
+    every batch is dispatched before any is fetched, so uploads, kernels
+    and fetches of consecutive batches overlap on the link."""
+    sigs, all_chunks = [], []
+    for raw in signals:
+        sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
+        chunks = chunk_signal(sig, chunksize, overlap)
+        if chunks.shape[1] < chunksize:  # short read: one sub-size chunk
+            chunks = np.pad(chunks, ((0, 0), (0, chunksize - chunks.shape[1])))
+        sigs.append(sig)
+        all_chunks.append(chunks)
+    if not sigs:
+        return []
+    counts = [len(c) for c in all_chunks]
+    flat = np.concatenate(all_chunks)
+    futs = []
+    for s in range(0, len(flat), batch_size):
+        cb = flat[s : s + batch_size]
+        # pad each batch to a power of two: the tail batch would otherwise
+        # recompile the whole conv net (expensive on the remote-compile path)
+        bp = max(1, 1 << (len(cb) - 1).bit_length())
+        keep = len(cb)
+        if bp != keep:
+            cb = np.concatenate([cb, np.zeros((bp - keep,) + cb.shape[1:],
+                                              cb.dtype)])
+        futs.append((_forward_jit(params, jnp.asarray(cb), cfg=cfg,
+                                  train=False), keep))
+    posts = np.concatenate([np.exp(np.asarray(lp[:keep], np.float32))
+                            for lp, keep in futs])
+    offs = np.cumsum([0] + counts)
+    return [(posts[offs[i] : offs[i + 1]], len(sigs[i]))
+            for i in range(len(sigs))]
+
+
 def basecall_signals(params, signals, cfg: BasecallerConfig = None,
                      chunksize=6000, overlap=300, beamsize=5,
                      batch_size=64, normalize=True):
@@ -349,25 +391,10 @@ def basecall_signals(params, signals, cfg: BasecallerConfig = None,
     cfg = cfg or BasecallerConfig()
     stride = model_stride(cfg)
     out = []
-    for raw in signals:
-        sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
-        chunks = chunk_signal(sig, chunksize, overlap)
-        posts = []
-        for s in range(0, len(chunks), batch_size):
-            cb = chunks[s : s + batch_size]
-            # pad the chunk batch to a power of two: reads produce variable
-            # chunk counts and every distinct batch shape would recompile
-            # the whole conv net (expensive on the remote-compile path)
-            bp = max(1, 1 << (len(cb) - 1).bit_length())
-            if bp != len(cb):
-                cb = np.concatenate([cb, np.zeros((bp - len(cb),) + cb.shape[1:],
-                                                  cb.dtype)])
-            lp = _forward_jit(params, jnp.asarray(cb), cfg=cfg, train=False)
-            posts.append(np.exp(np.asarray(lp[: len(chunks[s : s + batch_size])],
-                                           np.float32)))
-        posts = np.concatenate(posts)
+    for posts, sig_len in _batched_posteriors(
+            params, signals, cfg, chunksize, overlap, batch_size, normalize):
         stitched = stitch_posteriors(posts, overlap // stride // 2)
-        stitched = stitched[: len(sig) // stride]
+        stitched = stitched[: sig_len // stride]
         if beamsize > 1:
             out.append(beam_search_decode(stitched, beamsize))
         else:
@@ -468,18 +495,8 @@ def basecall_with_quals(params, signals, cfg: BasecallerConfig = None,
     cfg = cfg or BasecallerConfig()
     stride = model_stride(cfg)
     out = []
-    for raw in signals:
-        sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
-        chunks = chunk_signal(sig, chunksize, overlap)
-        posts = []
-        for s in range(0, len(chunks), batch_size):
-            cb = chunks[s : s + batch_size]
-            bp = max(1, 1 << (len(cb) - 1).bit_length())
-            if bp != len(cb):
-                cb = np.concatenate([cb, np.zeros((bp - len(cb),) + cb.shape[1:], cb.dtype)])
-            lp = _forward_jit(params, jnp.asarray(cb), cfg=cfg, train=False)
-            posts.append(np.exp(np.asarray(lp[: len(chunks[s : s + batch_size])], np.float32)))
-        posts = np.concatenate(posts)
+    for posts, sig_len in _batched_posteriors(
+            params, signals, cfg, chunksize, overlap, batch_size, normalize):
         stitched = stitch_posteriors(posts, overlap // stride // 2)
-        out.append(decode_with_quals(stitched[: len(sig) // stride]))
+        out.append(decode_with_quals(stitched[: sig_len // stride]))
     return out

@@ -333,6 +333,15 @@ def beam_search_decode(probs, beamsize=5, threshold=1e-3):
 _forward_jit = jax.jit(forward, static_argnames=("cfg", "train"))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _forward_f16(params, x, cfg):
+    """Inference forward returning float16 log-probs: the fetch buffer is
+    the larger transfer of the basecall loop, and the reference basecaller
+    runs fp16 end-to-end (bonito --half), so half-precision posteriors are
+    the reference-faithful transport."""
+    return forward(params, x, cfg, train=False).astype(jnp.float16)
+
+
 def model_stride(cfg: BasecallerConfig) -> int:
     s = 1
     for b in cfg.blocks:
@@ -362,7 +371,11 @@ def _batched_posteriors(params, signals, cfg, chunksize, overlap,
     if not sigs:
         return []
     counts = [len(c) for c in all_chunks]
-    flat = np.concatenate(all_chunks)
+    # the first conv casts its input to bfloat16, so shipping the chunks
+    # already-bf16 is bit-identical to a float32 upload at half the bytes
+    import ml_dtypes
+
+    flat = np.concatenate(all_chunks).astype(ml_dtypes.bfloat16)
     futs = []
     for s in range(0, len(flat), batch_size):
         cb = flat[s : s + batch_size]
@@ -373,8 +386,7 @@ def _batched_posteriors(params, signals, cfg, chunksize, overlap,
         if bp != keep:
             cb = np.concatenate([cb, np.zeros((bp - keep,) + cb.shape[1:],
                                               cb.dtype)])
-        futs.append((_forward_jit(params, jnp.asarray(cb), cfg=cfg,
-                                  train=False), keep))
+        futs.append((_forward_f16(params, jnp.asarray(cb), cfg), keep))
     posts = np.concatenate([np.exp(np.asarray(lp[:keep], np.float32))
                             for lp, keep in futs])
     offs = np.cumsum([0] + counts)

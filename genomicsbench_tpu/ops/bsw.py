@@ -41,8 +41,9 @@ import numpy as np
 
 from genomicsbench_tpu.config import BswParams
 
-NEG = jnp.int32(-(1 << 30))
-BIG = jnp.int32(1 << 30)
+# np scalars: jnp constants would init the backend at import time
+NEG = np.int32(-(1 << 30))
+BIG = np.int32(1 << 30)
 
 
 @dataclasses.dataclass

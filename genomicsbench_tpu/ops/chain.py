@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-(1 << 30))
+NEG = np.int32(-(1 << 30))  # np scalar: a jnp constant would init the backend at import
 MM_SEED_SEG_SHIFT = 48
 MAX_DD_BITS = 22  # dd <= 2^22 (max_dist_x larger than this is rejected)
 

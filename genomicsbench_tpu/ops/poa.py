@@ -50,7 +50,7 @@ from genomicsbench_tpu.oracle.poa import (
     PoaGraph,
 )
 
-NEG = jnp.int32(-(1 << 29))
+NEG = np.int32(-(1 << 29))  # np scalar: a jnp constant would init the backend at import
 _CLAMP = 1 << 19  # |packed value| bound so value*(Qp+1)+k fits int32
 
 

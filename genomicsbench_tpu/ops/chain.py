@@ -336,21 +336,25 @@ def _chain_scan(
 
 
 def _chain_dispatch(calls, window: int | None, max_iter: int,
-                    max_skip: int, is_cdna: bool, mesh):
+                    max_skip: int, is_cdna: bool, mesh,
+                    force_host_bound: bool = False):
     """Marshal one batch and launch the device scan without blocking;
     returns (device result, ns, N).  Splitting dispatch from collection
     lets chain_batch_bucketed overlap bucket k+1's upload with bucket k's
-    kernel on the (bandwidth-bound) device link."""
+    kernel on the (bandwidth-bound) device link.  force_host_bound pins
+    the host window-start plane even for sorted anchors (the two bound
+    paths must agree there; tests exercise the equivalence)."""
     R = len(calls)
     ns = np.array([c.n for c in calls], dtype=np.int32)
     N = int(ns.max()) if R else 0
     sts = []
     req_w = 1
-    all_sorted = True
+    all_sorted = not force_host_bound
     for c in calls:
         assert c.max_dist_x < (1 << MAX_DD_BITS), "max_dist_x too large"
         xs = np.asarray(c.x, np.uint64)
-        all_sorted &= bool(np.all(xs[1:] >= xs[:-1]))
+        if all_sorted:
+            all_sorted = bool(np.all(xs[1:] >= xs[:-1]))
         st = compute_window_starts(c.x, c.max_dist_x, max_iter)
         sts.append(st)
         if c.n:

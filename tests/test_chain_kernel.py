@@ -99,3 +99,22 @@ def test_bucketed_matches_plain():
         np.testing.assert_array_equal(a.parents[r, : c.n], b.parents[r, : c.n])
         np.testing.assert_array_equal(a.peak_scores[r, : c.n],
                                       b.peak_scores[r, : c.n])
+
+
+def test_sorted_bound_paths_agree():
+    """For x-sorted anchors the device-derived two-pointer bound
+    (dr <= max_dist_x AND j >= i - max_iter) must reproduce the host
+    window-start plane exactly (host_kernel.cpp:56-57 equivalence)."""
+    import genomicsbench_tpu.ops.chain as ch
+
+    calls, _ = load_chain_golden()
+    dev = ch._chain_collect(*ch._chain_dispatch(
+        calls, None, 5000, 25, False, None))
+    host = ch._chain_collect(*ch._chain_dispatch(
+        calls, None, 5000, 25, False, None, force_host_bound=True))
+    for r, c in enumerate(calls):
+        n = c.n
+        np.testing.assert_array_equal(dev.scores[r][:n], host.scores[r][:n])
+        np.testing.assert_array_equal(dev.parents[r][:n], host.parents[r][:n])
+        np.testing.assert_array_equal(dev.peak_scores[r][:n],
+                                      host.peak_scores[r][:n])

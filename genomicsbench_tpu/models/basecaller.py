@@ -230,20 +230,23 @@ def norm_by_noisiest_section(signal, samples=100, threshold=6.0):
     thr = signal.std() / threshold
     n_win = signal.shape[0] // samples
     noise = np.ones(signal.shape, np.int8)
-    for idx in range(n_win):
-        w = slice(idx * samples, (idx + 1) * samples)
-        noise[w] = 1 if signal[w].std() > thr else 0
+    if n_win:  # all window stds in one axis reduction (this ran as a
+        # Python loop per window, and with the 20k-element run scan below
+        # cost more host time than the beam decode at reference scale)
+        wstd = signal[: n_win * samples].reshape(n_win, samples).std(axis=1)
+        noise[: n_win * samples] = np.repeat((wstd > thr).astype(np.int8),
+                                             samples)
     noise[0] = 0
     noise[-1] = 0
-    # longest run of 1s
-    best_len, best_l, cur_l = 0, 0, None
-    for i, v in enumerate(noise):
-        if v and cur_l is None:
-            cur_l = i
-        elif not v and cur_l is not None:
-            if i - cur_l > best_len:
-                best_len, best_l = i - cur_l, cur_l
-            cur_l = None
+    # longest run of 1s; first-of-max ties like the scalar scan it replaces
+    d = np.diff(noise)
+    starts = np.nonzero(d == 1)[0] + 1   # noise[0] == 0: every run has a start
+    ends = np.nonzero(d == -1)[0] + 1    # noise[-1] == 0: ... and an end
+    if len(starts):
+        i = int(np.argmax(ends - starts))
+        best_len, best_l = int(ends[i] - starts[i]), int(starts[i])
+    else:
+        best_len, best_l = 0, 0
     if best_len:
         med, mad = med_mad(signal[best_l - 1 : best_l + best_len + 1])
     else:

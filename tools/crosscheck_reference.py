@@ -94,15 +94,28 @@ def crosscheck_chain(rng, n_reads=24):
     from genomicsbench_tpu.ops.chain import chain_batch
 
     calls, lines = [], []
-    for _ in range(n_reads):
+    for ri in range(n_reads):
         nn = int(rng.integers(50, 400))
-        xs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
+        # workload diversity: per-read gap params, multi-contig rid mixes,
+        # duplicate positions (dr == 0 ties), dense anchor clusters
+        mdx = int(rng.choice([100, 900, 5000, 25000]))
+        mdy = int(rng.choice([100, 5000]))
+        bw = int(rng.choice([50, 500]))
+        span_px = int(rng.integers(0, 60000)) if ri % 3 == 0 else 50000
+        xs = np.sort(rng.integers(0, span_px + 1, nn)).astype(np.uint64)
+        if ri % 4 == 0:  # force duplicate x runs
+            xs[nn // 3 : nn // 3 + 5] = xs[nn // 3]
+            xs = np.sort(xs)
+        rid = (rng.integers(0, 3, nn).astype(np.uint64) << np.uint64(32)) \
+            if ri % 5 == 0 else np.uint64(0)
+        xs = np.sort(xs | rid)
         qs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
         span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
         avg = round(float(rng.uniform(10, 20)), 4)
         calls.append(AnchorCall(x=xs, y=qs | span, avg_qspan=avg,
-                                max_dist_x=5000, max_dist_y=5000, bw=500, n_segs=1))
-        lines.append(f"{nn} {avg} 5000 5000 500 1")
+                                max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                                n_segs=1))
+        lines.append(f"{nn} {avg} {mdx} {mdy} {bw} 1")
         for x, y in zip(xs, qs | span):
             lines.append(f"{int(x)} {int(y)}")
     open(TMP + "_chain.in", "w").write("\n".join(lines) + "\n")
@@ -113,9 +126,10 @@ def crosscheck_chain(rng, n_reads=24):
     pos = 0
     for r, c in enumerate(calls):
         for i in range(c.n):
-            s, p = int(toks[pos]), int(toks[pos + 1])
-            pos += 3  # score parent peak
-            assert s == res.scores[r, i] and p == res.parents[r, i], (r, i)
+            s, p, v = int(toks[pos]), int(toks[pos + 1]), int(toks[pos + 2])
+            pos += 3
+            assert s == res.scores[r, i] and p == res.parents[r, i] \
+                and v == res.peak_scores[r, i], (r, i)
         assert toks[pos] == "EOR"
         pos += 1
     total = sum(c.n for c in calls)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -424,6 +425,11 @@ class FmiPipeline:
         self.split_width = split_width
         self.max_mem_intv = max_mem_intv
         self.split_len = int(min_seed_len * split_factor + 0.499)
+        # cumulative per-phase walls (device_get inside each pass makes
+        # these meaningful); scale benches report them so regressions in
+        # one pass are visible without a profiler
+        self.phase_s = {"pass1": 0.0, "pass2": 0.0, "pass3": 0.0,
+                        "spans": 0.0}
         # with a mesh, read batches shard over its "data" axis (the index
         # tables replicate) and the jump kernels compile SPMD -- the
         # multi-chip analog of fmi.cpp's dynamic OpenMP batch loop.
@@ -564,11 +570,13 @@ class FmiPipeline:
         extension path; min_intv floor 0 so the walk runs exactly to e)."""
         if len(rid) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        t0 = time.perf_counter()
         e_, k_, s_ = self._extend(
             query[rid], qlen[rid], m.astype(np.int32),
             np.zeros(len(rid), np.int32), e.astype(np.int32),
             steps=int((e - m).max()),
         )
+        self.phase_s["spans"] += time.perf_counter() - t0
         return k_, s_
 
     @staticmethod
@@ -795,9 +803,17 @@ class FmiPipeline:
 
     def run(self, query, qlen):
         """All three passes; returns (pass1, pass2, pass3, total_count)."""
+        t0 = time.perf_counter()
         p1 = self.pass1(query, qlen)
+        t1 = time.perf_counter()
         p2 = self.pass2(query, qlen, p1)
+        t2 = time.perf_counter()
         p3 = self.pass3(query, qlen)
+        t3 = time.perf_counter()
+        sp = self.phase_s
+        sp["pass1"] += t1 - t0   # includes its span re-extension ("spans")
+        sp["pass2"] += t2 - t1
+        sp["pass3"] += t3 - t2
         return p1, p2, p3, p1.count + p2.count + p3.count
 
 

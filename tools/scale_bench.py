@@ -409,6 +409,9 @@ def bench_fmi(n_reads=1_000_000, batch=65_536):
         _p1, _p2, _p3, tot = pipe.run(q, np.full(b, L, np.int32))
         total_smems += tot
         done += b
+        print(f"# fmi {done}/{n_reads} phases="
+              f"{ {k: round(v, 1) for k, v in pipe.phase_s.items()} }",
+              flush=True)
     wall = time.time() - t0
     record(workload="fmi", n_reads=n_reads, read_len=L, index_mb=100,
            batch=batch, wall_s=round(wall, 2),

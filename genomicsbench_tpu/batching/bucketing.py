@@ -26,13 +26,16 @@ def bucket_by_length(
     *,
     multiple: int | tuple = 128,
     sort_by: int = 0,
+    order=None,
 ) -> list[Bucket]:
     """Group items into fixed-size batches of similar length.
 
     `lengths` is one array (n,) or a tuple of arrays for multi-axis items
     (e.g. (tlen, qlen) for alignment pairs).  Items are sorted by the
-    `sort_by` axis (cost proxy), chopped into `batch_size` groups, and each
-    group's pad sizes are the per-axis max rounded up to `multiple`.
+    `sort_by` axis (cost proxy) — or by a caller-supplied `order`
+    permutation (e.g. a lexsort over (pad class, cost)) — chopped into
+    `batch_size` groups, and each group's pad sizes are the per-axis max
+    rounded up to `multiple`.
 
     This is the TPU replacement for dynamic work scheduling: instead of
     stealing variable-size work, we make the work uniform.
@@ -43,7 +46,8 @@ def bucket_by_length(
     n = len(lengths[0])
     if isinstance(multiple, int):
         multiple = (multiple,) * len(lengths)
-    order = np.argsort(lengths[sort_by], kind="stable")
+    if order is None:
+        order = np.argsort(lengths[sort_by], kind="stable")
     buckets = []
     for s in range(0, n, batch_size):
         idx = order[s : s + batch_size]

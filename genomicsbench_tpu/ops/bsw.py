@@ -267,8 +267,14 @@ class BswScorer:
     HBM and `score` covers bucket dispatch + device compute + result fetch.
     """
 
-    def __init__(self, batch, params: BswParams = BswParams(), batch_size: int = 2048,
-                 multiple=None):
+    def __init__(self, batch, params: BswParams = BswParams(),
+                 batch_size: int | None = None, multiple=None):
+        if batch_size is None:
+            # smaller buckets pad tighter (0.538 -> 0.613 slot efficiency at
+            # 512 on the bench mix) but double the program count; 2048 is
+            # the measured sweet spot on the tunneled chip.  Env override
+            # for A/B on directly-attached hardware.
+            batch_size = int(os.environ.get("GENOMICSBENCH_BSW_BATCH", "2048"))
         from genomicsbench_tpu.batching.bucketing import bucket_by_length
 
         self.params = params
@@ -285,9 +291,21 @@ class BswScorer:
                 multiple = (64, 128)
             else:
                 multiple = (256, 256)  # typically one program total
+        # The kernel occupies qlen+1 lane columns (the eh[end] write-back),
+        # and the VPU pads the lane axis to physical 128-multiples — so a
+        # qlen padded to exactly 128 silently costs 256 lanes.  Group pairs
+        # by their true lane class (roundup(qlen+1, 128) lanes) first, and
+        # by tlen (the scan length) within a class; the Q pad is then set
+        # to fill its lane class exactly (Q = class*128 - 1).
+        qcls = -(-(np.asarray(batch.qlen) + 1) // 128)
+        order = np.lexsort((np.asarray(batch.tlen), qcls))
         self.buckets = bucket_by_length(
-            (batch.tlen, batch.qlen), batch_size, multiple=multiple, sort_by=0
+            (batch.tlen, batch.qlen), batch_size, multiple=multiple,
+            order=order,
         )
+        for b in self.buckets:
+            T, _ = b.pad_sizes
+            b.pad_sizes = (T, int(qcls[b.indices].max()) * 128 - 1)
         idx_list = []
         for b in self.buckets:
             idx = np.zeros(batch_size, dtype=np.int32)

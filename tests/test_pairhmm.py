@@ -113,3 +113,24 @@ def test_forward_scaled_many_matches_per_pair():
         finally:
             orc._lfilter = lf
         assert g == want or abs(g - want) <= 1e-300 or g == pytest.approx(want, rel=1e-15)
+
+
+def test_bucketed_equals_global_padding():
+    """Lane-class bucketing must not change any likelihood: padding is
+    masked out of the recurrence and the harvest fires at rslen."""
+    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch
+
+    rng = np.random.default_rng(31)
+    reads, haps, pairs = [], [], []
+    for i in range(40):
+        R = int(rng.integers(5, 100))
+        H = int(rng.integers(60, 400))
+        mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
+        reads.append(dict(bases=rng.integers(0, 4, R).astype(np.uint8),
+                          q=mk(6, 61), i=mk(30, 51), d=mk(30, 51),
+                          c=mk(8, 13)))
+        haps.append(rng.integers(0, 4, H).astype(np.uint8))
+        pairs.append((i, i))
+    a = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=16)
+    b = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=10_000)
+    np.testing.assert_array_equal(a, b)

@@ -78,6 +78,21 @@ def _roll1(x):
     return jnp.roll(x, 1, axis=1)
 
 
+def _scan_lane_cummax(x, js, Qp):
+    """Running max along the lane axis (lax.scan backend; the Pallas
+    backend has its own `_lane_cummax`).  Default: lax.cummax (one XLA op).
+    GENOMICSBENCH_BSW_CUMMAX=doubling switches to explicit log2(Qp)
+    masked-roll rounds — an A/B handle for how XLA lowers the scan op on
+    the VPU (results identical: max is associative/commutative)."""
+    if os.environ.get("GENOMICSBENCH_BSW_CUMMAX") != "doubling":
+        return jax.lax.cummax(x, axis=1)
+    sh = 1
+    while sh < Qp:
+        x = jnp.maximum(x, jnp.where(js >= sh, jnp.roll(x, sh, axis=1), NEG))
+        sh *= 2
+    return x
+
+
 def _bsw_core(
     query, target, qlen, tlen, h0, w_eff, mat,
     *, t_steps, o_del, e_del, o_ins, e_ins, zdrop,
@@ -157,7 +172,7 @@ def _bsw_core(
 
         # F(i, c) via max-plus prefix (see module docstring).
         A = jnp.where(in_band, jnp.maximum(Mx - oe_ins, 0), NEG)
-        cm = jax.lax.cummax(A + js * e_ins, axis=1)
+        cm = _scan_lane_cummax(A + js * e_ins, js, Qp)
         F = _roll1(cm) - (js - 1) * e_ins
         F = jnp.where(js == bcol, 0, F)
 

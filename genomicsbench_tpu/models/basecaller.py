@@ -333,9 +333,6 @@ def beam_search_decode(probs, beamsize=5, threshold=1e-3):
     return "".join(CTC_LABELS[s] for s in best)
 
 
-_forward_jit = jax.jit(forward, static_argnames=("cfg", "train"))
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _forward_f16(params, x, cfg):
     """Inference forward returning float16 log-probs: the fetch buffer is
@@ -366,35 +363,54 @@ def _batched_posteriors(params, signals, cfg, chunksize, overlap,
     sigs, all_chunks = [], []
     for raw in signals:
         sig = norm_by_noisiest_section(raw) if normalize else np.asarray(raw, np.float32)
-        chunks = chunk_signal(sig, chunksize, overlap)
-        if chunks.shape[1] < chunksize:  # short read: one sub-size chunk
-            chunks = np.pad(chunks, ((0, 0), (0, chunksize - chunks.shape[1])))
         sigs.append(sig)
-        all_chunks.append(chunks)
+        all_chunks.append(chunk_signal(sig, chunksize, overlap))
     if not sigs:
         return []
-    counts = [len(c) for c in all_chunks]
     # the first conv casts its input to bfloat16, so shipping the chunks
     # already-bf16 is bit-identical to a float32 upload at half the bytes
     import ml_dtypes
 
-    flat = np.concatenate(all_chunks).astype(ml_dtypes.bfloat16)
-    futs = []
-    for s in range(0, len(flat), batch_size):
-        cb = flat[s : s + batch_size]
-        # pad each batch to a power of two: the tail batch would otherwise
-        # recompile the whole conv net (expensive on the remote-compile path)
-        bp = max(1, 1 << (len(cb) - 1).bit_length())
-        keep = len(cb)
-        if bp != keep:
-            cb = np.concatenate([cb, np.zeros((bp - keep,) + cb.shape[1:],
-                                              cb.dtype)])
-        futs.append((_forward_f16(params, jnp.asarray(cb), cfg), keep))
-    posts = np.concatenate([np.exp(np.asarray(lp[:keep], np.float32))
-                            for lp, keep in futs])
-    offs = np.cumsum([0] + counts)
-    return [(posts[offs[i] : offs[i + 1]], len(sigs[i]))
-            for i in range(len(sigs))]
+    bf16 = ml_dtypes.bfloat16
+    futs = []  # (read_index, unfetched device log-probs, rows to keep)
+
+    def dispatch(rows, ridxs):
+        bp = max(1, 1 << (len(rows) - 1).bit_length())
+        keep = len(rows)
+        if bp != keep:  # pad each batch to a power of two: the tail batch
+            # would otherwise recompile the whole conv net
+            rows = np.concatenate([rows, np.zeros((bp - keep,) + rows.shape[1:],
+                                                  rows.dtype)])
+        futs.append((ridxs, _forward_f16(params, jnp.asarray(rows), cfg), keep))
+
+    # full-size chunks batch across reads; short reads (sig < chunksize)
+    # run at their natural length like the reference (basecall.py:295-304
+    # feeds them unpadded), grouped by identical length to share dispatches
+    pend_rows, pend_ridx = [], []
+    short_groups: dict = {}
+    for i, chunks in enumerate(all_chunks):
+        if chunks.shape[1] < chunksize:
+            short_groups.setdefault(chunks.shape[1], []).append(i)
+            continue
+        for c in chunks:
+            pend_rows.append(c)
+            pend_ridx.append(i)
+            if len(pend_rows) == batch_size:
+                dispatch(np.asarray(pend_rows, bf16), pend_ridx)
+                pend_rows, pend_ridx = [], []
+    if pend_rows:
+        dispatch(np.asarray(pend_rows, bf16), pend_ridx)
+    for L, idxs in sorted(short_groups.items()):
+        for s in range(0, len(idxs), batch_size):
+            part = idxs[s : s + batch_size]
+            dispatch(np.asarray([all_chunks[i][0] for i in part], bf16), part)
+
+    per_read: dict = {i: [] for i in range(len(sigs))}
+    for ridxs, fut, keep in futs:  # all dispatched above; fetch here
+        lp = np.exp(np.asarray(fut[:keep], np.float32))
+        for j, i in enumerate(ridxs):
+            per_read[i].append(lp[j])
+    return [(np.stack(per_read[i]), len(sigs[i])) for i in range(len(sigs))]
 
 
 def basecall_signals(params, signals, cfg: BasecallerConfig = None,

@@ -78,13 +78,20 @@ def _roll1(x):
     return jnp.roll(x, 1, axis=1)
 
 
-def _scan_lane_cummax(x, js, Qp):
+def _cummax_mode() -> str:
+    """Read the A/B env at CALL time so it participates in the jit key
+    (reading it inside the traced body would freeze the first value into
+    every cached executable of that shape)."""
+    return os.environ.get("GENOMICSBENCH_BSW_CUMMAX", "lax")
+
+
+def _scan_lane_cummax(x, js, Qp, mode):
     """Running max along the lane axis (lax.scan backend; the Pallas
-    backend has its own `_lane_cummax`).  Default: lax.cummax (one XLA op).
-    GENOMICSBENCH_BSW_CUMMAX=doubling switches to explicit log2(Qp)
-    masked-roll rounds — an A/B handle for how XLA lowers the scan op on
-    the VPU (results identical: max is associative/commutative)."""
-    if os.environ.get("GENOMICSBENCH_BSW_CUMMAX") != "doubling":
+    backend has its own `_lane_cummax`).  mode "lax": lax.cummax (one XLA
+    op).  mode "doubling": explicit log2(Qp) masked-roll rounds — an A/B
+    handle for how XLA lowers the scan op on the VPU (results identical:
+    max is associative/commutative)."""
+    if mode != "doubling":
         return jax.lax.cummax(x, axis=1)
     sh = 1
     while sh < Qp:
@@ -95,7 +102,7 @@ def _scan_lane_cummax(x, js, Qp):
 
 def _bsw_core(
     query, target, qlen, tlen, h0, w_eff, mat,
-    *, t_steps, o_del, e_del, o_ins, e_ins, zdrop,
+    *, t_steps, o_del, e_del, o_ins, e_ins, zdrop, cummax="lax",
 ):
     """query (B,Q) u8; target (B,T) u8; scalars (B,) i32; mat (5,5) i32.
 
@@ -172,7 +179,7 @@ def _bsw_core(
 
         # F(i, c) via max-plus prefix (see module docstring).
         A = jnp.where(in_band, jnp.maximum(Mx - oe_ins, 0), NEG)
-        cm = _scan_lane_cummax(A + js * e_ins, js, Qp)
+        cm = _scan_lane_cummax(A + js * e_ins, js, Qp, cummax)
         F = _roll1(cm) - (js - 1) * e_ins
         F = jnp.where(js == bcol, 0, F)
 
@@ -269,7 +276,9 @@ def _bsw_core(
 
 
 _bsw_scan = functools.partial(
-    jax.jit, static_argnames=("t_steps", "o_del", "e_del", "o_ins", "e_ins", "zdrop")
+    jax.jit,
+    static_argnames=("t_steps", "o_del", "e_del", "o_ins", "e_ins", "zdrop",
+                     "cummax"),
 )(_bsw_core)
 
 
@@ -364,6 +373,7 @@ class BswScorer:
                 *self.dev, idx, self.mat, t_steps=T, q_width=Q,
                 o_del=p.o_del, e_del=p.e_del,
                 o_ins=p.o_ins, e_ins=p.e_ins, zdrop=p.zdrop,
+                cummax=_cummax_mode(),
             )
             pending.append((b, outs))
         fetched = jax.device_get([o for _, o in pending])  # one bulk D2H fetch
@@ -378,7 +388,7 @@ class BswScorer:
 def banded_sw_pairs(
     batch,
     params: BswParams = BswParams(),
-    batch_size: int = 2048,
+    batch_size: int | None = None,
 ) -> BswBatchResult:
     """Score a PairBatch (io.pairs) with length bucketing; results are
     returned in the original pair order — the device-side equivalent of the
@@ -388,11 +398,12 @@ def banded_sw_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_steps", "q_width", "o_del", "e_del", "o_ins", "e_ins", "zdrop"),
+    static_argnames=("t_steps", "q_width", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "cummax"),
 )
 def _bsw_gather_scan(
     query_all, target_all, qlen_all, tlen_all, h0_all, w_all, idx, mat,
-    *, t_steps, q_width, o_del, e_del, o_ins, e_ins, zdrop,
+    *, t_steps, q_width, o_del, e_del, o_ins, e_ins, zdrop, cummax="lax",
 ):
     """Gather one bucket's rows on-device, then run the scan."""
     query = jnp.take(query_all, idx, axis=0)[:, :q_width]
@@ -404,7 +415,7 @@ def _bsw_gather_scan(
         jnp.take(qlen_all, idx), jnp.take(tlen_all, idx),
         jnp.take(h0_all, idx), jnp.take(w_all, idx), mat,
         t_steps=t_steps, o_del=o_del, e_del=e_del,
-        o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
+        o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, cummax=cummax,
     )
 
 
@@ -428,6 +439,7 @@ def banded_sw_batch(
         t_steps=t_steps,
         o_del=params.o_del, e_del=params.e_del,
         o_ins=params.o_ins, e_ins=params.e_ins, zdrop=params.zdrop,
+        cummax=_cummax_mode(),
     )
     score, qle, tle, gtle, gscore, max_off = (np.asarray(o) for o in outs)
     return BswBatchResult(score, qle, tle, gtle, gscore, max_off)

@@ -339,7 +339,7 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
                     max_skip: int, is_cdna: bool, mesh,
                     force_host_bound: bool = False):
     """Marshal one batch and launch the device scan without blocking;
-    returns (device result, ns, N).  Splitting dispatch from collection
+    returns (unfetched device result, ns).  Splitting dispatch from collection
     lets chain_batch_bucketed overlap bucket k+1's upload with bucket k's
     kernel on the (bandwidth-bound) device link.  force_host_bound pins
     the host window-start plane even for sorted anchors (the two bound
@@ -459,7 +459,9 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
 
 
 def chain_batch_bucketed(calls, bucket_rows: int = 512,
-                         granularity: int = 128, **kwargs):
+                         granularity: int = 128, window: int | None = None,
+                         max_iter: int = 5000, max_skip: int = 25,
+                         is_cdna: bool = False, mesh=None):
     """chain_batch with reads grouped into anchor-count buckets rounded
     up to `granularity`: mixed-length workloads pad each read to the
     batch max, which doubles the (transfer-dominated) upload/fetch bytes
@@ -478,9 +480,7 @@ def chain_batch_bucketed(calls, bucket_rows: int = 512,
             part = idxs[off : off + bucket_rows]
             fut, ns = _chain_dispatch(
                 [calls[r] for r in part],
-                kwargs.get("window"), kwargs.get("max_iter", 5000),
-                kwargs.get("max_skip", 25), kwargs.get("is_cdna", False),
-                kwargs.get("mesh"))
+                window, max_iter, max_skip, is_cdna, mesh)
             pending.append((part, fut, ns))
     out: list = [None] * R
     for part, fut, ns_part in pending:

@@ -374,7 +374,18 @@ def _extend_lanes_run(
             alive=ok,
         ), None
 
-    final, _ = jax.lax.scan(step, state, None, length=steps)
+    # while_loop, not scan: once every lane is dead the chunk costs ~0, so
+    # the host compaction loop can use a long chunk (fewer alive-bitmap
+    # round trips over the tunnel) without stepping dead tails
+    def cond(carry):
+        i, c = carry
+        return (i < steps) & jnp.any(c["alive"])
+
+    def body(carry):
+        i, c = carry
+        return i + 1, step(c, None)[0]
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return final
 
 

@@ -85,6 +85,13 @@ def _grm_scan(packed3, maf2):
     return num, den
 
 
+@jax.jit
+def _grm_tril(num, den, rr, cc):
+    """Elementwise GRM finish + lower-triangle gather, all on device."""
+    out = num / jnp.maximum(den, 1.0)
+    return out[rr, cc], den[rr, cc]
+
+
 def grm(geno: np.ndarray, maf: float = 0.01, block: int = 2048):
     """geno (M, N) uint8: 0/1/2 dosage of the counted allele, 3 = missing.
 
@@ -107,13 +114,23 @@ def grm(geno: np.ndarray, maf: float = 0.01, block: int = 2048):
               | (q[..., 3] << 6)).astype(np.uint8)
     maf_all = np.zeros(Mp, bool)
     maf_all[:M] = maf_ok
-    num, den = jax.device_get(_grm_scan(
+    num_d, den_d = _grm_scan(
         jnp.asarray(packed.reshape(n_blocks, block, Nb // 4)),
         jnp.asarray(maf_all.reshape(n_blocks, block)),
-    ))
-    num, den = num[:N, :N], den[:N, :N]
-    out = num / np.maximum(den, 1.0)
-    return out.astype(np.float32), den.astype(np.float32)
+    )
+    # divide on device and fetch only the lower triangle (what plink's
+    # .grm.bin holds anyway): the (N, N) planes are the larger transfer of
+    # this workload and the matrix is symmetric
+    rr, cc = np.tril_indices(N)
+    tri_o, tri_d = jax.device_get(_grm_tril(
+        num_d, den_d, jnp.asarray(rr, jnp.int32), jnp.asarray(cc, jnp.int32)))
+    out = np.zeros((N, N), np.float32)
+    nobs = np.zeros((N, N), np.float32)
+    out[rr, cc] = tri_o
+    out[cc, rr] = tri_o
+    nobs[rr, cc] = tri_d
+    nobs[cc, rr] = tri_d
+    return out, nobs
 
 
 def grm_oracle(geno: np.ndarray, maf: float = 0.01):

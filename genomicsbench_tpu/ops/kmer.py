@@ -554,8 +554,28 @@ def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _count_stats_device(seq, lengths, *, k):
+def pack_codes_2bit(seq_codes: np.ndarray):
+    """Host-side 4-codes-per-byte packing for upload (codes must be 0..3;
+    the k-mer representation is 2-bit, so anything else was already out of
+    contract).  The read stream is the workload's dominant upload."""
+    B, L = seq_codes.shape
+    L4 = -(-L // 4) * 4
+    q = np.zeros((B, L4), np.uint8)
+    q[:, :L] = seq_codes
+    q = q.reshape(B, L4 // 4, 4)
+    return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+            | (q[..., 3] << 6)).astype(np.uint8)
+
+
+def _unpack_codes_2bit(packed, L):
+    s = packed.astype(jnp.uint8)
+    parts = [(s >> np.uint8(2 * j)) & np.uint8(3) for j in range(4)]
+    return jnp.stack(parts, axis=2).reshape(packed.shape[0], -1)[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L"))
+def _count_stats_device(packed, lengths, *, k, L):
+    seq = _unpack_codes_2bit(packed, L)
     km, _ = _canonical_kmers(seq, lengths, k=k)
     s = jnp.sort(km.reshape(-1))
     valid = s != SENTINEL
@@ -569,8 +589,12 @@ def count_kmers_stats(seq_codes: np.ndarray, lengths: np.ndarray, k: int):
     """(unique, total) canonical k-mer counts with NOTHING but two scalars
     leaving the device — the whole-table fetch in count_kmers dominates on
     slow host links when only the summary is needed (the kmer-cnt binary
-    prints exactly this, kmer_cnt.cpp:243-248)."""
+    prints exactly this, kmer_cnt.cpp:243-248).  Reads upload 2-bit packed
+    (4x fewer bytes) and unpack on device — exact for 0..3 codes."""
+    seq_codes = np.asarray(seq_codes)
     u, t = _count_stats_device(
-        jnp.asarray(seq_codes), jnp.asarray(np.asarray(lengths, np.int32)), k=k
+        jnp.asarray(pack_codes_2bit(seq_codes)),
+        jnp.asarray(np.asarray(lengths, np.int32)),
+        k=k, L=seq_codes.shape[1],
     )
     return int(u), int(t)

@@ -28,8 +28,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

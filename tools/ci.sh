@@ -30,8 +30,17 @@ import __graft_entry__ as g
 g.dryrun_multichip(8)")
 
 if [ "${SKIP_BENCH:-0}" != 1 ]; then
-    echo "===== [5/5] bench ====="
-    python bench.py
+    # the tunneled chip goes unreachable for hours at a time; probe first
+    # so a dead tunnel fails the gate fast instead of hanging it
+    if timeout 180 python -c "
+import jax, jax.numpy as jnp
+jax.device_get(jnp.ones((8,8)).sum())" >/dev/null 2>&1; then
+        echo "===== [5/5] bench ====="
+        python bench.py
+    else
+        echo "===== [5/5] bench: SKIPPED (chip tunnel unreachable; rerun with a live chip)"
+        exit 2
+    fi
 else
     echo "===== [5/5] bench: SKIPPED (SKIP_BENCH=1) ====="
 fi

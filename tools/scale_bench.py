@@ -170,6 +170,21 @@ def bench_kmer(total_mb=250):
             "repeat_kmer_rate=100\nassemble_kmer_sample=1\n")
         ref_wall = ref_time([bin_path, path, cfg, str(k), "count"])
         ref_rate = sub * L / ref_wall
+    # the reference binary's other mode (kmer_cnt.cpp:228-232): the
+    # minimizer index, at a 50 Mb subset (the host assembly of per-kmer
+    # position lists is the bound, not the device pass)
+    sub_n = max(1, n_reads // 5)
+    from genomicsbench_tpu.ops.kmer import build_index_minimizers
+
+    build_index_minimizers(seq[:64], lens[:64], k=k, window=5)  # warm
+    t0 = time.time()
+    idx = build_index_minimizers(seq[:sub_n], lens[:sub_n], k=k, window=5)
+    wall_idx = time.time() - t0
+    record(workload="kmer-minimizer-index", total_bases=float(sub_n * L),
+           k=k, window=5, wall_s=round(wall_idx, 2),
+           bases_per_s=round(sub_n * L / wall_idx, -6),
+           n_index_kmers=int(len(idx.kmers)))
+
     record(workload="kmer-cnt", total_bases=total_bases, k=k,
            wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
            unique=uniq, total=tot,

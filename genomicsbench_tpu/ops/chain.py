@@ -97,6 +97,7 @@ def compute_window_starts(x: np.ndarray, max_dist_x: int, max_iter: int) -> np.n
     return out
 
 
+@functools.lru_cache(maxsize=4096)
 def lin_constants(avg_qspan: float, max_dd: int, max_patches: int = 1 << 20):
     """Per-call constants for the exact gap-cost path.
 
@@ -347,12 +348,13 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
     R = len(calls)
     ns = np.array([c.n for c in calls], dtype=np.int32)
     N = int(ns.max()) if R else 0
+    xs_list = [np.asarray(c.x, np.uint64) for c in calls]
+    ys_list = [np.asarray(c.y, np.uint64) for c in calls]
     sts = []
     req_w = 1
     all_sorted = not force_host_bound
-    for c in calls:
+    for c, xs in zip(calls, xs_list):
         assert c.max_dist_x < (1 << MAX_DD_BITS), "max_dist_x too large"
-        xs = np.asarray(c.x, np.uint64)
         if all_sorted:
             all_sorted = bool(np.all(xs[1:] >= xs[:-1]))
         st = compute_window_starts(c.x, c.max_dist_x, max_iter)
@@ -364,26 +366,37 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
     W = window
     Np = W + N
 
-    def packf(get, fill=0, dtype=np.int32):
+    # one flat pass over all anchors, then a single fancy scatter per
+    # plane — per-call row loops with repeated x/y conversions dominated
+    # the host marshal at reference scale
+    flat_x = np.concatenate(xs_list) if R else np.zeros(0, np.uint64)
+    flat_y = np.concatenate(ys_list) if R else np.zeros(0, np.uint64)
+    row_idx = np.repeat(np.arange(R), ns)
+    col_cum = np.cumsum(ns.astype(np.float64)).astype(np.int64)
+    col_idx = W + (np.arange(len(flat_x), dtype=np.int64)
+                   - np.repeat(col_cum - ns, ns))
+
+    def plane(vals, fill=0, dtype=np.int32):
         a = np.full((R, Np), fill, dtype=dtype)
-        for r, c in enumerate(calls):
-            a[r, W : W + c.n] = get(c)
+        a[row_idx, col_idx] = vals
         return a
 
     u64 = np.uint64
-    pos = packf(lambda c: (np.asarray(c.x) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
-    rid = packf(lambda c: (np.asarray(c.x) >> u64(32)).astype(np.int64).astype(np.int32))
-    qpos = packf(lambda c: (np.asarray(c.y) & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    pos = plane((flat_x & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    rid_f = (flat_x >> u64(32)).astype(np.int64).astype(np.int32)
+    qpos_f = (flat_y & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
     # rid/qpos ship at the narrowest width their values allow (uint16
     # covers every real contig count and short-read query length)
-    if R and rid.min() >= 0 and rid.max() < (1 << 16):
-        rid = rid.astype(np.uint16)
-    if R and qpos.min() >= 0 and qpos.max() < (1 << 16):
-        qpos = qpos.astype(np.uint16)
-    span = packf(lambda c: ((np.asarray(c.y) >> u64(32)) & u64(0xFF))
-                 .astype(np.uint8), dtype=np.uint8)
-    sid = packf(lambda c: ((np.asarray(c.y) >> u64(MM_SEED_SEG_SHIFT))
-                           & u64(0xFF)).astype(np.uint8), dtype=np.uint8)
+    rid_fits = len(rid_f) == 0 or (rid_f.min() >= 0 and rid_f.max() < (1 << 16))
+    qpos_fits = len(qpos_f) == 0 or (qpos_f.min() >= 0 and qpos_f.max() < (1 << 16))
+    rid = plane(rid_f.astype(np.uint16) if rid_fits else rid_f,
+                dtype=np.uint16 if rid_fits else np.int32)
+    qpos = plane(qpos_f.astype(np.uint16) if qpos_fits else qpos_f,
+                 dtype=np.uint16 if qpos_fits else np.int32)
+    span = plane(((flat_y >> u64(32)) & u64(0xFF)).astype(np.uint8),
+                 dtype=np.uint8)
+    sid = plane(((flat_y >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF))
+                .astype(np.uint8), dtype=np.uint8)
     if all_sorted:
         # x-sorted anchors (the minimap2 invariant): the window-start
         # bound is derived on device; ship a dummy plane.

@@ -1115,7 +1115,10 @@ int64_t gb_sais(const uint8_t* s, int64_t n, int32_t K, int32_t* out) {
 // ---------------------------------------------------------------------------
 
 namespace {
-struct PrefixNode { int32_t parent; int32_t symbol; };
+// child[s-1] holds the node id reached by appending symbol s (1..8) —
+// direct slots instead of a hash map: the alphabet is tiny and the child
+// lookup sits in the innermost per-beam loop.
+struct PrefixNode { int32_t parent; int32_t symbol; int32_t child[8]; };
 }
 
 extern "C" {
@@ -1125,15 +1128,19 @@ extern "C" {
 int64_t gb_ctc_beam_search(const float* probs, int64_t T, int32_t L,
                            int32_t beamsize, float threshold,
                            int32_t* out_seq, int64_t out_cap) {
+    if (L > 9) return -1;  // 8 non-blank symbols max (nanopore uses 4)
     std::vector<PrefixNode> tree;
-    tree.push_back({-1, -1});  // root = empty prefix
+    tree.push_back({-1, -1, {-1, -1, -1, -1, -1, -1, -1, -1}});
     struct Beam { int32_t node; double pb, pnb; };
     std::vector<Beam> beams{{0, 1.0, 0.0}};
 
     struct Cand { int32_t node; double pb, pnb; };
     std::vector<Cand> cands;
-    std::vector<std::pair<int64_t, int32_t>> edge_cache;  // (node, cand idx)
-    std::unordered_map<int64_t, int32_t> children;        // (node<<8|sym) -> node
+    // per-frame node -> candidate index, generation-stamped (O(1) merge
+    // instead of a linear edge-cache scan per add)
+    std::vector<int32_t> cand_of;   // grows with the tree
+    std::vector<int32_t> cand_gen;
+    int32_t gen = 0;
 
     bool pending_blank_run = false;
     for (int64_t t = 0; t < T; t++) {
@@ -1147,21 +1154,27 @@ int64_t gb_ctc_beam_search(const float* probs, int64_t T, int32_t L,
         }
 
         cands.clear();
-        edge_cache.clear();
+        gen++;
+        if (cand_of.size() < tree.size() + 64) {
+            cand_of.resize(tree.size() + 256, -1);
+            cand_gen.resize(tree.size() + 256, 0);
+        }
         auto add = [&](int32_t node, double pb, double pnb) {
-            for (auto& ec : edge_cache) {
-                if (ec.first == node) { cands[ec.second].pb += pb; cands[ec.second].pnb += pnb; return; }
+            if (cand_gen[node] == gen) {
+                Cand& c = cands[cand_of[node]];
+                c.pb += pb; c.pnb += pnb; return;
             }
-            edge_cache.push_back({node, (int32_t)cands.size()});
+            cand_gen[node] = gen;
+            cand_of[node] = (int32_t)cands.size();
             cands.push_back({node, pb, pnb});
         };
         auto child = [&](int32_t node, int32_t sym) -> int32_t {
-            int64_t key = ((int64_t)node << 8) | sym;
-            auto it = children.find(key);
-            if (it != children.end()) return it->second;
-            tree.push_back({node, sym});
+            int32_t c = tree[node].child[sym - 1];
+            if (c >= 0) return c;
+            PrefixNode nn{node, sym, {-1, -1, -1, -1, -1, -1, -1, -1}};
+            tree.push_back(nn);
             int32_t id = (int32_t)tree.size() - 1;
-            children.emplace(key, id);
+            tree[node].child[sym - 1] = id;
             return id;
         };
 

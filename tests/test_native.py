@@ -260,3 +260,27 @@ def test_ctc_beam_search_matches_python():
         finally:
             native.available = avail
         assert got == want, trial
+
+
+def test_chain_peak_matches_recurrence():
+    """gb_chain_peak must reproduce peak[i] = max(f[i], peak[parent[i]])."""
+    from genomicsbench_tpu import native
+
+    rng = np.random.default_rng(9)
+    R, N = 4, 50
+    scores = rng.integers(0, 1000, (R, N)).astype(np.int32)
+    parents = np.full((R, N), -1, np.int32)
+    for r in range(R):
+        for i in range(1, N):
+            if rng.random() < 0.7:
+                parents[r, i] = rng.integers(0, i)
+    ns = np.array([N, N - 7, 1, 0], np.int32)
+    got = native.chain_peak(scores, parents, ns)
+    if got is None:
+        pytest.skip("native library unavailable")
+    want = np.zeros((R, N), np.int32)
+    for r in range(R):
+        for i in range(int(ns[r])):
+            p = parents[r, i]
+            want[r, i] = scores[r, i] if p < 0 else max(scores[r, i], want[r, p])
+    np.testing.assert_array_equal(got[:, : N], want)

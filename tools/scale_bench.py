@@ -34,6 +34,11 @@ SCRATCH = "/tmp/gb_scale"
 
 
 def record(**kw):
+    # SCALE_SUFFIX=-chr lets a bigger variant of a workload land as its own
+    # row (e.g. `SCALE_SUFFIX=-chr python tools/scale_bench.py dbg 50`)
+    sfx = os.environ.get("SCALE_SUFFIX")
+    if sfx:
+        kw["workload"] = kw["workload"] + sfx
     os.makedirs(SCRATCH, exist_ok=True)
     rows = []
     if os.path.exists(OUT):

@@ -127,16 +127,23 @@ def bench_chain(n_reads=10_000):
     checksum = int(sum(int(np.asarray(r, np.int64).sum())
                        for r in res.scores))
 
-    ref_wall = None
+    ref_wall = ref_kernel = None
     bin_path = f"{REFBUILD}/chain_gold"
     if os.path.exists(bin_path):
         path = f"{SCRATCH}/chain_{n_reads}.in"
         open(path, "w").write("\n".join(lines) + "\n")
-        ref_wall = ref_time([bin_path, path])
+        t0 = time.time()
+        pr = subprocess.run([bin_path, path, "-q"], capture_output=True,
+                            text=True, check=True)
+        ref_wall = time.time() - t0
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):
+                ref_kernel = float(ln.split()[1])
     record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
            wall_s=round(wall, 2),
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
+           ref_1t_kernel_s=(round(ref_kernel, 2) if ref_kernel else None),
            ref_1t_anchors_per_s=(round(n_anchors / ref_wall, -3)
                                  if ref_wall else None),
            speedup_vs_ref_1t=(round(ref_wall / wall, 1) if ref_wall else None))

@@ -52,3 +52,11 @@ echo "built $OUT/kmer_gold"
 g++ -O2 -I"$HERE/ref_drivers/dbg_stub" -I"$REF/benchmarks/dbg" \
     "$HERE/ref_drivers/dbg_gold.cpp" -fopenmp -o "$OUT/dbg_gold"
 echo "built $OUT/dbg_gold"
+
+# the REAL reference bsw binary (AVX2 vector kernel, the canonical
+# run-cpu.sh:30 baseline) — bench.py re-measures it live when present
+g++ -DSORT_PAIRS -DENABLE_PREFETCH -DBWA_OTHER_ELE=0 -O3 -std=c++11 \
+    -fopenmp -mavx2 \
+    "$REF/benchmarks/bsw/main_banded.cpp" \
+    "$REF/benchmarks/bsw/bandedSWA.cpp" -o "$OUT/bsw_ref"
+echo "built $OUT/bsw_ref"

@@ -32,3 +32,66 @@ def test_host_batch_bounds_cover():
     for lo, hi in spans:
         covered.extend(range(lo, hi))
     assert covered == list(range(11))
+
+
+def test_real_two_process_distributed_psum(tmp_path):
+    """Spawn TWO actual processes with jax.distributed over the CPU
+    backend: init via init_multihost, build the global mesh, and psum a
+    per-process value across hosts — the end-to-end §5.8 path, not a
+    simulation."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    prog = r"""
+import os, sys
+sys.path.insert(0, os.environ["GB_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from genomicsbench_tpu.parallel.multihost import (
+    global_mesh, host_shard, init_multihost)
+assert init_multihost() is True
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+mesh = global_mesh()
+assert mesh.devices.size == jax.device_count()
+pid = jax.process_index()
+
+def f(_):
+    return jax.lax.psum(jnp.float32(pid + 1), "data")
+
+got = jax.shard_map(
+    f, mesh=mesh, in_specs=P("data"), out_specs=P(),
+    check_vma=False)(jnp.zeros((jax.device_count(),), jnp.float32))
+# 2 procs x 2 local devices: psum over 4 shards = 2*(1) + 2*(2) = 6
+assert float(np.asarray(jax.device_get(got))) == 6.0, got
+assert host_shard(list(range(10))) == list(range(10))[pid::2]
+print(f"PROC{pid}_OK")
+"""
+    import os as _os
+
+    env_base = dict(_os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "GB_REPO": str(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__)))),
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "NUM_PROCESSES": "2",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", prog], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (pid, out[-500:], err[-2000:])
+        assert f"PROC{pid}_OK" in out, (pid, out, err[-500:])

@@ -697,18 +697,29 @@ int64_t gb_pileup_events(
                 prev_aligned = true;
             } else if (op == 1) {  // I
                 int64_t anchor = rp - 1;
-                if (prev_aligned && anchor >= start && anchor < end &&
-                    anchor >= pos[r]) {
-                    for (int64_t i = 0; i < ln; i++) {
-                        uint8_t b = sq[qp + i];
-                        if (b > 3) continue;
-                        if (!count_only) {
-                            out_pos[n_ev] = (int32_t)anchor;
-                            out_j[n_ev] = (int32_t)(i + 1);
-                            out_feat[n_ev] = b + strand_add;
-                            out_q[n_ev] = ql[qp + i];
+                if (anchor >= start && anchor < end && anchor >= pos[r]) {
+                    // width-only marker: the reference max_ins counts
+                    // p->indel even on deletion/refskip anchors and for
+                    // ambiguity-code bases (medaka_counts.c:364-367)
+                    if (!count_only) {
+                        out_pos[n_ev] = (int32_t)anchor;
+                        out_j[n_ev] = (int32_t)ln;
+                        out_feat[n_ev] = -1;
+                        out_q[n_ev] = 0;
+                    }
+                    n_ev++;
+                    if (prev_aligned) {
+                        for (int64_t i = 0; i < ln; i++) {
+                            uint8_t b = sq[qp + i];
+                            if (b > 3) continue;
+                            if (!count_only) {
+                                out_pos[n_ev] = (int32_t)anchor;
+                                out_j[n_ev] = (int32_t)(i + 1);
+                                out_feat[n_ev] = b + strand_add;
+                                out_q[n_ev] = ql[qp + i];
+                            }
+                            n_ev++;
                         }
-                        n_ev++;
                     }
                 }
                 qp += ln;

@@ -80,20 +80,30 @@ def _read_events(rec, start, end, num_homop):
             prev_aligned = True
         elif op == "I":
             anchor = rp - 1
-            # mpileup anchors insertions at the preceding ref position; the
-            # counting loop only follows them from non-deletion anchors
-            # (medaka_counts.c:417-424 is_del branch drops p->indel)
-            if prev_aligned and start <= anchor < end and anchor >= rec.pos:
-                base = rec.seq[qp : qp + ln]
-                sel = base <= 3
-                if sel.any():
-                    idx = np.nonzero(sel)[0]
-                    ps.append(np.full(len(idx), anchor, np.int64))
-                    js.append(idx + 1)
-                    fs.append(base[idx].astype(np.int64) + (0 if rev else 4))
-                    qs.append(rec.qual[qp + idx].astype(np.int64) if has_q
-                              else np.zeros(len(idx), np.int64))
-                    qx.append(qp + idx)
+            # mpileup anchors insertions at the preceding ref-consuming
+            # column.  The reference's max_ins loop (medaka_counts.c:364-367)
+            # counts p->indel REGARDLESS of the anchor being a deletion/
+            # refskip column or the inserted bases being ambiguity codes, so
+            # the minor columns exist even when no count lands in them; a
+            # width-only marker (feature -1) records that.  Counted events
+            # (417-424) come only from aligned anchors and A/C/G/T bases.
+            if anchor >= rec.pos and start <= anchor < end:
+                ps.append(np.array([anchor], np.int64))
+                js.append(np.array([ln], np.int64))
+                fs.append(np.array([-1], np.int64))
+                qs.append(np.zeros(1, np.int64))
+                qx.append(np.full(1, -1, np.int64))
+                if prev_aligned:
+                    base = rec.seq[qp : qp + ln]
+                    sel = base <= 3
+                    if sel.any():
+                        idx = np.nonzero(sel)[0]
+                        ps.append(np.full(len(idx), anchor, np.int64))
+                        js.append(idx + 1)
+                        fs.append(base[idx].astype(np.int64) + (0 if rev else 4))
+                        qs.append(rec.qual[qp + idx].astype(np.int64) if has_q
+                                  else np.zeros(len(idx), np.int64))
+                        qx.append(qp + idx)
             # an insertion does not change what the "previous" aligned op was
             qp += ln
         elif op == "D":
@@ -200,10 +210,17 @@ def _events_soa(soa, hit, start, end):
         js.append(np.zeros(int(sel.sum()), np.int64))
         fs.append(base[sel] + sadd[sel])
         qs.append(soa["quals"][seqi[sel]].astype(np.int64))
-    # insertions: anchored at the preceding ref position, only from aligned
-    # anchors inside the region (medaka_counts.c:417-424)
-    im = (code == 1) & prev_alg & (ref_off >= 1) \
-        & (rp - 1 >= start) & (rp - 1 < end)
+    # insertions: width-only markers (feature -1) for EVERY anchored
+    # insertion (the reference's max_ins counts p->indel even on deletion/
+    # refskip anchors and for ambiguity-code bases, medaka_counts.c:364-367);
+    # counted events only from aligned anchors and A/C/G/T bases (417-424)
+    iw = (code == 1) & (ref_off >= 1) & (rp - 1 >= start) & (rp - 1 < end)
+    if iw.any():
+        ps.append(rp[iw] - 1)
+        js.append(ln[iw])
+        fs.append(np.full(int(iw.sum()), -1, np.int64))
+        qs.append(np.zeros(int(iw.sum()), np.int64))
+    im = iw & prev_alg
     if im.any():
         anchor, seqi, sadd, k = expand(im)
         anchor = anchor - 1
@@ -258,6 +275,8 @@ def pileup_counts(
 
     plane = FEATLEN * num_dtypes * num_homop
     covered_arr = np.zeros(max(end - start, 0), bool)
+    max_ins_pre = np.zeros(max(end - start, 0), np.int64)
+    FILTERED = 4 | 256 | 512 | 1024 | 2048  # UNMAP SECONDARY QCFAIL DUP SUPPL
     events = []
     wb_events = []  # (pos, j, base_feature_index, fractions)
     used_soa = False
@@ -268,7 +287,8 @@ def pileup_counts(
         try:
             cov_diff = np.zeros(len(covered_arr) + 1, np.int64)
             for soa, _buf, hit in bam.fetch_soa_chunks(chrom, start, end):
-                hit = hit[soa["mapq"][hit] >= min_mapq]
+                hit = hit[(soa["mapq"][hit] >= min_mapq)
+                          & ((soa["flag"][hit] & FILTERED) == 0)]
                 if not len(hit):
                     continue
                 from genomicsbench_tpu import native
@@ -277,6 +297,14 @@ def pileup_counts(
                 if got is None:
                     got = _events_soa(soa, hit, start, end)
                 pos_a, j_a, feat_a, q_a = got  # int32 until the key stage
+                wm = feat_a < 0  # width-only insertion markers
+                if wm.any():
+                    covered_arr[pos_a[wm].astype(np.int64) - start] = True
+                    np.maximum.at(max_ins_pre,
+                                  pos_a[wm].astype(np.int64) - start,
+                                  j_a[wm].astype(np.int64))
+                    pos_a, j_a, feat_a, q_a = (
+                        pos_a[~wm], j_a[~wm], feat_a[~wm], q_a[~wm])
                 if len(pos_a):
                     if num_homop > 1:
                         enc = feat_a + FEATLEN * np.where(
@@ -296,12 +324,18 @@ def pileup_counts(
             events = []
             covered_arr[:] = False
     for rec in ([] if used_soa else bam.fetch(chrom, start, end)):
-        if rec.mapq < min_mapq or rec.is_unmapped:
+        if rec.mapq < min_mapq or (rec.flag & FILTERED):
             continue
         dtype = dtype_of(rec) if dtype_of else 0
         wl = rec.get_array_tag("WL") if weibull_summation else None
         wk = rec.get_array_tag("WK") if weibull_summation else None
         pos_a, j_a, feat_a, q_a, qx_a = _read_events(rec, start, end, num_homop)
+        wm = feat_a < 0  # width-only insertion markers
+        if wm.any():
+            covered_arr[pos_a[wm] - start] = True
+            np.maximum.at(max_ins_pre, pos_a[wm] - start, j_a[wm])
+            pos_a, j_a, feat_a, q_a, qx_a = (
+                pos_a[~wm], j_a[~wm], feat_a[~wm], q_a[~wm], qx_a[~wm])
         if len(pos_a) == 0:
             pass
         else:
@@ -345,7 +379,7 @@ def pileup_counts(
 
     # max insertion per covered position: only insertion events (j > 0)
     # matter, so the slow scatter-max runs over that small subset
-    max_ins_arr = np.zeros(max(end - start, 0), np.int64)
+    max_ins_arr = max_ins_pre
     if len(ev_pos):
         covered_arr[ev_pos - start] = True
         ins = np.nonzero(ev_j)[0]

@@ -83,12 +83,18 @@ class TestPileup:
         assert res.matrix[2, REV_DEL] == 1
         assert res.matrix[3, 1] == 1               # c (rev)
 
-    def test_insertion_after_deletion_dropped(self):
-        # medaka's is_del branch drops p->indel: insertions anchored at a
-        # deleted position are not counted
+    def test_insertion_after_deletion_empty_columns(self):
+        # htslib attaches the insertion to the last deletion column
+        # (is_del); medaka's is_del branch then skips counting it — but its
+        # max_ins loop (medaka_counts.c:364-367) still counts p->indel, so
+        # the minor columns EXIST with zero counts.  Verified against the
+        # compiled reference binary (crosscheck_pileup).
         r = mk_rec("x", 5, [("M", 1), ("D", 1), ("I", 2), ("M", 1)], [0, 1, 2, 3])
         res = pileup_counts(mk_bam([r]), "chr1:6-8")
-        assert (res.minor == 0).all()  # no minor columns opened
+        # deletion column at pos 6 carries minors 0..2, all empty
+        del_cols = res.major == 6
+        assert list(res.minor[del_cols]) == [0, 1, 2]
+        assert res.matrix[del_cols & (res.minor > 0)].sum() == 0
         assert res.matrix[:, 5].sum() == 0  # inserted C never counted
 
     def test_mapq_filter_and_gaps(self):

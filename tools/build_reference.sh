@@ -60,3 +60,15 @@ g++ -DSORT_PAIRS -DENABLE_PREFETCH -DBWA_OTHER_ELE=0 -O3 -std=c++11 \
     "$REF/benchmarks/bsw/main_banded.cpp" \
     "$REF/benchmarks/bsw/bandedSWA.cpp" -o "$OUT/bsw_ref"
 echo "built $OUT/bsw_ref"
+
+# the reference pileup benchmark (medaka_counts.c), compiled against a
+# minimal self-written htslib-compatible shim (htslib submodule is empty;
+# tools/ref_drivers/htslib_shim) — PRINT_OUTPUT on for golden diffs
+gcc -O2 -DPRINT_OUTPUT -fopenmp \
+    -I"$HERE/ref_drivers/htslib_shim" -I"$REF/benchmarks/pileup" \
+    "$REF/benchmarks/pileup/medaka_counts.c" \
+    "$REF/benchmarks/pileup/medaka_common.c" \
+    "$REF/benchmarks/pileup/medaka_bamiter.c" \
+    "$HERE/ref_drivers/htslib_shim/sam_shim.c" \
+    -o "$OUT/pileup_gold" -lz -lm
+echo "built $OUT/pileup_gold"

@@ -383,6 +383,88 @@ def crosscheck_abea(rng, n_cases=16):
           f"bit-exact vs reference binary")
 
 
+
+
+def crosscheck_pileup(rng, n_reads=150, ref_len=2000):
+    """Fresh random BAM through the COMPILED reference pileup benchmark
+    (medaka_counts.c built against tools/ref_drivers/htslib_shim) vs
+    ops/pileup.pileup_counts: major/minor columns and the full
+    quality-stratified counts matrix, bit-exact.  Workload exercises
+    indels, soft clips, reverse strands, flag/mapq filtering, region
+    edges, insertion-after-deletion columns."""
+    from genomicsbench_tpu.io.bam import BamFile, BamRecord, write_bam
+    from genomicsbench_tpu.ops.pileup import pileup_counts, FEATLEN
+
+    bin_path = f"{REFBUILD}/pileup_gold"
+    if not os.path.exists(bin_path):
+        print("pileup: reference binary absent; skipped")
+        return
+    records = []
+    for i in range(n_reads):
+        pos = int(rng.integers(0, ref_len - 100))
+        n = int(rng.integers(30, 120))
+        seq = rng.integers(0, 5, n).astype(np.uint8)  # incl. ambiguous N
+        cig = []
+        left = n
+        if rng.random() < 0.2:
+            sc = int(rng.integers(1, min(8, left - 10)))
+            cig.append(("S", sc)); left -= sc
+        while left > 0:
+            m = int(min(left, rng.integers(4, 25)))
+            cig.append(("M", m)); left -= m
+            if left > 4:
+                r = rng.random()
+                if r < 0.25:
+                    ins = int(rng.integers(1, 4)); cig.append(("I", ins)); left -= ins
+                elif r < 0.5:
+                    d = int(rng.integers(1, 4)); cig.append(("D", d))
+                    if left > 4 and rng.random() < 0.3:  # ins right after del
+                        ins = int(rng.integers(1, 3)); cig.append(("I", ins)); left -= ins
+        if cig[-1][0] != "M":  # end on an aligned base
+            cig.append(("M", 1)); left = -1
+        used = sum(l for op, l in cig if op in ("M", "I", "S"))
+        if used > n:
+            continue
+        if used < n:
+            cig.append(("M", n - used))
+        flag = 0
+        if rng.random() < 0.5:
+            flag |= 16
+        r2 = rng.random()
+        if r2 < 0.06:
+            flag |= 1024      # duplicate: must be filtered
+        elif r2 < 0.12:
+            flag |= 256       # secondary: filtered
+        mapq = 0 if rng.random() < 0.1 else int(rng.integers(1, 61))
+        records.append(BamRecord(
+            name=f"r{i}", flag=flag, ref_id=0, pos=pos, mapq=mapq,
+            cigar=cig, seq=seq,
+            qual=rng.integers(0, 50, n).astype(np.uint8)))
+    records.sort(key=lambda r: r.pos)
+    bam = BamFile(header_text="@HD\tVN:1.6\n", ref_names=["ctg1"],
+                  ref_lens=[ref_len], records=records)
+    path = TMP + "_pileup.bam"
+    write_bam(path, bam)
+    region = f"ctg1:1-{ref_len}"
+    out = subprocess.run([bin_path, path, region, "1"],
+                         capture_output=True, text=True, check=True)
+    rows = []
+    for line in out.stdout.splitlines():
+        if not line or line.startswith("pos") or line.startswith("pileup is"):
+            continue
+        rows.append([int(t) for t in line.split()])
+    exp = np.array(rows, np.int64)
+    num_homop = 5
+    res = pileup_counts(bam, region, num_homop=num_homop)
+    got = np.concatenate(
+        [res.major[:, None], res.minor[:, None], res.matrix,
+         res.matrix.sum(1, keepdims=True)], axis=1)
+    assert exp.shape == got.shape, (exp.shape, got.shape)
+    assert np.array_equal(exp, got),         f"first mismatch at row {np.argwhere(exp != got)[0]}"
+    print(f"pileup: {len(records)} fresh reads / {len(rows)} columns "
+          f"bit-exact vs reference binary (htslib-shim build)")
+
+
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
     print(f"seed = {seed}")
@@ -392,4 +474,5 @@ if __name__ == "__main__":
     crosscheck_abea(rng)
     crosscheck_kmer(rng)
     crosscheck_dbg(rng)
+    crosscheck_pileup(rng)
     print("ALL CROSS-CHECKS PASSED")

@@ -507,3 +507,68 @@ def chain_peak(scores: np.ndarray, parents: np.ndarray,
     ip = lambda a: a.ctypes.data_as(c_i32p)
     lib.gb_chain_peak(ip(scores), ip(parents), ip(ns), R, N, ip(peak))
     return peak
+
+
+def pileup_matrix(chunks, start: int, end: int, num_homop: int):
+    """Full-native pileup accumulation over pre-fetched SoA chunks
+    (gb_pileup_extents + gb_pileup_accumulate): the matrix cells increment
+    in place during the cigar walk — no materialized event arrays, no
+    whole-matrix bincount.  Returns (matrix int32 (n_cols, plane), major,
+    minor) or None if the native library lacks the kernels."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_pileup_extents"):
+        return None
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    ip64 = lambda a: a.ctypes.data_as(c_i64p)
+    ip32 = lambda a: a.ctypes.data_as(c_i32p)
+    c_u32p = ctypes.POINTER(ctypes.c_uint32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p, i64p, i64 = (ctypes.POINTER(ctypes.c_int32),
+                       ctypes.POINTER(ctypes.c_int64), ctypes.c_int64)
+    lib.gb_pileup_extents.restype = None
+    lib.gb_pileup_extents.argtypes = [
+        i32p, i32p, i32p, i64p, c_u32p, i64p, i64, i64, i64, i32p, i64p]
+    lib.gb_pileup_accumulate.restype = None
+    lib.gb_pileup_accumulate.argtypes = [
+        i32p, i32p, i32p, i64p, c_u32p, i64p, c_u8p, c_u8p,
+        i64p, i64, i64, i64, ctypes.c_int32, i64p, i32p]
+
+    span = max(end - start, 0)
+    max_ins = np.zeros(span, np.int32)
+    cov_diff = np.zeros(span + 1, np.int64)
+    prepped = []
+    for soa, hit in chunks:
+        hit64 = np.ascontiguousarray(hit, np.int64)
+        args = (
+            ip32(soa["pos"]), ip32(soa["flag"]), ip32(soa["n_cig"]),
+            ip64(soa["cig_off"]),
+            soa["cigars"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ip64(soa["seq_off"]), _u8p(soa["seqs"]), _u8p(soa["quals"]),
+            ip64(hit64), len(hit64), start, end,
+        )
+        prepped.append((soa, hit64, args))
+        lib.gb_pileup_extents(*args[:4], args[4], args[8], args[9],
+                              args[10], args[11], ip32(max_ins),
+                              ip64(cov_diff))
+    covered = np.cumsum(cov_diff[:-1]) > 0
+    covered |= max_ins > 0
+    if not covered.any():
+        z = np.zeros(0, np.int64)
+        return np.zeros((0, 10 * num_homop), np.int32), z, z
+    positions = np.nonzero(covered)[0].astype(np.int64) + start
+    widths = max_ins[covered].astype(np.int64) + 1
+    wcum = np.cumsum(widths.astype(np.float64)).astype(np.int64)
+    n_cols = int(wcum[-1])
+    starts_cols = wcum - widths
+    major = np.repeat(positions, widths)
+    minor = np.arange(n_cols, dtype=np.int64) - np.repeat(starts_cols, widths)
+    base_cols = np.full(span, -1, np.int64)
+    base_cols[covered] = starts_cols
+
+    plane = 10 * num_homop
+    matrix = np.zeros(n_cols * plane, np.int32)
+    for soa, hit64, args in prepped:
+        lib.gb_pileup_accumulate(*args, num_homop, ip64(base_cols),
+                                 ip32(matrix))
+    return matrix.reshape(n_cols, plane), major, minor

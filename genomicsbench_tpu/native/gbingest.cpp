@@ -1384,3 +1384,120 @@ void gb_chain_peak(const int32_t* scores, const int32_t* parents,
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// Full-native pileup accumulation (the medaka flow without materialized
+// event arrays): pass 1 (gb_pileup_extents) produces coverage diffs and
+// per-position max insertion lengths; the caller lays out the matrix
+// columns; pass 2 (gb_pileup_accumulate) walks the cigars again and
+// increments matrix cells in place — the same one-pass-per-record shape
+// as the reference C, instead of 300M-event numpy array passes + a
+// whole-matrix bincount.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void gb_pileup_extents(
+    const int32_t* pos, const int32_t* flag, const int32_t* n_cig,
+    const int64_t* cig_off, const uint32_t* cigars,
+    const int64_t* hit, int64_t n_hit, int64_t start, int64_t end,
+    int32_t* max_ins, int64_t* cov_diff) {
+    for (int64_t h = 0; h < n_hit; h++) {
+        int64_t r = hit[h];
+        int64_t rp = pos[r];
+        const int64_t rp0 = rp;
+        const uint32_t* cg = cigars + cig_off[r];
+        for (int32_t c = 0; c < n_cig[r]; c++) {
+            uint32_t op = cg[c] & 15;
+            int64_t ln = cg[c] >> 4;
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) {
+                rp += ln;  // consumes reference
+            } else if (op == 1) {  // I: width marker at the anchor
+                int64_t anchor = rp - 1;
+                if (anchor >= rp0 && anchor >= start && anchor < end &&
+                    max_ins[anchor - start] < ln)
+                    max_ins[anchor - start] = (int32_t)ln;
+            }
+        }
+        int64_t lo = rp0 < start ? start : rp0;
+        int64_t hi = rp < end ? rp : end;
+        if (hi > lo) { cov_diff[lo - start]++; cov_diff[hi - start]--; }
+    }
+}
+
+void gb_pileup_accumulate(
+    const int32_t* pos, const int32_t* flag, const int32_t* n_cig,
+    const int64_t* cig_off, const uint32_t* cigars, const int64_t* seq_off,
+    const uint8_t* seqs, const uint8_t* quals,
+    const int64_t* hit, int64_t n_hit, int64_t start, int64_t end,
+    int32_t num_homop, const int64_t* base_cols, int32_t* matrix) {
+    const int32_t featlen = 10;
+    const int64_t plane = (int64_t)featlen * num_homop;
+    for (int64_t h = 0; h < n_hit; h++) {
+        int64_t r = hit[h];
+        int64_t rp = pos[r];
+        const int64_t rp0 = rp;
+        int64_t qp = 0;
+        const bool rev = (flag[r] & 16) != 0;
+        const int32_t strand_add = rev ? 0 : 4;
+        const int32_t del_feat = rev ? 8 : 9;
+        const uint8_t* sq = seqs + seq_off[r];
+        const uint8_t* ql = quals + seq_off[r];
+        bool prev_aligned = false;
+        const uint32_t* cg = cigars + cig_off[r];
+        for (int32_t c = 0; c < n_cig[r]; c++) {
+            uint32_t op = cg[c] & 15;
+            int64_t ln = cg[c] >> 4;
+            if (op == 0 || op == 7 || op == 8) {  // M / = / X
+                int64_t lo = rp < start ? start : rp;
+                int64_t hi = rp + ln < end ? rp + ln : end;
+                for (int64_t p = lo; p < hi; p++) {
+                    uint8_t b = sq[qp + (p - rp)];
+                    if (b > 3) continue;
+                    int32_t q = num_homop > 1 ?
+                        (int32_t)ql[qp + (p - rp)] : 0;
+                    int32_t qstrat = num_homop > 1
+                        ? (q < num_homop ? (q > 0 ? q - 1 : 0) : num_homop - 1)
+                        : 0;
+                    matrix[base_cols[p - start] * plane
+                           + featlen * qstrat + b + strand_add]++;
+                }
+                rp += ln;
+                qp += ln;
+                prev_aligned = true;
+            } else if (op == 1) {  // I
+                int64_t anchor = rp - 1;
+                if (prev_aligned && anchor >= rp0 && anchor >= start &&
+                    anchor < end) {
+                    for (int64_t i = 0; i < ln; i++) {
+                        uint8_t b = sq[qp + i];
+                        if (b > 3) continue;
+                        int32_t q = num_homop > 1 ? (int32_t)ql[qp + i] : 0;
+                        int32_t qstrat = num_homop > 1
+                            ? (q < num_homop ? (q > 0 ? q - 1 : 0)
+                                             : num_homop - 1)
+                            : 0;
+                        matrix[(base_cols[anchor - start] + i + 1) * plane
+                               + featlen * qstrat + b + strand_add]++;
+                    }
+                }
+                qp += ln;
+            } else if (op == 2) {  // D
+                int64_t lo = rp < start ? start : rp;
+                int64_t hi = rp + ln < end ? rp + ln : end;
+                for (int64_t p = lo; p < hi; p++)
+                    matrix[base_cols[p - start] * plane + del_feat]++;
+                rp += ln;
+                prev_aligned = false;
+            } else if (op == 3) {  // N
+                rp += ln;
+                prev_aligned = false;
+            } else if (op == 4) {  // S
+                qp += ln;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -33,7 +33,7 @@ REV_DEL = 8
 
 @dataclasses.dataclass
 class PileupResult:
-    matrix: np.ndarray   # (n_cols, featlen * num_dtypes * num_homop) int64
+    matrix: np.ndarray   # (n_cols, featlen*num_dtypes*num_homop) int64/int32
     major: np.ndarray    # (n_cols,) ref positions
     minor: np.ndarray    # (n_cols,) insertion indices
 
@@ -285,14 +285,33 @@ def pileup_counts(
         # chr-scale fast path: batched SoA extraction (native BAM parse +
         # vectorized cigar walk over every record of a chunk at once)
         try:
+            from genomicsbench_tpu import native
+
+            if num_dtypes == 1 and native.available() \
+                    and hasattr(native._load(), "gb_pileup_extents"):
+                # full-native accumulation: matrix cells increment in
+                # place during the cigar walk (the reference C's shape) —
+                # no event arrays, no whole-matrix bincount
+                chunks = []
+                for soa, _buf, hit in bam.fetch_soa_chunks(chrom, start, end):
+                    hit = hit[(soa["mapq"][hit] >= min_mapq)
+                              & ((soa["flag"][hit] & FILTERED) == 0)]
+                    if len(hit):
+                        chunks.append((soa, hit, _buf))  # _buf keeps views alive
+                nm = native.pileup_matrix(
+                    [(soa, hit) for soa, hit, _ in chunks], start, end,
+                    num_homop)
+                if nm is not None:
+                    matrix, major, minor = nm
+                    # int32 counts (depth bounded far below 2^31): the
+                    # widen-to-int64 copy alone cost seconds at chr scale
+                    return PileupResult(matrix, major, minor)
             cov_diff = np.zeros(len(covered_arr) + 1, np.int64)
             for soa, _buf, hit in bam.fetch_soa_chunks(chrom, start, end):
                 hit = hit[(soa["mapq"][hit] >= min_mapq)
                           & ((soa["flag"][hit] & FILTERED) == 0)]
                 if not len(hit):
                     continue
-                from genomicsbench_tpu import native
-
                 got = native.pileup_events(soa, hit, start, end)
                 if got is None:
                     got = _events_soa(soa, hit, start, end)

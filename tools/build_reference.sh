@@ -72,3 +72,11 @@ gcc -O2 -DPRINT_OUTPUT -fopenmp \
     "$HERE/ref_drivers/htslib_shim/sam_shim.c" \
     -o "$OUT/pileup_gold" -lz -lm
 echo "built $OUT/pileup_gold"
+gcc -O2 -fopenmp \
+    -I"$HERE/ref_drivers/htslib_shim" -I"$REF/benchmarks/pileup" \
+    "$REF/benchmarks/pileup/medaka_counts.c" \
+    "$REF/benchmarks/pileup/medaka_common.c" \
+    "$REF/benchmarks/pileup/medaka_bamiter.c" \
+    "$HERE/ref_drivers/htslib_shim/sam_shim.c" \
+    -o "$OUT/pileup_gold_quiet" -lz -lm
+echo "built $OUT/pileup_gold_quiet"

@@ -455,14 +455,24 @@ def crosscheck_pileup(rng, n_reads=150, ref_len=2000):
         rows.append([int(t) for t in line.split()])
     exp = np.array(rows, np.int64)
     num_homop = 5
-    res = pileup_counts(bam, region, num_homop=num_homop)
-    got = np.concatenate(
-        [res.major[:, None], res.minor[:, None], res.matrix,
-         res.matrix.sum(1, keepdims=True)], axis=1)
-    assert exp.shape == got.shape, (exp.shape, got.shape)
-    assert np.array_equal(exp, got),         f"first mismatch at row {np.argwhere(exp != got)[0]}"
+
+    def check(res, label):
+        got = np.concatenate(
+            [res.major[:, None], res.minor[:, None], res.matrix,
+             res.matrix.sum(1, keepdims=True)], axis=1)
+        assert exp.shape == got.shape, (label, exp.shape, got.shape)
+        assert np.array_equal(exp, got), \
+            (label, f"first mismatch row {np.argwhere(exp != got)[0]}")
+
+    check(pileup_counts(bam, region, num_homop=num_homop), "python path")
+    # the chr-scale full-native accumulation path (IndexedBam SoA)
+    from genomicsbench_tpu.io.bam import IndexedBam, write_bai
+
+    write_bai(path)
+    check(pileup_counts(IndexedBam(path), region, num_homop=num_homop),
+          "native matrix path")
     print(f"pileup: {len(records)} fresh reads / {len(rows)} columns "
-          f"bit-exact vs reference binary (htslib-shim build)")
+          f"bit-exact vs reference binary (python + native paths)")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+if os.environ.get("GENOMICSBENCH_CPU"):
+    # force the CPU backend before any jax import (the sitecustomize pins
+    # the tunneled TPU; env vars alone cannot override it) — host-dominated
+    # workloads (pileup) can then run with the tunnel down
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REFBUILD = "/tmp/refbuild"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "SCALE_r02.json")
@@ -312,13 +320,33 @@ def bench_pileup(region_mb=10):
         B.write_bai(path)
     ib = B.IndexedBam(path)
     t0 = time.time()
-    res = pileup_counts(ib, f"chr1:1-{REG}")
+    # num_homop=5: the reference main hardcodes 5 qscore strata
+    # (medaka_counts.c:503) — same feature planes, same work
+    res = pileup_counts(ib, f"chr1:1-{REG}", num_homop=5)
     wall = time.time() - t0
+
+    # the COMPILED reference benchmark on the identical BAM (htslib-shim
+    # build; its whole-file record cache is generous to the reference —
+    # real htslib+BAI would pay per-chunk IO the cache skips)
+    ref_wall = ref_kernel = None
+    bin_path = f"{REFBUILD}/pileup_gold_quiet"
+    if os.path.exists(bin_path):
+        t0 = time.time()
+        pr = subprocess.run([bin_path, path, f"chr1:1-{REG}", "1"],
+                            capture_output=True, text=True, timeout=3600)
+        ref_wall = time.time() - t0
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("Kernel runtime:"):
+                ref_kernel = float(ln.split()[2])
     record(workload="pileup", region_mb=region_mb, coverage=COV,
            n_reads=n_reads, wall_s=round(wall, 2),
            cols_per_s=round(len(res.major) / wall, -3),
            bases_per_s=round(float(res.matrix.sum()) / wall, -3),
-           n_cols=int(len(res.major)))
+           n_cols=int(len(res.major)),
+           ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
+           ref_1t_kernel_s=(round(ref_kernel, 2) if ref_kernel else None),
+           speedup_vs_ref_1t=(round(ref_kernel / wall, 2)
+                              if ref_kernel else None))
 
 
 # ---------------------------------------------------------------------------

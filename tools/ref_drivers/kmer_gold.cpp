@@ -15,6 +15,7 @@
 //                       sid is FastaRecord::Id::signedId() (+n forward /
 //                       -n reverse, 1-based ordinal) and pos the in-read
 //                       position as the index stores it.
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <set>
@@ -46,6 +47,18 @@ int main(int argc, char** argv) {
     SequenceContainer reads;
     reads.loadFromFile(fasta, 0);
     reads.buildPositionIndex();
+
+    if (mode == "countq") {
+        // timing mode: ONLY the reference's own kernel scope
+        // (kmer_cnt.cpp:243-248 times KmerCounter::count), no output dump
+        KmerCounter counter(reads);
+        auto t0 = std::chrono::steady_clock::now();
+        counter.count(/*useFlatCounter=*/true);
+        double secs = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        fprintf(stderr, "KERNEL_S %.4f\n", secs);
+        return 0;
+    }
 
     // distinct standard-form k-mers over the forward strands
     std::set<Kmer::KmerRepr> stdKmers;

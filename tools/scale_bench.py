@@ -201,8 +201,14 @@ def bench_kmer(total_mb=250):
         cfg = f"{SCRATCH}/kmer.cfg"
         open(cfg, "w").write(
             "repeat_kmer_rate=100\nassemble_kmer_sample=1\n")
-        ref_wall = ref_time([bin_path, path, cfg, str(k), "count"])
-        ref_rate = sub * L / ref_wall
+        # countq times ONLY the reference's own kernel scope
+        # (KmerCounter::count, the kmer_cnt.cpp:243-248 timer) -- no dump IO
+        pr = subprocess.run([bin_path, path, cfg, str(k), "countq"],
+                            capture_output=True, text=True, timeout=3600)
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):
+                ref_wall = float(ln.split()[1])
+        ref_rate = sub * L / ref_wall if ref_wall else None
     # the reference binary's other mode (kmer_cnt.cpp:228-232): the
     # minimizer index, at a 50 Mb subset (the host assembly of per-kmer
     # position lists is the bound, not the device pass)

@@ -2,6 +2,7 @@
 // with synthetic inputs from a file.
 #include "f5c.h"
 #include "f5cmisc.h"
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -17,6 +18,7 @@ int main(int argc, char** argv) {
     //   scale shift
     FILE* f = fopen(argv[1], "r");
     char mode[16]; fscanf(f, "%s", mode);
+    double kernel_s = 0.0;
     if (strcmp(mode, "align") == 0) {
         int ncase; fscanf(f, "%d", &ncase);
         model_t* models = (model_t*)calloc(4096, sizeof(model_t));
@@ -40,11 +42,15 @@ int main(int argc, char** argv) {
             scalings_t sc; memset(&sc, 0, sizeof(sc));
             fscanf(f, "%f %f", &sc.scale, &sc.shift);
             AlignedPair* out = (AlignedPair*)malloc(sizeof(AlignedPair) * ne * 2);
+            auto t0 = std::chrono::steady_clock::now();
             int n = align(out, seq, slen, et, models, sc, 4000.0f);
+            kernel_s += std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count();
             printf("%d\n", n);
             for (int i = 0; i < n; i++) printf("%d %d\n", out[i].ref_pos, out[i].read_pos);
             free(out); free(et.event); free(seq);
         }
+        fprintf(stderr, "KERNEL_S %.4f\n", kernel_s);
     } else { // events: raw signal -> event table
         int ncase; fscanf(f, "%d", &ncase);
         for (int c = 0; c < ncase; c++) {

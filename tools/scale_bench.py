@@ -548,8 +548,14 @@ def bench_abea(n_reads=10_000, batch=512):
                     for e in evs:
                         f.write(f"{e:.6f} 1.0\n")
                     f.write(f"{scale:.6f} {shift:.6f}\n")
-            ref_batch_wall = ref_time([f"{REFBUILD}/abea_gold_f32", path])
-            ref_wall = ref_batch_wall * (n_reads / b)
+            pr = subprocess.run([f"{REFBUILD}/abea_gold_f32", path],
+                                capture_output=True, text=True, timeout=3600)
+            ref_batch_wall = None
+            for ln in pr.stderr.splitlines():
+                if ln.startswith("KERNEL_S"):  # align() only, no text parse
+                    ref_batch_wall = float(ln.split()[1])
+            if ref_batch_wall:
+                ref_wall = ref_batch_wall * (n_reads / b)
         total += b
     record(workload="abea", n_reads=n_reads, band_cells=band_cells,
            wall_s=round(wall, 2),

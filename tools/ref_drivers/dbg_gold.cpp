@@ -18,6 +18,7 @@
 //   NODES <n>
 //   NODE <kmer> <colours> <weight> <position> <nEdges>
 //   EDGE <kmer> <slot> <endkmer> <weight>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -43,7 +44,8 @@ void setWindowPointers(struct ReadArray* reads, int start, int end) {
 }
 
 int main(int argc, char** argv) {
-    if (argc != 2) {
+    bool timing = argc > 2 && strcmp(argv[2], "-t") == 0;
+    if (argc < 2) {
         fprintf(stderr, "usage: %s input.txt\n", argv[0]);
         return 1;
     }
@@ -76,6 +78,22 @@ int main(int argc, char** argv) {
         }
     }
     fclose(f);
+
+    if (timing) {
+        // the reference benchmark's own kernel scope per window
+        // (debruijn.cpp:1389-1432): create + loadReference + loadBAMData +
+        // destroy -- its cycle detection is commented out
+        auto t0 = std::chrono::steady_clock::now();
+        DeBruijnGraph* gt = createDeBruijnGraph(k, 5000);
+        loadReferenceIntoGraph(gt, refSeq, refStart, k);
+        loadBAMDataIntoGraph(gt, reads.data(), reads.data() + nReads, 1, 0,
+                             minQual, k);
+        destroyDeBruijnGraph(gt);
+        fprintf(stderr, "KERNEL_S %.6f\n",
+                std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0).count());
+        return 0;
+    }
 
     DeBruijnGraph* g = createDeBruijnGraph(k, 5000);
     loadReferenceIntoGraph(g, refSeq, refStart, k);

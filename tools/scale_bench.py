@@ -277,7 +277,10 @@ def bench_dbg(region_mb=2):
     if os.path.exists(bin_path):
         b2c = np.array(list("ACGTN"))
         sub = windows[: max(1, len(windows) // 20)]
-        t0 = time.time()
+        # -t times ONLY the reference's own per-window kernel scope
+        # (create + loadReference + loadBAMData, debruijn.cpp:1389-1432);
+        # ours additionally runs cycle detection and array extraction
+        ref_kernel = 0.0
         for wref, wstart, reads in sub:
             lines = [f"15 20 {wstart}", "".join(b2c[wref]), str(len(reads))]
             for seq, quals, _ in reads:
@@ -285,8 +288,12 @@ def bench_dbg(region_mb=2):
                 lines.append(" ".join(map(str, quals)))
             path = f"{SCRATCH}/dbg_w.in"
             open(path, "w").write("\n".join(lines) + "\n")
-            subprocess.run([bin_path, path], capture_output=True, check=True)
-        ref_wall = (time.time() - t0) * len(windows) / len(sub)
+            pr = subprocess.run([bin_path, path, "-t"], capture_output=True,
+                                text=True, check=True)
+            for ln in pr.stderr.splitlines():
+                if ln.startswith("KERNEL_S"):
+                    ref_kernel += float(ln.split()[1])
+        ref_wall = ref_kernel * len(windows) / len(sub)
     record(workload="dbg", n_windows=len(windows), kmers=kmers_total,
            wall_s=round(wall, 2), windows_per_s=round(len(windows) / wall, 1),
            n_nodes=n_nodes,

@@ -570,15 +570,21 @@ int64_t gb_dbg_build(
             if (nE2 <= 0) continue;
             int64_t key = 0;
             int64_t last_bad = -1;
+            // sliding min of q over [c, c+k] via monotonic deque: the naive
+            // inner loop was O(k) per k-mer (~half the whole build)
+            static thread_local std::vector<int32_t> dq;
+            dq.clear(); dq.resize(L);
+            int64_t dh = 0, dt = 0;
             for (int64_t i = 0; i < L; i++) {
+                while (dt > dh && q[dq[dt - 1]] >= q[i]) dt--;
+                dq[dt++] = (int32_t)i;
                 key = ((key << 2) | (s[i] <= 3 ? s[i] : 0)) & emask;
                 if (s[i] > 3) last_bad = i;
                 const int64_t c = i - k;
                 if (c < 0 || c >= nE2) continue;
+                if (dq[dh] < c) dh++;  // window [c, c+k] slides by one
                 if (last_bad >= c) continue;
-                int32_t mq = q[c];
-                for (int64_t j = c + 1; j <= c + k; j++)
-                    if (q[j] < mq) mq = q[j];
+                int32_t mq = q[dq[dh]];
                 if (mq < min_qual) continue;
                 npk.push_back(((uint64_t)((key >> 2) & mask) << 24) | nposv.size());
                 nposv.push_back(-1); nwv.push_back(mq); ncolv.push_back(READC);

@@ -23,7 +23,7 @@ until probe; do
 done
 echo "$(date +%H:%M:%S) chip is up"
 
-for W in bsw chain nn-base nn-variant phmm grm kmer; do
+for W in bsw chain nn-base nn-variant phmm grm kmer abea; do
     echo "=== scale_bench $W ==="
     timeout 2400 python tools/scale_bench.py "$W" \
         > "$LOG/scale_$W.log" 2>&1

@@ -97,6 +97,15 @@ def _load():
             c_i64p, c_i64p, c_i64p, c_i64p,              # node arrays
             c_i64p, c_i64p, c_i64p,                      # edge arrays
         ]
+        lib.gb_dbg_build_ranged.restype = c_i64
+        lib.gb_dbg_build_ranged.argtypes = [
+            c_u8p, c_i64p, c_i64p, c_i64p, c_i64,        # ref windows
+            c_u8p, c_i32p, c_i64p, c_i64p, c_i64p, c_i64p,  # shared reads + lo/hi
+            c_i32, c_i32, c_i64, c_i64,                  # k minq caps
+            c_i64p, c_i64p, c_u8p,                       # offsets + skip flags
+            c_i64p, c_i64p, c_i64p, c_i64p,              # node arrays
+            c_i64p, c_i64p, c_i64p,                      # edge arrays
+        ]
         lib.gb_poa_fuse.restype = c_i64
         lib.gb_poa_fuse.argtypes = [
             c_u8p, c_i32p, c_u8p, c_i32p, c_i32p, c_i32p, c_i32p,   # graph
@@ -358,17 +367,13 @@ def dbg_mentions(seqs_flat, quals_flat, offs, lens, k: int, min_qual: int):
     return key1, key2, ekey, w, t, c
 
 
-def dbg_build(refs, ref_starts, reads_per_window, k: int, min_qual: int):
-    """Full native de Bruijn window-graph build (gb_dbg_build): per-window
-    sort-reduce of all node/edge mentions in C.
-
-    refs: list of (L,) uint8 ref slices; reads_per_window: list of lists
-    of (seq_codes, quals) with QC-fail reads already removed.  Returns
-    (node_off, edge_off, skip_n, node_keys5, colours, weights, positions,
-    edge_start5, edge_succ5, edge_weight) or None if unavailable;
-    windows flagged in skip_n need the Python oracle fallback (ref Ns)."""
+def _dbg_build_call(refs, ref_starts, seqs_flat, quals_flat, offs, lens,
+                    read_lo, read_hi, k, min_qual):
+    """Capacity-retry core shared by dbg_build / dbg_build_soa: calls
+    gb_dbg_build_ranged over a shared read SoA with per-window (possibly
+    overlapping) [lo, hi) read-row ranges."""
     lib = _load()
-    if lib is None or not hasattr(lib, "gb_dbg_build"):
+    if lib is None or not hasattr(lib, "gb_dbg_build_ranged"):
         return None
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -380,6 +385,67 @@ def dbg_build(refs, ref_starts, reads_per_window, k: int, min_qual: int):
     refs_flat = (np.concatenate([np.asarray(r, np.uint8) for r in refs])
                  if nw else np.zeros(0, np.uint8))
     ref_starts = np.ascontiguousarray(ref_starts, np.int64)
+    seqs_flat = np.ascontiguousarray(seqs_flat, np.uint8)
+    quals_flat = np.ascontiguousarray(quals_flat, np.int32)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    read_lo = np.ascontiguousarray(read_lo, np.int64)
+    read_hi = np.ascontiguousarray(read_hi, np.int64)
+    # mention-count upper bounds -> heuristic caps with one exact retry.
+    # Ranges may overlap, so read spans count each window's slice.
+    # Measured density on 30x windowed data: distinct nodes ~0.10x the
+    # span count, edges ~0.05x — caps sized 1.5-2x that, because the
+    # over-allocation itself dominated the wall (page-faulting ~2.5 GB of
+    # fresh arrays per chromosome-scale call cost more than the kernel).
+    # Pathological inputs (disjoint random reads) overflow once and retry
+    # with the exact totals the first pass counted.
+    span_pre = np.concatenate(
+        [[0], np.cumsum(np.maximum(lens - k - 1, 0))])
+    spans = int((span_pre[read_hi] - span_pre[read_lo]).sum()) \
+        + int(np.maximum(ref_lens - k - 1, 0).sum())
+    node_cap = int(min(2 * spans, spans // 5 + (1 << 21)))
+    edge_cap = int(min(spans, spans // 10 + (1 << 21)))
+    for _ in range(2):
+        node_off = np.zeros(nw + 1, np.int64)
+        edge_off = np.zeros(nw + 1, np.int64)
+        skip_n = np.zeros(nw, np.uint8)
+        nk5 = np.empty(node_cap, np.int64)
+        nc = np.empty(node_cap, np.int64)
+        nwt = np.empty(node_cap, np.int64)
+        npos = np.empty(node_cap, np.int64)
+        es5 = np.empty(edge_cap, np.int64)
+        eu5 = np.empty(edge_cap, np.int64)
+        ew = np.empty(edge_cap, np.int64)
+        rc = lib.gb_dbg_build_ranged(
+            _u8p(refs_flat), ip64(ref_offs), ip64(ref_lens),
+            ip64(ref_starts), nw,
+            _u8p(seqs_flat), ip32(quals_flat), ip64(offs), ip64(lens),
+            ip64(read_lo), ip64(read_hi), k, min_qual, node_cap, edge_cap,
+            ip64(node_off), ip64(edge_off), _u8p(skip_n),
+            ip64(nk5), ip64(nc), ip64(nwt), ip64(npos),
+            ip64(es5), ip64(eu5), ip64(ew))
+        if rc == 0:
+            return (node_off, edge_off, skip_n, nk5, nc, nwt, npos,
+                    es5, eu5, ew)
+        node_cap = int(node_off[nw])
+        edge_cap = int(edge_off[nw])
+    raise RuntimeError("gb_dbg_build capacity retry failed")
+
+
+def dbg_build(refs, ref_starts, reads_per_window, k: int, min_qual: int):
+    """Full native de Bruijn window-graph build (gb_dbg_build_ranged):
+    per-window sort-reduce of all node/edge mentions in C.
+
+    refs: list of (L,) uint8 ref slices; reads_per_window: list of lists
+    of (seq_codes, quals) with QC-fail reads already removed.  Returns
+    (node_off, edge_off, skip_n, node_keys5, colours, weights, positions,
+    edge_start5, edge_succ5, edge_weight) or None if unavailable;
+    windows flagged in skip_n need the Python oracle fallback (ref Ns).
+
+    Per-read lists force O(total reads) Python marshalling — callers with
+    a flat read SoA and sorted starts should use dbg_build_soa instead."""
+    if _load() is None:
+        return None
     seqs, quals, lens, row = [], [], [], [0]
     for rd in reads_per_window:
         for s, q in rd:
@@ -393,36 +459,18 @@ def dbg_build(refs, ref_starts, reads_per_window, k: int, min_qual: int):
     quals_flat = (np.concatenate(quals).astype(np.int32)
                   if quals else np.zeros(0, np.int32))
     row = np.array(row, np.int64)
-    # mention-count upper bounds -> heuristic caps with one exact retry
-    spans = np.maximum(lens - k - 1, 0).sum() \
-        + int(np.maximum(ref_lens - k - 1, 0).sum())
-    node_cap = int(min(2 * spans, 2 * spans // 4 + (1 << 21)))
-    edge_cap = int(min(spans, spans // 4 + (1 << 21)))
-    for _ in range(2):
-        node_off = np.zeros(nw + 1, np.int64)
-        edge_off = np.zeros(nw + 1, np.int64)
-        skip_n = np.zeros(nw, np.uint8)
-        nk5 = np.empty(node_cap, np.int64)
-        nc = np.empty(node_cap, np.int64)
-        nwt = np.empty(node_cap, np.int64)
-        npos = np.empty(node_cap, np.int64)
-        es5 = np.empty(edge_cap, np.int64)
-        eu5 = np.empty(edge_cap, np.int64)
-        ew = np.empty(edge_cap, np.int64)
-        rc = lib.gb_dbg_build(
-            _u8p(refs_flat), ip64(ref_offs), ip64(ref_lens),
-            ip64(ref_starts), nw,
-            _u8p(seqs_flat), ip32(quals_flat), ip64(offs), ip64(lens),
-            ip64(row), k, min_qual, node_cap, edge_cap,
-            ip64(node_off), ip64(edge_off), _u8p(skip_n),
-            ip64(nk5), ip64(nc), ip64(nwt), ip64(npos),
-            ip64(es5), ip64(eu5), ip64(ew))
-        if rc == 0:
-            return (node_off, edge_off, skip_n, nk5, nc, nwt, npos,
-                    es5, eu5, ew)
-        node_cap = int(node_off[nw])
-        edge_cap = int(edge_off[nw])
-    raise RuntimeError("gb_dbg_build capacity retry failed")
+    return _dbg_build_call(refs, ref_starts, seqs_flat, quals_flat, offs,
+                           lens, row[:-1], row[1:], k, min_qual)
+
+
+def dbg_build_soa(refs, ref_starts, seqs_flat, quals_flat, offs, lens,
+                  read_lo, read_hi, k: int, min_qual: int):
+    """dbg_build over a SHARED read SoA: window w consumes read rows
+    [read_lo[w], read_hi[w]) — ranges may overlap, so a read spanning
+    several 750 bp-shift windows is stored (and marshalled) exactly once.
+    Marshalling is O(n_windows); all per-mention work happens in C."""
+    return _dbg_build_call(refs, ref_starts, seqs_flat, quals_flat, offs,
+                           lens, read_lo, read_hi, k, min_qual)
 
 
 def pairhmm_f64(cases):

@@ -475,43 +475,49 @@ int64_t gb_dbg_mentions(
 
 namespace {
 
-struct DbgNodeM { int64_t key; int64_t pos; int32_t w; int32_t idx; uint8_t colour; };
-struct DbgEdgeM { int64_t key; int32_t w; int32_t idx; };
+// 8-digit chunk table for the 2-bit -> base-5 key re-encode: T[x] is the
+// base-5 value of x's eight 2-bit digits (< 5^8 = 390625, fits uint32).
+// The per-digit loop was O(k) per emitted node/edge — measurable at the
+// ~5M nodes a chromosome-scale build emits.
+static const uint32_t* dbg_to5_table() {
+    static const std::vector<uint32_t> t = [] {
+        std::vector<uint32_t> v(1 << 16);
+        for (uint32_t x = 0; x < (1u << 16); x++) {
+            uint32_t out = 0;
+            for (int shift = 14; shift >= 0; shift -= 2)
+                out = out * 5 + ((x >> shift) & 3);
+            v[x] = out;
+        }
+        return v;
+    }();
+    return t.data();
+}
 
-static inline int64_t dbg_to5(int64_t key2bit, int32_t k) {
+static inline int64_t dbg_to5(int64_t key2bit, int32_t k, const uint32_t* T) {
     int64_t out = 0;
-    for (int32_t shift = 2 * (k - 1); shift >= 0; shift -= 2)
-        out = out * 5 + ((key2bit >> shift) & 3);
+    int32_t lead = k & 7;           // partial most-significant chunk
+    int32_t pos = k - lead;         // digits below it
+    if (lead)
+        out = T[(key2bit >> (2 * pos)) & (((int64_t)1 << (2 * lead)) - 1)];
+    while (pos > 0) {
+        pos -= 8;
+        out = out * 390625 + T[(key2bit >> (2 * pos)) & 0xFFFF];
+    }
     return out;
 }
 
-// LSD radix sort of packed (key << 24 | mention-idx) words — the packed
-// idx makes it stable by construction; ~4x over std::sort on the ~150k
-// mention sets a window produces.  bits: highest used bit count.
-static void dbg_radix_u64(std::vector<uint64_t>& v, std::vector<uint64_t>& tmp,
-                          int bits) {
-    const int R = 11, RADIX = 1 << R;
-    size_t cnt[1 << R];
-    tmp.resize(v.size());
-    for (int shift = 0; shift < bits; shift += R) {
-        memset(cnt, 0, sizeof(cnt));
-        for (uint64_t x : v) cnt[(x >> shift) & (RADIX - 1)]++;
-        size_t run = 0;
-        for (int i = 0; i < RADIX; i++) { size_t c = cnt[i]; cnt[i] = run; run += c; }
-        for (uint64_t x : v) tmp[cnt[(x >> shift) & (RADIX - 1)]++] = x;
-        v.swap(tmp);
-    }
-}
-
-}  // namespace
-
-extern "C" {
-
-int64_t gb_dbg_build(
+// read_lo/read_hi are per-window [lo, hi) row ranges into the shared read
+// SoA with stride `lohi_stride` (1 for plain arrays, 2 when lo/hi are the
+// even/odd halves of one interleaved buffer).  Ranges may OVERLAP — the
+// same physical read row can belong to many windows, which is exactly the
+// 750 bp-shift window tiling (Platypus assemRegionShift): the Python side
+// no longer has to duplicate every read's bytes per window.
+static int64_t dbg_build_impl(
     const uint8_t* refs, const int64_t* ref_offs, const int64_t* ref_lens,
     const int64_t* ref_starts, int64_t n_windows,
     const uint8_t* seqs, const int32_t* quals, const int64_t* offs,
-    const int64_t* lens, const int64_t* read_off_w,  // per-window read range
+    const int64_t* lens, const int64_t* read_lo, const int64_t* read_hi,
+    int64_t lohi_stride,
     int32_t k, int32_t min_qual,
     int64_t node_cap, int64_t edge_cap,
     int64_t* node_off, int64_t* edge_off, uint8_t* skip_n,
@@ -519,16 +525,25 @@ int64_t gb_dbg_build(
     int64_t* positions,
     int64_t* edge_start5, int64_t* edge_succ5, int64_t* edge_weight) {
     const uint8_t REFC = 1, READC = 2;
+    const uint32_t* T5 = dbg_to5_table();
+    int64_t p5k1 = 1;  // 5^(k-1): succ key = (start % 5^(k-1)) * 5 + base
+    for (int32_t i = 0; i < k - 1; i++) p5k1 *= 5;
     const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
     const int64_t emask = ((int64_t)1 << (2 * (k + 1))) - 1;
-    // mention streams: packed (key << 24 | mention-idx) sort words plus
-    // payload arrays indexed by mention-idx (pos/weight/colour)
-    std::vector<uint64_t> npk, epk, rtmp;
-    std::vector<int64_t> nposv;
-    std::vector<int32_t> nwv, ewv;
-    std::vector<uint8_t> ncolv;
-    std::vector<DbgEdgeM> eg;  // reduced edge groups: key, wsum, first idx
-    std::unordered_map<int64_t, int32_t> slots;
+    // Epoch-stamped open-addressing accumulators: each mention is upserted
+    // as it is generated — no materialized mention stream and no radix sort
+    // over all ~20 mentions/bp; per window only the DISTINCT groups (~4k
+    // for a 1.5 kb window at 30x) are sorted for output.  Insertion order
+    // IS first-mention order, so edge output needs no sort at all and a
+    // node group's position/colour seed is simply whatever the first
+    // upsert stored.
+    std::vector<int64_t> nkey, nws, npos_, ekey, ews;
+    std::vector<int32_t> nep, eep;          // epoch stamps
+    std::vector<uint8_t> ncol_;
+    std::vector<int32_t> nlive, elive;      // occupied slots, insertion order
+    std::vector<std::pair<int64_t, int32_t>> nsorted;
+    size_t ncap_tab = 0, ecap_tab = 0;
+    int32_t epoch = 0;
     int64_t n_total = 0, e_total = 0;
     bool overflow = false;
     for (int64_t wid = 0; wid < n_windows; wid++) {
@@ -543,26 +558,69 @@ int64_t gb_dbg_build(
                 if (ref[i] > 3) { has_n = true; break; }
         skip_n[wid] = has_n ? 1 : 0;
         if (has_n) continue;
-        npk.clear(); epk.clear();
-        nposv.clear(); nwv.clear(); ewv.clear(); ncolv.clear();
+        // table sizing: distinct groups <= mentions; mention upper bound
+        // from the spans in range (the per-read loop is ~60 iterations)
+        int64_t span_bound = nE > 0 ? nE : 0;
+        for (int64_t r = read_lo[wid * lohi_stride];
+             r < read_hi[wid * lohi_stride]; r++)
+            if (lens[r] > k + 1) span_bound += lens[r] - k - 1;
+        if (span_bound >= ((int64_t)1 << 24))
+            return -2;  // mentions per window > 16M (format cap)
+        size_t want_n = 64, want_e = 64;
+        while ((int64_t)want_n < 4 * span_bound + 4) want_n <<= 1;
+        while ((int64_t)want_e < 2 * span_bound + 4) want_e <<= 1;
+        if (want_n > ncap_tab) {
+            ncap_tab = want_n;
+            nkey.resize(ncap_tab); nws.resize(ncap_tab);
+            npos_.resize(ncap_tab); ncol_.resize(ncap_tab);
+            nep.assign(ncap_tab, 0);
+        }
+        if (want_e > ecap_tab) {
+            ecap_tab = want_e;
+            ekey.resize(ecap_tab); ews.resize(ecap_tab);
+            eep.assign(ecap_tab, 0);
+        }
+        epoch++;
+        nlive.clear(); elive.clear();
+        const uint64_t nmaskh = want_n - 1, emaskh = want_e - 1;
+        const int nsh = 64 - __builtin_ctzll(want_n);
+        const int esh = 64 - __builtin_ctzll(want_e);
+        auto node_upsert = [&](int64_t kk, int64_t w, uint8_t c, int64_t pos) {
+            uint64_t h = ((uint64_t)kk * 0x9E3779B97F4A7C15ull) >> nsh;
+            for (;; h = (h + 1) & nmaskh) {
+                if (nep[h] != epoch) {
+                    nep[h] = epoch; nkey[h] = kk; nws[h] = w;
+                    ncol_[h] = c; npos_[h] = pos;
+                    nlive.push_back((int32_t)h);
+                    return;
+                }
+                if (nkey[h] == kk) { nws[h] += w; ncol_[h] |= c; return; }
+            }
+        };
+        auto edge_upsert = [&](int64_t kk, int64_t w) {
+            uint64_t h = ((uint64_t)kk * 0x9E3779B97F4A7C15ull) >> esh;
+            for (;; h = (h + 1) & emaskh) {
+                if (eep[h] != epoch) {
+                    eep[h] = epoch; ekey[h] = kk; ews[h] = w;
+                    elive.push_back((int32_t)h);
+                    return;
+                }
+                if (ekey[h] == kk) { ews[h] += w; return; }
+            }
+        };
         if (nE > 0) {
             int64_t key = 0;  // rolling k-mer ending at i
             for (int64_t i = 0; i < k - 1; i++) key = (key << 2) | ref[i];
             for (int64_t c = 0; c < nE; c++) {
                 key = ((key << 2) | ref[c + k - 1]) & mask;
-                const int64_t key2 = ((key << 2) | ref[c + k]) & mask;
-                npk.push_back(((uint64_t)key << 24) | nposv.size());
-                nposv.push_back(ref_starts[wid] + c);
-                nwv.push_back(1); ncolv.push_back(REFC);
-                npk.push_back(((uint64_t)key2 << 24) | nposv.size());
-                nposv.push_back(ref_starts[wid] + c + 1);
-                nwv.push_back(1); ncolv.push_back(REFC);
-                epk.push_back((((uint64_t)key << 2 | ref[c + k]) << 24)
-                              | ewv.size());
-                ewv.push_back(1);
+                const int64_t ekk = ((key << 2) | ref[c + k]) & emask;
+                node_upsert(key, 1, REFC, ref_starts[wid] + c);
+                node_upsert(ekk & mask, 1, REFC, ref_starts[wid] + c + 1);
+                edge_upsert(ekk, 1);
             }
         }
-        for (int64_t r = read_off_w[wid]; r < read_off_w[wid + 1]; r++) {
+        for (int64_t r = read_lo[wid * lohi_stride];
+             r < read_hi[wid * lohi_stride]; r++) {
             const uint8_t* s = seqs + offs[r];
             const int32_t* q = quals + offs[r];
             const int64_t L = lens[r];
@@ -586,62 +644,38 @@ int64_t gb_dbg_build(
                 if (last_bad >= c) continue;
                 int32_t mq = q[dq[dh]];
                 if (mq < min_qual) continue;
-                npk.push_back(((uint64_t)((key >> 2) & mask) << 24) | nposv.size());
-                nposv.push_back(-1); nwv.push_back(mq); ncolv.push_back(READC);
-                npk.push_back(((uint64_t)(key & mask) << 24) | nposv.size());
-                nposv.push_back(-1); nwv.push_back(mq); ncolv.push_back(READC);
-                epk.push_back(((uint64_t)key << 24) | ewv.size());
-                ewv.push_back(mq);
+                node_upsert((key >> 2) & mask, mq, READC, -1);
+                node_upsert(key & mask, mq, READC, -1);
+                edge_upsert(key, mq);
             }
         }
-        if (npk.size() >= (1u << 24) || epk.size() >= (1u << 24))
-            return -2;  // idx field overflow (mentions per window > 16M)
-        // ---- node reduce: radix by packed (key, mention order)
-        dbg_radix_u64(npk, rtmp, 2 * k + 24);
-        for (size_t i = 0; i < npk.size();) {
-            const uint64_t key = npk[i] >> 24;
-            size_t j = i;
-            int64_t wsum = 0; uint8_t col = 0;
-            for (; j < npk.size() && (npk[j] >> 24) == key; j++) {
-                const uint32_t mi = npk[j] & 0xFFFFFF;
-                wsum += nwv[mi]; col |= ncolv[mi];
-            }
+        // ---- node output: ascending key order (the Python formulation
+        // sorts mentions by (window, key) and reduces) — sort only the
+        // ~4k distinct groups, not the mention stream
+        nsorted.clear();
+        for (int32_t h : nlive) nsorted.emplace_back(nkey[h], h);
+        std::sort(nsorted.begin(), nsorted.end());
+        for (const auto& [kk, h] : nsorted) {
             if (!overflow && n_total < node_cap) {
-                node_keys5[n_total] = dbg_to5((int64_t)key, k);
-                colours[n_total] = col;
-                weights[n_total] = wsum;
-                positions[n_total] = nposv[npk[i] & 0xFFFFFF];
+                node_keys5[n_total] = dbg_to5(kk, k, T5);
+                colours[n_total] = ncol_[h];
+                weights[n_total] = nws[h];
+                positions[n_total] = npos_[h];
             } else if (n_total >= node_cap) overflow = true;
             n_total++;
-            i = j;
         }
-        // ---- edge reduce, then first-mention order with the 4-slot cap
-        dbg_radix_u64(epk, rtmp, 2 * (k + 1) + 24);
-        eg.clear();
-        for (size_t i = 0; i < epk.size();) {
-            const uint64_t key = epk[i] >> 24;
-            size_t j = i;
-            int64_t wsum = 0;
-            for (; j < epk.size() && (epk[j] >> 24) == key; j++)
-                wsum += ewv[epk[j] & 0xFFFFFF];
-            eg.push_back({(int64_t)key,
-                          (int32_t)std::min<int64_t>(wsum, INT32_MAX),
-                          (int32_t)(epk[i] & 0xFFFFFF)});
-            i = j;
-        }
-        std::sort(eg.begin(), eg.end(), [](const DbgEdgeM& a, const DbgEdgeM& b) {
-            return a.idx < b.idx;
-        });
-        slots.clear();
-        for (const DbgEdgeM& g : eg) {
-            const int64_t prefix = (g.key >> 2) & mask;
-            int32_t& cnt = slots[prefix];
-            if (cnt >= 4) continue;
-            cnt++;
+        // ---- edge output: first-mention order == insertion order, so no
+        // sort.  Platypus's 4-slot successor cap (DeBruijnGraph_AddEdge,
+        // debruijn.cpp:888-920) can never bind after the reduce: an edge
+        // key is (prefix<<2)|base with a 2-bit base, so a prefix has at
+        // most 4 distinct edge groups.
+        for (int32_t h : elive) {
+            const int64_t kk = ekey[h];
             if (!overflow && e_total < edge_cap) {
-                edge_start5[e_total] = dbg_to5(prefix, k);
-                edge_succ5[e_total] = dbg_to5(((prefix << 2) | (g.key & 3)) & mask, k);
-                edge_weight[e_total] = g.w;
+                const int64_t s5 = dbg_to5((kk >> 2) & mask, k, T5);
+                edge_start5[e_total] = s5;
+                edge_succ5[e_total] = (s5 % p5k1) * 5 + (kk & 3);
+                edge_weight[e_total] = std::min<int64_t>(ews[h], INT32_MAX);
             } else if (e_total >= edge_cap) overflow = true;
             e_total++;
         }
@@ -649,6 +683,55 @@ int64_t gb_dbg_build(
     node_off[n_windows] = n_total;
     edge_off[n_windows] = e_total;
     return overflow ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t gb_dbg_build(
+    const uint8_t* refs, const int64_t* ref_offs, const int64_t* ref_lens,
+    const int64_t* ref_starts, int64_t n_windows,
+    const uint8_t* seqs, const int32_t* quals, const int64_t* offs,
+    const int64_t* lens, const int64_t* read_off_w,  // per-window read range
+    int32_t k, int32_t min_qual,
+    int64_t node_cap, int64_t edge_cap,
+    int64_t* node_off, int64_t* edge_off, uint8_t* skip_n,
+    int64_t* node_keys5, int64_t* colours, int64_t* weights,
+    int64_t* positions,
+    int64_t* edge_start5, int64_t* edge_succ5, int64_t* edge_weight) {
+    // contiguous (non-overlapping) ranges: lo = read_off_w[w], hi = [w+1]
+    return dbg_build_impl(refs, ref_offs, ref_lens, ref_starts, n_windows,
+                          seqs, quals, offs, lens,
+                          read_off_w, read_off_w + 1, 1,
+                          k, min_qual, node_cap, edge_cap,
+                          node_off, edge_off, skip_n,
+                          node_keys5, colours, weights, positions,
+                          edge_start5, edge_succ5, edge_weight);
+}
+
+// Ranged variant: read_lo/read_hi are independent per-window [lo, hi) row
+// ranges into ONE shared read SoA; ranges may overlap (a read in several
+// windows is stored once).  This is the chromosome-scale entry — the
+// caller passes its reads sorted by start position and each window is a
+// contiguous slice, so marshalling is O(n_windows), not O(total mentions).
+int64_t gb_dbg_build_ranged(
+    const uint8_t* refs, const int64_t* ref_offs, const int64_t* ref_lens,
+    const int64_t* ref_starts, int64_t n_windows,
+    const uint8_t* seqs, const int32_t* quals, const int64_t* offs,
+    const int64_t* lens, const int64_t* read_lo, const int64_t* read_hi,
+    int32_t k, int32_t min_qual,
+    int64_t node_cap, int64_t edge_cap,
+    int64_t* node_off, int64_t* edge_off, uint8_t* skip_n,
+    int64_t* node_keys5, int64_t* colours, int64_t* weights,
+    int64_t* positions,
+    int64_t* edge_start5, int64_t* edge_succ5, int64_t* edge_weight) {
+    return dbg_build_impl(refs, ref_offs, ref_lens, ref_starts, n_windows,
+                          seqs, quals, offs, lens, read_lo, read_hi, 1,
+                          k, min_qual, node_cap, edge_cap,
+                          node_off, edge_off, skip_n,
+                          node_keys5, colours, weights, positions,
+                          edge_start5, edge_succ5, edge_weight);
 }
 
 }  // extern "C"

@@ -210,6 +210,56 @@ def _build_window_graphs_native(windows, k, min_qual):
     return results
 
 
+def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
+                            read_lo, read_hi, k=K_DEFAULT, min_qual=20):
+    """Chromosome-scale as_arrays graph build over a SHARED read SoA.
+
+    refs: list of (L,) uint8 ref window slices; window w consumes read
+    rows [read_lo[w], read_hi[w]) of the flat SoA (seqs_flat / quals_flat
+    / lens) — ranges may overlap, which is exactly the reference's
+    assemRegionShift window tiling (debruijn.cpp:1389-1432): a read
+    spanning several 750 bp-shift windows is stored once, not copied per
+    window.  QC-fail reads must already be filtered out.  Returns the
+    same per-window array dicts as build_window_graphs(as_arrays=True);
+    marshalling is O(n_windows), every per-mention pass runs in C."""
+    from genomicsbench_tpu import native
+
+    lens = np.ascontiguousarray(lens, np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    read_lo = np.ascontiguousarray(read_lo, np.int64)
+    read_hi = np.ascontiguousarray(read_hi, np.int64)
+    got = native.dbg_build_soa(
+        [np.ascontiguousarray(r, np.uint8) for r in refs], ref_starts,
+        seqs_flat, quals_flat, offs, lens, read_lo, read_hi, k, min_qual)
+
+    def window_reads(wid):
+        return [(seqs_flat[offs[r]:offs[r] + lens[r]],
+                 quals_flat[offs[r]:offs[r] + lens[r]], False)
+                for r in range(read_lo[wid], read_hi[wid])]
+
+    if got is None:  # no native lib: rebuild per-window lists (slow path)
+        windows = [(refs[w], ref_starts[w], window_reads(w))
+                   for w in range(len(refs))]
+        return build_window_graphs(windows, k, min_qual, as_arrays=True)
+    node_off, edge_off, skip_n, nk5, nc, nw_, npos, es5, eu5, ew = got
+    results = []
+    for wid in range(len(refs)):
+        if skip_n[wid]:  # ref-N windows: exact host fallback
+            g = build_window_graph_oracle(
+                np.asarray(refs[wid]), ref_starts[wid], window_reads(wid),
+                k=k, min_qual=min_qual)
+            results.append(_graph_to_arrays(g))
+            continue
+        ns_ = slice(node_off[wid], node_off[wid + 1])
+        es_ = slice(edge_off[wid], edge_off[wid + 1])
+        results.append(dict(
+            node_keys=nk5[ns_], colours=nc[ns_], weights=nw_[ns_],
+            positions=npos[ns_], edge_start=es5[es_], edge_succ=eu5[es_],
+            edge_weight=ew[es_],
+        ))
+    return results
+
+
 def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     """Batched graph build over windows.
 

@@ -237,7 +237,7 @@ def bench_kmer(total_mb=250):
 # ---------------------------------------------------------------------------
 
 def bench_dbg(region_mb=2):
-    from genomicsbench_tpu.ops.dbg import build_window_graphs
+    from genomicsbench_tpu.ops.dbg import build_window_graphs_soa
 
     rng = np.random.default_rng(5)
     REG = region_mb * 1_000_000
@@ -245,32 +245,41 @@ def bench_dbg(region_mb=2):
     RL, COV = 150, 30
     n_reads = REG * COV // RL
     starts = np.sort(rng.integers(0, REG - RL, n_reads))
-    windows = []
+    # One shared read SoA (a read spanning two 750 bp-shift windows is the
+    # same physical read, as it would be coming out of a BAM): synthesize
+    # each read once, windows reference [lo, hi) ranges of the sorted rows.
+    seqs = np.empty((n_reads, RL), np.uint8)
+    for s in range(0, n_reads, 100_000):  # slab the mutation draw (RAM)
+        e = min(s + 100_000, n_reads)
+        blk = ref[starts[s:e, None] + np.arange(RL)].copy()
+        mut = rng.random((e - s, RL)) < 0.005
+        blk[mut] = rng.integers(0, 4, mut.sum())
+        seqs[s:e] = blk
+    quals_flat = np.full(n_reads * RL, 30, np.int32)
+    lens = np.full(n_reads, RL, np.int64)
     W, SHIFT = 1500, 750  # assemRegionShift = max(100, min(1000, 750))
-    read_at = starts
-    lo = 0
-    for wstart in range(0, REG - W + 1, SHIFT):
-        wend = wstart + W
-        while lo < n_reads and starts[lo] + RL <= wstart:
-            lo += 1
-        sel = []
-        i = lo
-        while i < n_reads and starts[i] < wend:
-            sel.append(i)
-            i += 1
-        reads = []
-        for i in sel:
-            seq = ref[starts[i] : starts[i] + RL].copy()
-            mut = rng.random(RL) < 0.005
-            seq[mut] = rng.integers(0, 4, mut.sum())
-            reads.append((seq, np.full(RL, 30, np.int64), False))
-        windows.append((ref[wstart:wend], wstart, reads))
-    kmers_total = sum((len(r[0]) - 14) * len(r[2]) + (len(r[0]) - 14)
-                      for r in windows)
+    wstarts = np.arange(0, REG - W + 1, SHIFT)
+    read_lo = np.searchsorted(starts + RL, wstarts, "right")
+    read_hi = np.searchsorted(starts, wstarts + W, "left")
+    refs = [ref[w : w + W] for w in wstarts]
+    kmers_total = int(((W - 14) * (read_hi - read_lo) + (W - 14)).sum())
+    # Two runs: the first faults in fresh allocator pages (and this VM's
+    # first-run CPU behavior is erratic, BASELINE.md "host timing");
+    # steady-state serving is the target, so the ratio uses the warm run.
     t0 = time.time()
-    graphs = build_window_graphs(windows, as_arrays=True)
+    graphs = build_window_graphs_soa(refs, wstarts, seqs.ravel(),
+                                     quals_flat, lens, read_lo, read_hi)
+    wall_cold = time.time() - t0
+    graphs = None  # release result views so the warm run reuses the pages
+    t0 = time.time()
+    graphs = build_window_graphs_soa(refs, wstarts, seqs.ravel(),
+                                     quals_flat, lens, read_lo, read_hi)
     wall = time.time() - t0
     n_nodes = sum(len(g["node_keys"]) for g in graphs)
+    windows = [(refs[w], int(wstarts[w]),
+                [(seqs[r], quals_flat[:RL].astype(np.int64), False)
+                 for r in range(read_lo[w], read_hi[w])])
+               for w in range(len(refs))]
 
     ref_wall = None
     bin_path = f"{REFBUILD}/dbg_gold"
@@ -295,7 +304,8 @@ def bench_dbg(region_mb=2):
                     ref_kernel += float(ln.split()[1])
         ref_wall = ref_kernel * len(windows) / len(sub)
     record(workload="dbg", n_windows=len(windows), kmers=kmers_total,
-           wall_s=round(wall, 2), windows_per_s=round(len(windows) / wall, 1),
+           wall_s=round(wall, 2), wall_cold_s=round(wall_cold, 2),
+           windows_per_s=round(len(windows) / wall, 1),
            n_nodes=n_nodes,
            ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
            speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))

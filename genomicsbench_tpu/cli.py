@@ -240,9 +240,12 @@ def cmd_dbg(args):
     chrom, se = args.region.rsplit(":", 1)
     beg, end = (int(x) for x in se.split("-"))
     t0 = _t()
-    graphs = dbg_from_bam(bam, fa, chrom, beg, end)
+    # chromosome-scale path: flat read SoA -> native ranged build; the
+    # reference ROI is build+destroy (debruijn.cpp:1429), so array dicts
+    # are the equivalent product
+    graphs = dbg_from_bam(bam, fa, chrom, beg, end, as_arrays=True)
     dt = _t() - t0
-    nodes = sum(g.node_count() for g in graphs)
+    nodes = sum(len(g["node_keys"]) for g in graphs)
     print(f"Kernel runtime: {dt:.2f} s  windows: {len(graphs)} nodes: {nodes}",
           file=sys.stderr)
 

@@ -524,13 +524,94 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     return results
 
 
+def _expand_ranges(starts, lengths):
+    """Flat gather index for ragged rows: concatenate(arange(s, s+L) per
+    row) without a per-row Python loop.  (Integer cumsum is pathologically
+    slow on this host — route through float64.)"""
+    starts = np.asarray(starts, np.int64)
+    lengths = np.asarray(lengths, np.int64)
+    out_off = np.concatenate(
+        [[0], np.cumsum(lengths.astype(np.float64)).astype(np.int64)])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, np.int64), out_off
+    return (np.repeat(starts - out_off[:-1], lengths)
+            + np.arange(total, dtype=np.int64)), out_off
+
+
+def _region_read_soa(bam, chrom: str, beg: int, end: int, min_mapq: int):
+    """Region reads as one flat SoA (seqs, quals, lens, pos) straight from
+    the native BAM chunk parser — no per-record objects or array slices.
+    Returns None when the reader has no SoA fast path."""
+    fetch_chunks = getattr(bam, "fetch_soa_chunks", None)
+    if fetch_chunks is None:
+        return None
+    s_parts, q_parts, l_parts, p_parts = [], [], [], []
+    try:
+        chunk_iter = list(fetch_chunks(chrom, beg, end))
+    except RuntimeError:  # native parser unavailable
+        return None
+    for soa, _buf, hit in chunk_iter:
+        if not len(hit):
+            continue
+        flag = soa["flag"][hit]
+        keep = hit[((flag & 0x200) == 0) & (soa["mapq"][hit] >= min_mapq)]
+        if not len(keep):
+            continue
+        so = soa["seq_off"]
+        lens = (so[keep + 1] - so[keep]).astype(np.int64)
+        idx, _ = _expand_ranges(so[keep].astype(np.int64), lens)
+        s_parts.append(soa["seqs"][idx])
+        q_parts.append(soa["quals"][idx])
+        l_parts.append(lens)
+        p_parts.append(soa["pos"][keep].astype(np.int64))
+    if not p_parts:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), np.zeros(0, np.int32), z, z
+    pos = np.concatenate(p_parts)
+    lens = np.concatenate(l_parts)
+    seqs_flat = np.concatenate(s_parts)
+    quals_flat = np.concatenate(q_parts).astype(np.int32)
+    # stable sort by start position == the record-object path's list.sort
+    order = np.argsort(pos, kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        off = np.concatenate(
+            [[0], np.cumsum(lens.astype(np.float64)).astype(np.int64)])
+        byte_idx, _ = _expand_ranges(off[order], lens[order])
+        seqs_flat = seqs_flat[byte_idx]
+        quals_flat = quals_flat[byte_idx]
+        pos, lens = pos[order], lens[order]
+    return seqs_flat, quals_flat, lens, pos
+
+
 def dbg_from_bam(bam, fasta_index, chrom: str, beg: int, end: int,
-                 k=K_DEFAULT, min_qual=20, min_mapq=20):
+                 k=K_DEFAULT, min_qual=20, min_mapq=20, as_arrays=False):
     """Window tiling + graph build from a BAM region, mirroring the
     reference driver (debruijn.cpp:1539-1584): 1500bp windows shifted by
     750, reference slice [start-1500, end+1500), window reads = reads whose
-    start position falls inside the window."""
+    start position falls inside the window.
+
+    as_arrays=True is the chromosome-scale path: the region's reads come
+    out of the native BAM parser as one flat SoA and feed
+    build_window_graphs_soa directly — no record objects, no per-window
+    read copies, and per-window array dicts instead of WindowGraph."""
     region_size, shift = 1500, 750
+    if as_arrays:
+        got = _region_read_soa(bam, chrom, beg, end, min_mapq)
+        if got is not None:
+            seqs_flat, quals_flat, lens, pos = got
+            a_starts = np.arange(beg, end, shift, dtype=np.int64)
+            a_ends = np.minimum(a_starts + region_size, end)
+            r_starts = np.maximum(0, a_starts - region_size)
+            r_ends = np.minimum(a_ends + region_size,
+                                fasta_index.length(chrom))
+            refs = [fasta_index.fetch(chrom, int(s), int(e))
+                    for s, e in zip(r_starts, r_ends)]
+            lo = np.searchsorted(pos, a_starts, "left")
+            hi = np.searchsorted(pos, a_ends, "left")
+            return build_window_graphs_soa(
+                refs, r_starts, seqs_flat, quals_flat, lens, lo, hi,
+                k=k, min_qual=min_qual)
     recs = [r for r in bam.fetch(chrom, beg, end)
             if not r.is_unmapped and not r.is_qcfail and r.mapq >= min_mapq]
     recs.sort(key=lambda r: r.pos)
@@ -544,7 +625,8 @@ def dbg_from_bam(bam, fasta_index, chrom: str, beg: int, end: int,
         hi = np.searchsorted(starts, a_end, "left")
         reads = [(recs[i].seq, recs[i].qual, False) for i in range(lo, hi)]
         windows.append((fasta_index.fetch(chrom, r_start, r_end), r_start, reads))
-    return build_window_graphs(windows, k=k, min_qual=min_qual)
+    return build_window_graphs(windows, k=k, min_qual=min_qual,
+                               as_arrays=as_arrays)
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,98 @@ def test_as_arrays_matches_dict_graphs():
         got_edges = {(int(s), int(t)): int(w) for s, t, w in
                      zip(a["edge_start"], a["edge_succ"], a["edge_weight"])}
         assert got_edges == {k: int(v) for k, v in g.edges.items()}
+
+
+def test_soa_build_matches_window_lists():
+    """build_window_graphs_soa over a shared read SoA with overlapping
+    [lo, hi) ranges must equal build_window_graphs(as_arrays=True) on the
+    materialized per-window lists — including the ref-N oracle fallback."""
+    from genomicsbench_tpu.ops.dbg import build_window_graphs_soa
+
+    rng = np.random.default_rng(23)
+    REG, RL, W, SHIFT = 20000, 120, 1500, 750
+    ref = rng.integers(0, 4, REG).astype(np.uint8)
+    n_reads = 800
+    starts = np.sort(rng.integers(0, REG - RL, n_reads))
+    seqs = ref[starts[:, None] + np.arange(RL)].copy()
+    mut = rng.random((n_reads, RL)) < 0.01
+    seqs[mut] = rng.integers(0, 4, mut.sum())
+    quals = rng.integers(10, 40, (n_reads, RL)).astype(np.int32)
+    lens = np.full(n_reads, RL, np.int64)
+    refs, rstarts, lo, hi, windows = [], [], [], [], []
+    for wstart in range(0, REG - W + 1, SHIFT):
+        a = int(np.searchsorted(starts + RL, wstart, "right"))
+        b = int(np.searchsorted(starts, wstart + W, "left"))
+        rw = ref[wstart:wstart + W].copy()
+        if len(refs) == 2:
+            rw[333] = 4  # ref-N window -> oracle fallback
+        refs.append(rw)
+        rstarts.append(wstart)
+        lo.append(a)
+        hi.append(b)
+        windows.append((rw, wstart,
+                        [(seqs[r], quals[r].astype(np.int64), False)
+                         for r in range(a, b)]))
+    got = build_window_graphs_soa(refs, rstarts, seqs.ravel(), quals.ravel(),
+                                  lens, lo, hi)
+    want = build_window_graphs(windows, as_arrays=True)
+    assert len(got) == len(want) and len(got) > 10
+    for i, (x, y) in enumerate(zip(got, want)):
+        for key in x:
+            assert np.array_equal(np.asarray(x[key]), np.asarray(y[key])), \
+                (i, key)
+
+
+def test_dbg_from_bam_soa_path(tmp_path):
+    """dbg_from_bam(as_arrays=True) — the chromosome-scale SoA route
+    through the native BAM chunk parser — must produce the same graphs as
+    the record-object route on an indexed multi-block BAM with filtered
+    (QC-fail / low-mapq / unmapped) records."""
+    from genomicsbench_tpu.io.bam import (
+        BamFile, BamRecord, IndexedBam, write_bai, write_bam,
+    )
+    from genomicsbench_tpu.ops.dbg import _graph_to_arrays, dbg_from_bam
+
+    rng = np.random.default_rng(31)
+    REG = 60000
+    ref = rng.integers(0, 4, REG).astype(np.uint8)
+    recs = []
+    for i in range(2500):
+        ln = int(rng.integers(60, 151))
+        pos = int(rng.integers(0, REG - ln))
+        seq = ref[pos:pos + ln].copy()
+        seq[rng.integers(0, ln, 2)] = rng.integers(0, 4, 2)
+        flag = 0
+        if i % 37 == 0:
+            flag |= 0x200  # QC fail: must be dropped by both routes
+        mapq = 50 if i % 11 else 5  # low mapq: dropped
+        recs.append(BamRecord(
+            name=f"r{i}", flag=flag, ref_id=0, pos=pos, mapq=mapq,
+            cigar=[("M", ln)], seq=seq,
+            qual=rng.integers(10, 40, ln).astype(np.uint8)))
+    recs.sort(key=lambda r: r.pos)
+    bam = BamFile(header_text="@HD\tVN:1.6\n", ref_names=["chr1"],
+                  ref_lens=[REG], records=recs)
+    p = tmp_path / "dbg.bam"
+    write_bam(str(p), bam)
+    write_bai(str(p))
+
+    class FaStub:
+        def length(self, name):
+            return REG
+
+        def fetch(self, name, s, e):
+            return ref[s:e]
+
+    ib = IndexedBam(str(p))
+    got = dbg_from_bam(ib, FaStub(), "chr1", 3000, 21000, as_arrays=True)
+    want = [_graph_to_arrays(g) for g in
+            dbg_from_bam(IndexedBam(str(p)), FaStub(), "chr1", 3000, 21000)]
+    assert len(got) == len(want) and len(got) > 10
+    total_nodes = 0
+    for i, (x, y) in enumerate(zip(got, want)):
+        for key in x:
+            assert np.array_equal(np.asarray(x[key]), np.asarray(y[key])), \
+                (i, key)
+        total_nodes += len(x["node_keys"])
+    assert total_nodes > 1000

@@ -139,6 +139,20 @@ class FmdIndex:
         return pos.astype(np.int64), is_rev
 
 
+def _ragged_cols(count) -> np.ndarray:
+    """[arange(c) for c in count] flattened, without the per-lane Python
+    loop (B=65k lanes/batch made the loop a measurable host cost).  The
+    cumsum routes through float64 — integer cumsum is pathologically slow
+    on this host (BASELINE.md measurement notes)."""
+    count = np.asarray(count, np.int64)
+    total = int(count.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    off = np.concatenate(
+        [[0], np.cumsum(count.astype(np.float64)).astype(np.int64)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(off, count)
+
+
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return (np.uint8(3) - codes[::-1])  # uint8 throughout: codes are 0..3
 
@@ -618,9 +632,7 @@ class FmiPipeline:
             count = np.where(ovf, 0, count)
             sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
             rid = np.repeat(np.arange(B), count)
-            cols = np.concatenate(
-                [np.arange(cc) for cc in count]).astype(np.int64) \
-                if len(rid) else np.zeros(0, np.int64)
+            cols = _ragged_cols(count)
             m, e = sm_m[rid, cols], sm_e[rid, cols]
             k, s = self._spans_intervals(query, qlen, rid, m, e)
             n = e - 1
@@ -667,8 +679,7 @@ class FmiPipeline:
                 return self._pass1_etable(query, qlen)
         sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
         rid = np.repeat(np.arange(B), count)
-        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
-            if len(rid) else np.zeros(0, np.int64)
+        cols = _ragged_cols(count)
         m = sm_m[rid, cols]
         return _mk_smem(rid, m, sm_e[rid, cols] - 1, sm_k[rid, cols],
                         sm_s[rid, cols])
@@ -723,9 +734,7 @@ class FmiPipeline:
             count = np.where(ovf[:P], 0, count[:P])
             sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
             pi = np.repeat(np.arange(P), count)
-            cols = np.concatenate(
-                [np.arange(c) for c in count]).astype(np.int64) \
-                if len(pi) else np.zeros(0, np.int64)
+            cols = _ragged_cols(count)
             m, e = sm_m[pi, cols], sm_e[pi, cols]
             k, s = self._spans_intervals(pq, plen, pi, m, e)
             rid_out = prid[pi]
@@ -756,7 +765,7 @@ class FmiPipeline:
                                       mintv[: len(prid)])
         sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
         pi = np.repeat(np.arange(P), count[:P])
-        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
+        cols = _ragged_cols(count) \
             if len(pi) else np.zeros(0, np.int64)
         pi2, m, n, k, s = self._sort_by_start(
             pi, sm_m[pi, cols], sm_e[pi, cols] - 1,
@@ -800,7 +809,7 @@ class FmiPipeline:
         em_rid = np.repeat(np.arange(B), count)
         if len(em_rid) == 0:
             return _mk_smem([], [], [], [], [])
-        cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64)
+        cols = _ragged_cols(count)
         em_mn = em_mn_a[em_rid, cols].astype(np.int64)
         em_m = em_mn & 0xFFFF
         em_n = em_mn >> 16

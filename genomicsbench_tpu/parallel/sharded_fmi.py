@@ -50,7 +50,7 @@ def pass1_sharded_table(mesh: Mesh, index, query, qlen, min_seed_len=19):
     """SMEM pass 1 with the occ table sharded over the mesh's "data" axis.
     Same SMEMs as FmiPipeline.pass1 on one device."""
     from genomicsbench_tpu.ops.fmi import (
-        ShardedOccTable, _mk_smem, _pass1_jump,
+        ShardedOccTable, _mk_smem, _pass1_jump, _ragged_cols,
     )
 
     query = np.asarray(query)
@@ -79,8 +79,7 @@ def pass1_sharded_table(mesh: Mesh, index, query, qlen, min_seed_len=19):
     assert int(rounds) < max_rounds
     sm_m, sm_e = sm_me & 0xFFFF, sm_me >> 16
     rid = np.repeat(np.arange(B), count)
-    cols = np.concatenate([np.arange(c) for c in count]).astype(np.int64) \
-        if len(rid) else np.zeros(0, np.int64)
+    cols = _ragged_cols(count)
     m = sm_m[rid, cols]
     return _mk_smem(rid, m, sm_e[rid, cols] - 1, sm_k[rid, cols],
                     sm_s[rid, cols])

@@ -211,7 +211,8 @@ def _build_window_graphs_native(windows, k, min_qual):
 
 
 def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
-                            read_lo, read_hi, k=K_DEFAULT, min_qual=20):
+                            read_lo, read_hi, k=K_DEFAULT, min_qual=20,
+                            chunk_windows=8192):
     """Chromosome-scale as_arrays graph build over a SHARED read SoA.
 
     refs: list of (L,) uint8 ref window slices; window w consumes read
@@ -221,13 +222,28 @@ def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
     spanning several 750 bp-shift windows is stored once, not copied per
     window.  QC-fail reads must already be filtered out.  Returns the
     same per-window array dicts as build_window_graphs(as_arrays=True);
-    marshalling is O(n_windows), every per-mention pass runs in C."""
+    marshalling is O(n_windows), every per-mention pass runs in C.
+
+    chunk_windows bounds the per-call output capacity arrays: a whole
+    chromosome in one call allocated ~55 GB of caps at 50 Mb @ 30x and
+    page-faulting them cost more than the kernel.  The read SoA is shared
+    across chunks (never copied); only the per-chunk outputs shrink."""
     from genomicsbench_tpu import native
 
     lens = np.ascontiguousarray(lens, np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
     read_lo = np.ascontiguousarray(read_lo, np.int64)
     read_hi = np.ascontiguousarray(read_hi, np.int64)
+    nw = len(refs)
+    if chunk_windows and nw > chunk_windows:
+        out = []
+        for c0 in range(0, nw, chunk_windows):
+            c1 = min(c0 + chunk_windows, nw)
+            out.extend(build_window_graphs_soa(
+                refs[c0:c1], ref_starts[c0:c1], seqs_flat, quals_flat,
+                lens, read_lo[c0:c1], read_hi[c0:c1], k=k,
+                min_qual=min_qual, chunk_windows=0))
+        return out
     got = native.dbg_build_soa(
         [np.ascontiguousarray(r, np.uint8) for r in refs], ref_starts,
         seqs_flat, quals_flat, offs, lens, read_lo, read_hi, k, min_qual)

@@ -250,3 +250,29 @@ def test_dbg_from_bam_soa_path(tmp_path):
                 (i, key)
         total_nodes += len(x["node_keys"])
     assert total_nodes > 1000
+
+
+def test_soa_build_chunked_equals_single_call():
+    """chunk_windows (caps-memory bounding) must not change any output."""
+    from genomicsbench_tpu.ops.dbg import build_window_graphs_soa
+
+    rng = np.random.default_rng(5)
+    REG, RL, W, SHIFT = 12000, 100, 1500, 750
+    ref = rng.integers(0, 4, REG).astype(np.uint8)
+    n_reads = 500
+    starts = np.sort(rng.integers(0, REG - RL, n_reads))
+    seqs = ref[starts[:, None] + np.arange(RL)].copy()
+    quals = rng.integers(10, 40, (n_reads, RL)).astype(np.int32)
+    lens = np.full(n_reads, RL, np.int64)
+    wst = np.arange(0, REG - W + 1, SHIFT)
+    lo = np.searchsorted(starts + RL, wst, "right")
+    hi = np.searchsorted(starts, wst + W, "left")
+    refs = [ref[w:w + W] for w in wst]
+    one = build_window_graphs_soa(refs, wst, seqs.ravel(), quals.ravel(),
+                                  lens, lo, hi, chunk_windows=0)
+    chk = build_window_graphs_soa(refs, wst, seqs.ravel(), quals.ravel(),
+                                  lens, lo, hi, chunk_windows=4)
+    assert len(one) == len(chk) > 4
+    for x, y in zip(one, chk):
+        for key in x:
+            assert np.array_equal(np.asarray(x[key]), np.asarray(y[key]))

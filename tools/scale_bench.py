@@ -276,39 +276,56 @@ def bench_dbg(region_mb=2):
                                      quals_flat, lens, read_lo, read_hi)
     wall = time.time() - t0
     n_nodes = sum(len(g["node_keys"]) for g in graphs)
-    windows = [(refs[w], int(wstarts[w]),
-                [(seqs[r], quals_flat[:RL].astype(np.int64), False)
-                 for r in range(read_lo[w], read_hi[w])])
-               for w in range(len(refs))]
+    nw = len(refs)
 
-    ref_wall = None
+    # Paired A/B ratio on a 5% window subset: this host's speed drifts
+    # 1.5-2x over the minutes a full run takes, so "our full wall" vs
+    # "ref timed afterwards" swung the ratio 0.6x-1.3x run to run.
+    # Interleaving ours and the reference in adjacent time slices on the
+    # SAME windows keeps the drift common-mode (the pileup bench lesson).
+    ref_wall = speedup = ours_sub = ref_sub = None
     bin_path = f"{REFBUILD}/dbg_gold"
     if os.path.exists(bin_path):
         b2c = np.array(list("ACGTN"))
-        sub = windows[: max(1, len(windows) // 20)]
-        # -t times ONLY the reference's own per-window kernel scope
-        # (create + loadReference + loadBAMData, debruijn.cpp:1389-1432);
-        # ours additionally runs cycle detection and array extraction
-        ref_kernel = 0.0
-        for wref, wstart, reads in sub:
-            lines = [f"15 20 {wstart}", "".join(b2c[wref]), str(len(reads))]
-            for seq, quals, _ in reads:
-                lines.append(f"{wstart} 0 " + "".join(b2c[seq]))
-                lines.append(" ".join(map(str, quals)))
-            path = f"{SCRATCH}/dbg_w.in"
-            open(path, "w").write("\n".join(lines) + "\n")
-            pr = subprocess.run([bin_path, path, "-t"], capture_output=True,
-                                text=True, check=True)
-            for ln in pr.stderr.splitlines():
-                if ln.startswith("KERNEL_S"):
-                    ref_kernel += float(ln.split()[1])
-        ref_wall = ref_kernel * len(windows) / len(sub)
-    record(workload="dbg", n_windows=len(windows), kmers=kmers_total,
+        nsub = max(1, nw // 20)
+        bounds = np.linspace(0, nsub, min(8, nsub) + 1).astype(int)
+        ours_sub = ref_sub = 0.0
+        for g in range(len(bounds) - 1):
+            a, b = int(bounds[g]), int(bounds[g + 1])
+            if a == b:
+                continue
+            t0 = time.time()
+            build_window_graphs_soa(refs[a:b], wstarts[a:b], seqs.ravel(),
+                                    quals_flat, lens, read_lo[a:b],
+                                    read_hi[a:b])
+            ours_sub += time.time() - t0
+            # -t times ONLY the reference's own per-window kernel scope
+            # (create + loadReference + loadBAMData, debruijn.cpp:1389-1432)
+            for w in range(a, b):
+                wstart = int(wstarts[w])
+                lines = [f"15 20 {wstart}", "".join(b2c[refs[w]]),
+                         str(int(read_hi[w] - read_lo[w]))]
+                for r in range(read_lo[w], read_hi[w]):
+                    lines.append(f"{wstart} 0 " + "".join(b2c[seqs[r]]))
+                    lines.append(" ".join(["30"] * RL))
+                path = f"{SCRATCH}/dbg_w.in"
+                open(path, "w").write("\n".join(lines) + "\n")
+                pr = subprocess.run([bin_path, path, "-t"],
+                                    capture_output=True, text=True,
+                                    check=True)
+                for ln in pr.stderr.splitlines():
+                    if ln.startswith("KERNEL_S"):
+                        ref_sub += float(ln.split()[1])
+        speedup = ref_sub / ours_sub
+        ref_wall = ref_sub * nw / nsub
+    record(workload="dbg", n_windows=nw, kmers=kmers_total,
            wall_s=round(wall, 2), wall_cold_s=round(wall_cold, 2),
-           windows_per_s=round(len(windows) / wall, 1),
+           windows_per_s=round(nw / wall, 1),
            n_nodes=n_nodes,
            ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
-           speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))
+           ours_sub_s=(round(ours_sub, 2) if ours_sub else None),
+           ref_sub_s=(round(ref_sub, 2) if ref_sub else None),
+           speedup_vs_ref_1t=(round(speedup, 2) if speedup else None))
 
 
 # ---------------------------------------------------------------------------

@@ -46,3 +46,16 @@ if not _os.environ.get("GENOMICSBENCH_NO_COMPILE_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 - cache is best-effort
         pass
+
+# Honor JAX_PLATFORMS even where a site customization registers a
+# preferred backend plugin that overrides the env var (this machine's
+# tunneled-TPU site does): an explicit `JAX_PLATFORMS=cpu gbench ...`
+# must run on the CPU backend — with the tunnel down, the pinned backend
+# hangs at first dispatch.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001
+        pass

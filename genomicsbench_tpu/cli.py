@@ -351,7 +351,12 @@ def cmd_nn_variant(args):
     from genomicsbench_tpu.models import variant_caller as vc
 
     cfg = vc.ClairConfig()
-    params = vc.init_params(jax.random.key(0), cfg)
+    if args.chkpnt_fn:
+        # Clair's --chkpnt_fn: a TF V2 checkpoint prefix
+        # (prediction.py:66 restore_parameters)
+        params = vc.load_tf_checkpoint(args.chkpnt_fn, cfg)
+    else:
+        params = vc.init_params(jax.random.key(0), cfg)
     batches = read_batches(args.input_fn)
     t0 = _t()
     outs = vc.predict_batches(params, [x for x, _ in batches], cfg)
@@ -573,6 +578,8 @@ def build_parser():
     s = sub.add_parser("nn-variant", help="neural variant calling")
     s.add_argument("--input_fn", required=True)
     s.add_argument("--output_fn")
+    s.add_argument("--chkpnt_fn",
+                   help="TF V2 checkpoint prefix (Clair weights)")
     s.set_defaults(fn=cmd_nn_variant)
 
     s = sub.add_parser("call-methylation", help="CpG methylation calling")

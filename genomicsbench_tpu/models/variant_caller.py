@@ -292,6 +292,83 @@ def param_count(params) -> int:
 
 
 # ---------------------------------------------------------------------------
+# TF checkpoint restore (the reference loads Clair weights with
+# tf.train.Saver.restore, clair/model.py:1030 / prediction.py:66; the
+# CPU graph builds CudnnCompatibleLSTMCells under
+# stack_bidirectional_dynamic_rnn, model.py:300-312, so the checkpoint
+# carries fused (I+H, 4H) kernels in TF's (i, j, f, o) gate order)
+# ---------------------------------------------------------------------------
+
+_TF_LSTM_VAR = ("{scope}/stack_bidirectional_rnn/cell_0/bidirectional_rnn/"
+                "{direction}/cudnn_compatible_lstm_cell/{var}")
+_TF_HEAD_VARS = (  # model.py:581-620, scope "Prediction"
+    "Y_base_change_logits",
+    "Y_genotype_logits",
+    "Y_indel_length_logits_1",
+    "Y_indel_length_logits_2",
+)
+
+
+def clair_flat_from_tf(bundle: dict, cfg: ClairConfig) -> dict:
+    """Map a Clair TF tensor-bundle ({tf_var_name: ndarray}) to the flat
+    layout `import_weights` takes.  Conversions:
+
+    * LSTM kernels: TF stores one fused (I+H, 4H) kernel per direction
+      with gate blocks ordered (i, j, f, o) (rnn_cell_impl.LSTMCell;
+      CudnnCompatibleLSTMCell sets forget_bias=0, matching our no-offset
+      convention).  Split rows into wx/wh and permute gate blocks to our
+      (i, f, g, o) with g = TF's j (the cell candidate).
+    * L3: gather the 2H per-channel "Unit_i" (T, U) kernels into our
+      stacked (2H, T, U) tensor (slice_dense_layer, model.py:226-263).
+    * Dense layers/heads: TF "kernel" is already (in, out) like our "w".
+    """
+    H = cfg.lstm_units
+    perm = np.concatenate([
+        np.arange(0, H),           # i
+        np.arange(2 * H, 3 * H),   # f  (TF block 2)
+        np.arange(H, 2 * H),       # g = TF j (block 1)
+        np.arange(3 * H, 4 * H),   # o
+    ])
+    flat = {}
+    for li, scope in ((1, "LSTM1"), (2, "LSTM2")):
+        in_dim = cfg.input_feats if li == 1 else 2 * H
+        for d in ("fw", "bw"):
+            k = np.asarray(bundle[_TF_LSTM_VAR.format(
+                scope=scope, direction=d, var="kernel")])
+            b = np.asarray(bundle[_TF_LSTM_VAR.format(
+                scope=scope, direction=d, var="bias")])
+            assert k.shape == (in_dim + H, 4 * H), (scope, d, k.shape)
+            k = k[:, perm]
+            flat[f"lstm{li}_{d}/wx"] = k[:in_dim]
+            flat[f"lstm{li}_{d}/wh"] = k[in_dim:]
+            flat[f"lstm{li}_{d}/b"] = b[perm]
+    h2 = 2 * H
+    flat["l3/w"] = np.stack(
+        [np.asarray(bundle[f"L3/Unit_{i}/kernel"]) for i in range(h2)])
+    flat["l3/b"] = np.stack(
+        [np.asarray(bundle[f"L3/Unit_{i}/bias"]) for i in range(h2)])
+    flat["l4/w"] = np.asarray(bundle["L4/kernel"])
+    flat["l4/b"] = np.asarray(bundle["L4/bias"])
+    for i, name in enumerate(HEAD_NAMES):
+        flat[f"l5_{name}/w"] = np.asarray(bundle[f"L5_{i+1}/kernel"])
+        flat[f"l5_{name}/b"] = np.asarray(bundle[f"L5_{i+1}/bias"])
+        tf_head = f"Prediction/{_TF_HEAD_VARS[i]}"
+        flat[f"head_{name}/w"] = np.asarray(bundle[f"{tf_head}/kernel"])
+        flat[f"head_{name}/b"] = np.asarray(bundle[f"{tf_head}/bias"])
+    return flat
+
+
+def load_tf_checkpoint(prefix: str, cfg: ClairConfig):
+    """Restore Clair params from a TF V2 checkpoint prefix (the
+    `{prefix}.index` + `{prefix}.data-*` pair the reference's
+    `restore_parameters(chkpnt_fn)` takes)."""
+    from ..io.tf_checkpoint import read_tensor_bundle
+
+    return import_weights(clair_flat_from_tf(read_tensor_bundle(prefix), cfg),
+                          cfg)
+
+
+# ---------------------------------------------------------------------------
 # training (reference: clair/model.py — default_loss_function = "FocalLoss"
 # (param.py:29), focal_loss at model.py:783-805, task_loss_weights
 # model.py:64-70, Adam @ 1e-3 param.py:17-28, L2 lambda 0.005 param.py:23)

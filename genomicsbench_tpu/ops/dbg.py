@@ -212,7 +212,7 @@ def _build_window_graphs_native(windows, k, min_qual):
 
 def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
                             read_lo, read_hi, k=K_DEFAULT, min_qual=20,
-                            chunk_windows=8192):
+                            chunk_windows=8192, offs=None):
     """Chromosome-scale as_arrays graph build over a SHARED read SoA.
 
     refs: list of (L,) uint8 ref window slices; window w consumes read
@@ -231,7 +231,14 @@ def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
     from genomicsbench_tpu import native
 
     lens = np.ascontiguousarray(lens, np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    if offs is None:
+        # integer np.cumsum is pathologically slow on some hosts
+        # (BASELINE.md "host timing"; ~1 s per 10 M int64 rows here);
+        # float64 is exact below 2^53 total bases.  Callers looping over
+        # window subsets of one big SoA should precompute and pass offs.
+        offs = np.zeros(len(lens), np.int64)
+        if len(lens) > 1:
+            np.cumsum(lens[:-1], dtype=np.float64, out=offs[1:])
     read_lo = np.ascontiguousarray(read_lo, np.int64)
     read_hi = np.ascontiguousarray(read_hi, np.int64)
     nw = len(refs)
@@ -242,7 +249,7 @@ def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
             out.extend(build_window_graphs_soa(
                 refs[c0:c1], ref_starts[c0:c1], seqs_flat, quals_flat,
                 lens, read_lo[c0:c1], read_hi[c0:c1], k=k,
-                min_qual=min_qual, chunk_windows=0))
+                min_qual=min_qual, chunk_windows=0, offs=offs))
         return out
     got = native.dbg_build_soa(
         [np.ascontiguousarray(r, np.uint8) for r in refs], ref_starts,
@@ -349,7 +356,11 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
         from genomicsbench_tpu import native
 
         lens_all = np.array([len(s) for _, s, _, _ in read_entries], np.int64)
-        offs_all = np.concatenate([[0], np.cumsum(lens_all)])[:-1]
+        # float64 route: integer cumsum is pathologically slow on some
+        # hosts (exact below 2^53 total bases)
+        offs_all = np.zeros(len(lens_all), np.int64)
+        if len(lens_all) > 1:
+            np.cumsum(lens_all[:-1], dtype=np.float64, out=offs_all[1:])
         seqs_flat = np.concatenate([s for _, s, _, _ in read_entries])
         quals_flat = np.concatenate(
             [q for _, _, q, _ in read_entries]).astype(np.int32)

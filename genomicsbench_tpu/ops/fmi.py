@@ -454,7 +454,12 @@ class FmiPipeline:
         # these meaningful); scale benches report them so regressions in
         # one pass are visible without a profiler
         self.phase_s = {"pass1": 0.0, "pass2": 0.0, "pass3": 0.0,
-                        "spans": 0.0}
+                        "spans": 0.0,
+                        # finer splits (subsets of the pass walls above):
+                        # *_walk = the jitted SMEM-walk dispatch+fetch;
+                        # p3_nxt = host next-ambiguous-base table
+                        "p1_walk": 0.0, "p2_walk": 0.0, "p3_walk": 0.0,
+                        "p3_nxt": 0.0, "p3_ext": 0.0}
         # with a mesh, read batches shard over its "data" axis (the index
         # tables replicate) and the jump kernels compile SPMD -- the
         # multi-chip analog of fmi.cpp's dynamic OpenMP batch loop.
@@ -620,6 +625,7 @@ class FmiPipeline:
         B, L = query.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L  # ~3-4 extension steps/base typical
+            t0 = time.perf_counter()
             sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(query),
                 self._put(qlen.astype(np.int32)),
@@ -627,6 +633,7 @@ class FmiPipeline:
                 self._put(np.zeros(B, np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
             ))
+            self.phase_s["p1_walk"] += time.perf_counter() - t0
             if int(rounds) >= max_rounds:
                 return self._pass1_etable(query, qlen)
             count = np.where(ovf, 0, count)
@@ -718,6 +725,7 @@ class FmiPipeline:
         P, L = pq.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L
+            t0 = time.perf_counter()
             sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
                 self._put(mintv.astype(np.int32)),
@@ -725,6 +733,7 @@ class FmiPipeline:
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
                 has_pivot=True,
             ))
+            self.phase_s["p2_walk"] += time.perf_counter() - t0
             if pad:
                 P = P - pad
             if int(rounds) >= max_rounds:
@@ -792,19 +801,23 @@ class FmiPipeline:
         B, L = query.shape
         n_arr = qlen.astype(np.int64)
         min_len = self.min_seed_len + 1
+        t0 = time.perf_counter()
         is_n = query >= 4
         nxt = np.full((B, L + 1), 0, np.int64)
         nxt[:, L] = n_arr
         for p in range(L - 1, -1, -1):
             nxt[:, p] = np.where(is_n[:, p], p, nxt[:, p + 1])
         nxt = np.minimum(nxt, n_arr[:, None])
+        self.phase_s["p3_nxt"] += time.perf_counter() - t0
 
         max_rounds = 32 * L  # flat walk: cap counts extension BASES
+        t0 = time.perf_counter()
         em_mn_a, count, rounds = jax.device_get(_pass3_jump(
             *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
             self._put(nxt.astype(np.int32)), self.max_mem_intv,
             min_len=min_len, max_rounds=max_rounds,
         ))
+        self.phase_s["p3_walk"] += time.perf_counter() - t0
         assert int(rounds) < max_rounds  # walk advances >= 1/round: always terminates
         em_rid = np.repeat(np.arange(B), count)
         if len(em_rid) == 0:
@@ -814,11 +827,13 @@ class FmiPipeline:
         em_m = em_mn & 0xFFFF
         em_n = em_mn >> 16
         # interval of [x, i*+1), no floor (s may legitimately reach 0)
+        t0 = time.perf_counter()
         e, k, s = self._extend(
             query[em_rid], qlen[em_rid], em_m,
             np.zeros(len(em_rid), np.int32), em_n + 1,
             steps=int((em_n - em_m).max() + 1),
         )
+        self.phase_s["p3_ext"] += time.perf_counter() - t0
         return _mk_smem(em_rid, em_m, em_n, k, s)
 
     def run(self, query, qlen):

@@ -411,7 +411,10 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
     )
     rid, _ = np.nonzero(mask)
     reps = canon[mask]
-    offs = np.concatenate([[0], np.cumsum(lengths.astype(np.int64))])
+    # float64-routed cumsum (exact < 2^53): integer cumsum is
+    # pathologically slow on some hosts
+    offs = np.concatenate(
+        [[0], np.cumsum(lengths, dtype=np.float64)]).astype(np.int64)
     gpos = offs[rid] + pos_std[mask].astype(np.int64)
 
     order = np.lexsort((gpos, reps))

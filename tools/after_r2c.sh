@@ -15,4 +15,8 @@ done
 echo "$(date +%H:%M:%S) rerun_r2c finished; running fmi phase probe"
 timeout 3000 python tools/fmi_phase_probe.py 3 > "$LOG/fmi_probe.log" 2>&1
 tail -20 "$LOG/fmi_probe.log"
+echo "=== fmi probe with in-walk (k,s) emission (no spans post-pass) ==="
+GENOMICSBENCH_FMI_EMIT_KS=1 timeout 3000 python tools/fmi_phase_probe.py 3 \
+    > "$LOG/fmi_probe_emitks.log" 2>&1
+tail -20 "$LOG/fmi_probe_emitks.log"
 echo "=== after_r2c done ==="

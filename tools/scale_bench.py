@@ -227,7 +227,7 @@ def bench_kmer(total_mb=250):
     record(workload="kmer-cnt", total_bases=total_bases, k=k,
            wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
            unique=uniq, total=tot,
-           ref_1t_bases_per_s=(round(ref_rate, -6) if ref_wall else None),
+           ref_1t_bases_per_s=(round(ref_rate, -3) if ref_wall else None),
            speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 1)
                               if ref_wall else None))
 

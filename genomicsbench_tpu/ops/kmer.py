@@ -431,12 +431,14 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
 
     kmers = uniq[keep]
     kept_counts = counts[keep]
-    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
-    positions = np.empty(int(kept_counts.sum()), np.int64)
-    out_at = 0
-    for s, c in zip(starts[keep], kept_counts):
-        positions[out_at : out_at + c] = gpos[s : s + c]
-        out_at += c
+    offsets = np.concatenate(
+        [[0], np.cumsum(kept_counts, dtype=np.float64)]).astype(np.int64)
+    # gather the kept groups' position runs in one vectorized pass (the
+    # groups are contiguous in the (reps, gpos) sort; a python loop here
+    # was O(#unique kmers) interpreter time at genome scale)
+    seg = np.arange(offsets[-1], dtype=np.int64) \
+        - np.repeat(offsets[:-1], kept_counts)
+    positions = gpos[np.repeat(starts[keep], kept_counts) + seg]
     return MinimizerIndex(
         kmers=kmers, offsets=offsets, positions=positions,
         repetitive=repetitive, mean_frequency=float(mean_freq),

@@ -135,6 +135,20 @@ def revcomp(repr32, k: int):
     return x >> U32(32 - 2 * k)
 
 
+def _revcomp_np(repr32, k: int):
+    """Host (numpy) twin of `revcomp` — identical butterfly bit math;
+    used on paths where a per-call device dispatch would dominate."""
+    x = (~np.asarray(repr32, np.uint32)) & np.uint32((1 << (2 * k)) - 1)
+    x = ((x & np.uint32(0x33333333)) << np.uint32(2)) \
+        | ((x & np.uint32(0xCCCCCCCC)) >> np.uint32(2))
+    x = ((x & np.uint32(0x0F0F0F0F)) << np.uint32(4)) \
+        | ((x & np.uint32(0xF0F0F0F0)) >> np.uint32(4))
+    x = ((x & np.uint32(0x00FF00FF)) << np.uint32(8)) \
+        | ((x & np.uint32(0xFF00FF00)) >> np.uint32(8))
+    x = (x << np.uint32(16)) | (x >> np.uint32(16))
+    return x >> np.uint32(32 - 2 * k)
+
+
 def canonical(repr32, k: int):
     rc = revcomp(repr32, k)
     return jnp.minimum(repr32, rc)
@@ -464,24 +478,23 @@ def yield_frequent_kmers(codes, length, k, global_freq_lookup,
     order."""
     codes = np.asarray(codes[:length])
     k_ = k
-    fwd = np.zeros(max(length - k_ + 1, 0), np.uint32)
-    if len(fwd) == 0:
+    n_km = length - k_ + 1
+    if n_km <= 1:  # <=1: the final k-mer is excluded below anyway
         return (np.zeros(0, np.int64), np.zeros(0, np.uint32),
                 np.zeros(0, np.uint32), np.zeros(0, np.int64))
-    v = 0
-    mask = (1 << (2 * k_)) - 1
-    out = []
-    for i, c in enumerate(codes):
-        v = ((v << 2) | int(c)) & mask
-        if i >= k_ - 1:
-            out.append(v)
+    # vectorized Horner roll (a per-base python loop measured as the
+    # whole metagenome-mode wall at scale); the per-step mask replicates
+    # the scalar transliteration bit-for-bit, including how an ambiguous
+    # code (4) bleeds into the neighboring 2-bit group (kmer.h pack
+    # semantics — the reference does the same)
+    mask = np.uint32((1 << (2 * k_)) - 1)
+    acc = np.zeros(n_km, np.uint32)
+    for j in range(k_):
+        acc = ((acc << np.uint32(2)) | codes[j:j + n_km].astype(np.uint32)) \
+            & mask
     # IterKmers excludes the read's final k-mer (kmer.h:193-198)
-    out = out[:-1]
-    if not out:
-        return (np.zeros(0, np.int64), np.zeros(0, np.uint32),
-                np.zeros(0, np.uint32), np.zeros(0, np.int64))
-    fwd = np.array(out, np.uint32)
-    rc = np.asarray(jax.device_get(revcomp(jnp.asarray(fwd), k_)))
+    fwd = acc[:-1]
+    rc = _revcomp_np(fwd, k_)
     canon = np.minimum(fwd, rc)
     freqs = global_freq_lookup(canon)
     order_desc = np.sort(freqs)[::-1]

@@ -88,7 +88,34 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def chip_reachable(timeout_s=240):
+    """Probe the device backend in a subprocess: with the TPU tunnel down
+    a first dispatch hangs indefinitely (no error), which would hang the
+    whole bench.  A trivial dispatch either completes (possibly slowly —
+    remote compile) or we report honestly instead of hanging."""
+    try:
+        pr = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.device_get(jnp.ones((8, 8)).sum()); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "ok" in pr.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
+    if not chip_reachable():
+        print(json.dumps({
+            "metric": "bsw_dp_cells_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "Gcells/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (TPU tunnel down); "
+                     "no measurement taken — see BASELINE.md for the "
+                     "last healthy-link numbers",
+        }))
+        return
     qs, ts, h0s = gen_workload(100_000)
     batch = as_pairbatch(qs, ts, h0s)
     cells = batch.cells()

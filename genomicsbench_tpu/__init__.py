@@ -48,14 +48,23 @@ if not _os.environ.get("GENOMICSBENCH_NO_COMPILE_CACHE"):
         pass
 
 # Honor JAX_PLATFORMS even where a site customization registers a
-# preferred backend plugin that overrides the env var (this machine's
-# tunneled-TPU site does): an explicit `JAX_PLATFORMS=cpu gbench ...`
-# must run on the CPU backend — with the tunnel down, the pinned backend
-# hangs at first dispatch.
+# preferred backend plugin that pins the platform config at interpreter
+# start (this machine's tunneled-TPU site sets jax_platforms="axon,cpu",
+# ignoring the env var): an explicit `JAX_PLATFORMS=cpu gbench ...` must
+# run on the CPU backend — with the tunnel down the pinned backend hangs
+# at first dispatch.  Only the site pin is overridden: if the embedding
+# application already config-updated jax_platforms itself (conftest,
+# tools/scale_bench.py GENOMICSBENCH_CPU), that explicit choice wins,
+# and the session-default env value ("axon", inherited by every
+# process) is never re-applied over it.
 if _os.environ.get("JAX_PLATFORMS"):
     try:
         import jax as _jax
 
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _want = _os.environ["JAX_PLATFORMS"]
+        _cur = getattr(_jax.config, "jax_platforms", None)
+        if _cur in (None, "", "axon,cpu") \
+                and _want not in ("axon", "axon,cpu"):
+            _jax.config.update("jax_platforms", _want)
     except Exception:  # noqa: BLE001
         pass

@@ -60,6 +60,24 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    if (mode == "unevenq") {
+        // timing mode for the metagenome index: countKmers +
+        // buildIndexUnevenCoverage (vertex_index.cpp:25-125), the same
+        // scope our build_index_uneven_coverage covers; no output dump
+        int minFreq = argc > 5 ? atoi(argv[5]) : 2;
+        double selectRate = argc > 6 ? atof(argv[6]) : 0.01;
+        int tandemFreq = argc > 7 ? atoi(argv[7]) : 10;
+        VertexIndex index(reads, (int)Config::get("assemble_kmer_sample"));
+        auto t0 = std::chrono::steady_clock::now();
+        index.countKmers();
+        index.buildIndexUnevenCoverage(minFreq, (float)selectRate,
+                                       tandemFreq);
+        double secs = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        fprintf(stderr, "KERNEL_S %.4f\n", secs);
+        return 0;
+    }
+
     // distinct standard-form k-mers over the forward strands
     std::set<Kmer::KmerRepr> stdKmers;
     for (const auto& seqRec : reads.iterSeqs()) {

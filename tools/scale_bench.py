@@ -231,6 +231,42 @@ def bench_kmer(total_mb=250):
            speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 1)
                               if ref_wall else None))
 
+    # metagenome (uneven-coverage) index at a 25 Mb subset, paired with
+    # the reference engine's own kernel scope (kmer_gold unevenq:
+    # countKmers + buildIndexUnevenCoverage).  Host drift bracketing:
+    # ours runs before AND after the reference; report the min.
+    from genomicsbench_tpu.ops.kmer import build_index_uneven_coverage
+
+    meta_n = max(1, n_reads // 10)
+    meta_lens = lens[:meta_n].astype(np.int64)
+    build_index_uneven_coverage(seq[:8], meta_lens[:8], k=k)  # warm
+    t0 = time.time()
+    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k)
+    meta_wall_a = time.time() - t0
+    ref_meta = None
+    if os.path.exists(bin_path):
+        path = f"{SCRATCH}/kmer_meta.fa"
+        if not os.path.exists(path):
+            codes = np.array(list("ACGT"))
+            with open(path, "w") as f:
+                for i in range(meta_n):
+                    f.write(f">r{i}\n{''.join(codes[seq[i]])}\n")
+        pr = subprocess.run([bin_path, path, cfg, str(k), "unevenq"],
+                            capture_output=True, text=True, timeout=7200)
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):
+                ref_meta = float(ln.split()[1])
+    t0 = time.time()
+    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k)
+    meta_wall = min(meta_wall_a, time.time() - t0)
+    record(workload="kmer-metagenome-index", total_bases=float(meta_n * L),
+           k=k, wall_s=round(meta_wall, 2),
+           bases_per_s=round(meta_n * L / meta_wall, -3),
+           n_index_kmers=int(len(midx.kmers)),
+           ref_1t_wall_s=(round(ref_meta, 2) if ref_meta else None),
+           speedup_vs_ref_1t=(round(ref_meta / meta_wall, 2)
+                              if ref_meta else None))
+
 
 # ---------------------------------------------------------------------------
 # dbg — assembly windows over a 2 Mb region at 30x (debruijn.cpp windows)

@@ -473,17 +473,30 @@ _BIG = 1 << 30     # as traced values inside pallas kernels
 
 
 def _lane_cummax(x, qp):
-    """Inclusive max-scan along lanes (axis 1) via log2 doubling shifts."""
+    """Inclusive max-scan along lanes (axis 1) via log2 doubling shifts.
+
+    Two shift lowerings, selected by GENOMICSBENCH_BSW_PALLAS_SHIFT:
+    'roll' (default) uses pltpu.roll — measured as a full vector relayout
+    per step on v5e Mosaic; 'pad' uses a static pad+slice, which Mosaic
+    may lower as a cheaper lane-aligned shift.  Identical results
+    (interpret-mode parity test); the chip A/B picks the default."""
+    variant = os.environ.get("GENOMICSBENCH_BSW_PALLAS_SHIFT", "roll")
     js = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     n = 1
     while n < qp:
-        shifted = jnp.where(js >= n, pltpu.roll(x, n, axis=1), _NEG)
+        if variant == "pad":
+            shifted = jnp.pad(
+                x, ((0, 0), (n, 0)), constant_values=_NEG)[:, :x.shape[1]]
+        else:
+            shifted = jnp.where(js >= n, pltpu.roll(x, n, axis=1), _NEG)
         x = jnp.maximum(x, shifted)
         n *= 2
     return x
 
 
 def _roll1_tpu(x):
+    if os.environ.get("GENOMICSBENCH_BSW_PALLAS_SHIFT") == "pad":
+        return jnp.pad(x, ((0, 0), (1, 0)))[:, :x.shape[1]]
     js = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(js >= 1, pltpu.roll(x, 1, axis=1), 0)
 

@@ -57,6 +57,27 @@ def record(**kw):
     print(json.dumps(kw))
 
 
+def dev_s(fn):
+    """Profiler-separated device seconds for one representative call
+    (VERDICT r1: extend the profiler discipline to every kernel).  Wall
+    timings on the tunneled chip conflate link stalls with kernel time;
+    this reruns `fn` once under jax.profiler and sums the device op
+    tracks (tools/device_rate.py).  Disable with
+    GENOMICSBENCH_TRACE_RATE=0; returns None on any failure."""
+    if os.environ.get("GENOMICSBENCH_TRACE_RATE", "1") == "0":
+        return None
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from device_rate import traced_seconds
+
+        v = traced_seconds(fn)["device_s"]
+        # 0.0 means no device track matched (e.g. CPU backend) — record
+        # nothing rather than a misleading zero
+        return round(v, 3) if v > 0 else None
+    except Exception:
+        return None
+
+
 def ref_time(cmd, **kw):
     """Wall of a reference binary run (includes its own input parse)."""
     t0 = time.time()
@@ -111,6 +132,7 @@ def bench_bsw(n_pairs=1_000_000):
         ref_rate = sub_cells / ref_time([f"{REFBUILD}/bsw_gold", path])
     record(workload="bsw", n=n_pairs, cells=cells, wall_s=round(wall, 2),
            cells_per_s=round(cells / wall, -6), checksum=checksum,
+           device_s=dev_s(lambda: scorer.score()),
            ref_1t_cells_per_s=(round(ref_rate, -6) if ref_rate else None),
            speedup_vs_ref_1t=(round(cells / wall / ref_rate, 1)
                               if ref_rate else None))
@@ -162,6 +184,7 @@ def bench_chain(n_reads=10_000):
                 ref_kernel = float(ln.split()[1])
     record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
            wall_s=round(wall, 2),
+           device_s=dev_s(lambda: chain_batch_bucketed(calls)),
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
            ref_1t_kernel_s=(round(ref_kernel, 2) if ref_kernel else None),
@@ -227,6 +250,7 @@ def bench_kmer(total_mb=250):
     record(workload="kmer-cnt", total_bases=total_bases, k=k,
            wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
            unique=uniq, total=tot,
+           device_s=dev_s(lambda: count_kmers_stats(seq, lens, k)),
            ref_1t_bases_per_s=(round(ref_rate, -3) if ref_wall else None),
            speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 1)
                               if ref_wall else None))
@@ -450,6 +474,7 @@ def bench_grm(n_variants=100_000, n_samples=2504):
     flops = 2.0 * n_variants * n_samples * n_samples
     record(workload="grm", n_variants=n_variants, n_samples=n_samples,
            wall_s=round(wall, 2), gflops=round(flops / wall / 1e9, 1),
+           device_s=dev_s(lambda: np.asarray(grm(geno)[0])),
            checksum=float(np.trace(g)))
 
 
@@ -479,6 +504,7 @@ def bench_phmm(n_pairs=100_000):
     wall = time.time() - t0
     record(workload="phmm", n_pairs=n_pairs, cells=cells,
            wall_s=round(wall, 2), cells_per_s=round(cells / wall, -6),
+           device_s=dev_s(lambda: pairhmm_batch(reads, haps, pairs=pairs)),
            checksum=float(np.sum(out)))
 
 
@@ -509,6 +535,7 @@ def bench_poa(n_windows=5_000):
     wall = time.time() - t0
     record(workload="poa", n_windows=n_windows, wall_s=round(wall, 2),
            windows_per_s=round(n_windows / wall, 2),
+           device_s_256=dev_s(lambda: msa_consensus_batch(windows[:256])),
            total_cons_bases=int(sum(len(c) for c in cons)))
 
 
@@ -634,6 +661,8 @@ def bench_abea(n_reads=10_000, batch=512):
     record(workload="abea", n_reads=n_reads, band_cells=band_cells,
            wall_s=round(wall, 2),
            band_cells_per_s=round(band_cells / wall, -6),
+           device_s_batch=dev_s(
+               lambda: align_batch(seqs, evs_l, mean, stdv, scal)),
            ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
            speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))
 
@@ -659,6 +688,8 @@ def bench_nn_base(n_signals=2_000, sig_len=20_000):
     samples = float(n_signals * sig_len)
     record(workload="nn-base", n_signals=n_signals, sig_len=sig_len,
            wall_s=round(wall, 2), samples_per_s=round(samples / wall, -3),
+           device_s_256=dev_s(
+               lambda: bc.basecall_signals(params, signals[:256], cfg)),
            n_called=len(out))
 
 
@@ -697,7 +728,9 @@ def bench_nn_variant(n_tensors=1_000_000):
         wall += time.time() - t0
         done += b
     record(workload="nn-variant", n_tensors=n_tensors, wall_s=round(wall, 2),
-           samples_per_s=round(n_tensors / wall, -2))
+           samples_per_s=round(n_tensors / wall, -2),
+           device_s_slab=dev_s(
+               lambda: vc.predict_batches(params, batches, cfg)))
 
 
 WORKLOADS = {

@@ -838,13 +838,18 @@ class FmiPipeline:
         self.phase_s["p3_nxt"] += time.perf_counter() - t0
 
         max_rounds = 32 * L  # flat walk: cap counts extension BASES
+        emit_ks = self.SMEM1_EMIT_KS
         t0 = time.perf_counter()
-        em_mn_a, count, rounds = jax.device_get(_pass3_jump(
+        got = jax.device_get(_pass3_jump(
             *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
             self._put(nxt.astype(np.int32)), self.max_mem_intv,
-            min_len=min_len, max_rounds=max_rounds,
+            min_len=min_len, max_rounds=max_rounds, emit_ks=emit_ks,
         ))
         self.phase_s["p3_walk"] += time.perf_counter() - t0
+        if emit_ks:
+            em_mn_a, em_k_a, em_s_a, count, rounds = got
+        else:
+            em_mn_a, count, rounds = got
         assert int(rounds) < max_rounds  # walk advances >= 1/round: always terminates
         em_rid = np.repeat(np.arange(B), count)
         if len(em_rid) == 0:
@@ -853,6 +858,10 @@ class FmiPipeline:
         em_mn = em_mn_a[em_rid, cols].astype(np.int64)
         em_m = em_mn & 0xFFFF
         em_n = em_mn >> 16
+        if emit_ks:  # intervals came out of the walk's tail extension
+            return _mk_smem(em_rid, em_m, em_n,
+                            em_k_a[em_rid, cols].astype(np.int64),
+                            em_s_a[em_rid, cols].astype(np.int64))
         # interval of [x, i*+1), no floor (s may legitimately reach 0)
         t0 = time.perf_counter()
         e, k, s = self._extend(
@@ -1428,14 +1437,27 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     return out + (final["count"], final["ovf"], final["round"])
 
 
-@functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))
+@functools.partial(jax.jit, static_argnames=("min_len", "max_rounds",
+                                             "emit_ks"))
 def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
-                *, min_len, max_rounds):
+                *, min_len, max_rounds, emit_ks=False):
     """Device walk for pass 3 (bwt_seed_strategy1): from x, probe the
     min_intv-floored extension end e(x); emit [x, i*+1) with
     i* = max(e(x), x+min_len) when i* < min(next_N, qlen), hop to i*+1,
     else to next_N+1.  nxt (B, L+1): next ambiguous position at/after p.
-    Returns (em_m, em_n, count, rounds)."""
+    Returns (em_m, em_n, count, rounds).
+
+    With emit_ks=True the walk also emits each segment's (k, s): after
+    the floored extension stops at e(x), the lane keeps extending
+    WITHOUT the floor (a "tail", at most min_len extra steps, s may
+    legitimately reach 0) until it has consumed query[i*], at which
+    point its (ek, es) state IS the emitted segment's bi-interval — the
+    caller's batched re-extension post-pass becomes unnecessary.  The
+    floor only gates when the walk STOPS, never the extension
+    arithmetic, so the tail reproduces the post-pass bit-for-bit.
+    Whenever the emit condition holds, every base in [x, i*] is valid
+    (i* < min(next_N, qlen)), so an emitting lane always stopped via
+    the tail-stop, with (ek, es) covering exactly [x, i*+1)."""
     B, L = query.shape
     mi = jnp.full((B,), min_intv_val, jnp.int32)
     counts = (C[1:5] - C[:4]).astype(jnp.int32)
@@ -1448,9 +1470,20 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         k0 = _select4(C[0], C[1], C[2], C[3], b0)
         s0 = _select4(counts[0], counts[1], counts[2], counts[3], b0)
         l0 = _select4(C[3], C[2], C[1], C[0], b0)  # C[3 - b0]
-        alive0 = (base0 < 4) & (p < qlen) & (p >= 0) & (s0 >= mi)
-        return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
-                    e=jnp.where(alive0, p + 1, p), alive=alive0)
+        valid0 = (base0 < 4) & (p < qlen) & (p >= 0)
+        if not emit_ks:
+            alive0 = valid0 & (s0 >= mi)
+            return dict(k=k0, l=l0, s=jnp.where(alive0, s0, 0),
+                        e=jnp.where(alive0, p + 1, p), alive=alive0)
+        # emit_ks: a sub-floor seed enters the tail immediately (its
+        # floored end e(x) is p itself); interval state stays unfloored
+        tail0 = valid0 & (s0 < mi)
+        istar0 = jnp.maximum(p, p + min_len)  # = p + min_len
+        # tail done before it starts only if min_len == 0
+        alive0 = valid0 & ~(tail0 & (p + 1 >= istar0 + 1))
+        return dict(k=k0, l=l0, s=jnp.where(valid0, s0, 0),
+                    e=jnp.where(valid0, p + 1, p), alive=alive0,
+                    tail=tail0, exr=jnp.where(tail0, p, p + 1))
 
     # flat-pipelined like _pass1_jump: each lane runs its own hop's
     # extension one base per loop step; max_rounds caps TOTAL steps
@@ -1467,8 +1500,13 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         count=jnp.zeros(B, jnp.int32),
         em_mn=jnp.full((B, EM3 + 1), -1, jnp.int32),  # trash col: pure scatter
         ek=ext0["k"], el=ext0["l"], es=ext0["s"], ee=ext0["e"],
-        ealive=ext0["alive"], round=jnp.int32(0),
+        ealive=ext0["alive"] & ~done0, round=jnp.int32(0),
     )
+    if emit_ks:
+        init["tail"] = ext0["tail"] & ~done0
+        init["exr"] = ext0["exr"]
+        init["em_k"] = jnp.zeros((B, EM3 + 1), jnp.int32)
+        init["em_s"] = jnp.zeros((B, EM3 + 1), jnp.int32)
 
     def cond(c):
         return (~c["done"]).any() & (c["round"] < max_rounds)
@@ -1479,7 +1517,9 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         x = jnp.clip(c["x"], 0, L - 1)
         base = jnp.take_along_axis(query, x[:, None], axis=1)[:, 0]
         is_n_base = base > 3
-        e_x = c["ee"]
+        # floored end e(x): with emit_ks the lane may have tail-extended
+        # past it, so use the recorded value
+        e_x = c["exr"] if emit_ks else c["ee"]
         nn = jnp.take_along_axis(nxt, jnp.clip(x + 1, 0, L)[:, None], axis=1)[:, 0]
         nn = jnp.minimum(nn, qlen)
         i_star = jnp.maximum(e_x, x + min_len)
@@ -1488,6 +1528,9 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         rows = jnp.arange(B)
         em_mn = c["em_mn"].at[rows, slot].set((i_star << 16) | x)
         count = c["count"] + emit.astype(jnp.int32)
+        if emit_ks:
+            em_k = c["em_k"].at[rows, slot].set(c["ek"])
+            em_s = c["em_s"].at[rows, slot].set(c["es"])
         x_next = jnp.where(is_n_base, c["x"] + 1,
                            jnp.where(emit, i_star + 1,
                                      jnp.where(nn < qlen, nn + 1, qlen)))
@@ -1501,6 +1544,9 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         es = jnp.where(proc, nxt_ext["s"], c["es"])
         ee = jnp.where(proc, nxt_ext["e"], c["ee"])
         ealive = jnp.where(proc, nxt_ext["alive"], c["ealive"])
+        if emit_ks:
+            tail = jnp.where(proc, nxt_ext["tail"], c["tail"])
+            exr = jnp.where(proc, nxt_ext["exr"], c["exr"])
 
         # phase A: all alive extensions advance one base
         pos = ee
@@ -1510,14 +1556,38 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
         can = ealive & (pos < qlen) & (nb < 4)
         k_n, l_n, s_n = _fwd_extend_pick(
             C, table, sent_row, ek, el, es, jnp.clip(nb, 0, 3))
-        ok = can & (s_n >= mi)
-
+        if not emit_ks:
+            ok = can & (s_n >= mi)
+            return dict(
+                x=x_new, done=done_n, count=count, em_mn=em_mn,
+                ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
+                es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
+                ealive=ok, round=c["round"] + 1,
+            )
+        # emit_ks: the step is accepted whenever the base is valid; the
+        # floor only marks where the tail begins.  exr records the
+        # floored end e(x) at tail entry AND at a can-false stop before
+        # any tail (an emitting lane never stops that way, but the
+        # emit condition reads exr as e(x) and must see the true value)
+        enter_tail = can & ~tail & (s_n < mi)
+        exr2 = jnp.where(enter_tail | (ealive & ~can & ~tail), ee, exr)
+        tail2 = tail | enter_tail
+        # lane's emission end: stop once query[i*] has been consumed
+        istar_l = jnp.maximum(exr2, x_new + min_len)
+        stop = can & tail2 & (pos + 1 >= istar_l + 1)
+        # accept the step's interval for every valid base (incl. the
+        # stopping one); ealive drops on stop or invalid base
         return dict(
             x=x_new, done=done_n, count=count, em_mn=em_mn,
-            ek=jnp.where(ok, k_n, ek), el=jnp.where(ok, l_n, el),
-            es=jnp.where(ok, s_n, es), ee=jnp.where(ok, pos + 1, ee),
-            ealive=ok, round=c["round"] + 1,
+            em_k=em_k, em_s=em_s,
+            ek=jnp.where(can, k_n, ek), el=jnp.where(can, l_n, el),
+            es=jnp.where(can, s_n, es), ee=jnp.where(can, pos + 1, ee),
+            ealive=can & ~stop, tail=tail2, exr=exr2,
+            round=c["round"] + 1,
         )
 
     final = jax.lax.while_loop(cond, step, init)
-    return final["em_mn"][:, :EM3], final["count"], final["round"]
+    out = (final["em_mn"][:, :EM3],)
+    if emit_ks:
+        out += (final["em_k"][:, :EM3], final["em_s"][:, :EM3])
+    return out + (final["count"], final["round"])

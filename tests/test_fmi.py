@@ -493,3 +493,37 @@ def test_smem1_emit_ks_matches_spans_postpass(small_index):
     emit = run(True)
     assert emit == base
     assert sum(len(t) for t in base) > 0  # non-trivial workload
+
+
+def test_pass3_emit_ks_subfloor_seeds():
+    """pass-3 in-walk interval emission where hop seeds START below the
+    maxMemIntv floor (rare symbols: single-char interval s0 < mi) and
+    with a large floor so tails dominate — the tail/stop bookkeeping
+    paths that a uniform-alphabet index never reaches."""
+    rng = np.random.default_rng(55)
+    # G is rare: many seeds have s0 < max_mem_intv
+    ref = rng.choice(np.array([0, 1, 3, 3, 1, 0, 0, 1], np.uint8), 600)
+    ref[rng.integers(0, 600, 8)] = 2  # a handful of Gs
+    idx = build_fmd_index(ref)
+    N, L = 24, 64
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        ln = int(rng.integers(24, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, rng.integers(0, ln, 2)] = rng.integers(0, 5, 2)
+        qlen[i] = ln
+
+    for mmi in (5, 40, 200):
+        base_p = FmiPipeline(idx, min_seed_len=11, max_mem_intv=mmi)
+        emit_p = FmiPipeline(idx, min_seed_len=11, max_mem_intv=mmi)
+        emit_p.SMEM1_EMIT_KS = True
+        a = base_p.pass3(q, qlen)
+        b = emit_p.pass3(q, qlen)
+        rows_a = sorted(zip(a.rid.tolist(), a.m.tolist(), a.n.tolist(),
+                            a.k.tolist(), a.s.tolist()))
+        rows_b = sorted(zip(b.rid.tolist(), b.m.tolist(), b.n.tolist(),
+                            b.k.tolist(), b.s.tolist()))
+        assert rows_a == rows_b, mmi
+        assert len(rows_a) > 0, mmi

@@ -96,9 +96,14 @@ def chip_reachable(timeout_s=240):
     try:
         pr = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
+             # import the package first: it applies the JAX_PLATFORMS
+             # override the bench itself runs under, so the probe tests
+             # the SAME backend (a bare jax import would probe the
+             # site-pinned one)
+             "import genomicsbench_tpu, jax, jax.numpy as jnp;"
              "jax.device_get(jnp.ones((8, 8)).sum()); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return "ok" in pr.stdout
     except (subprocess.TimeoutExpired, OSError):
         return False

@@ -63,8 +63,14 @@ if _os.environ.get("JAX_PLATFORMS"):
 
         _want = _os.environ["JAX_PLATFORMS"]
         _cur = getattr(_jax.config, "jax_platforms", None)
-        if _cur in (None, "", "axon,cpu") \
-                and _want not in ("axon", "axon,cpu"):
+        # the site-pin strings are configurable so hosts with a
+        # differently named plugin (or pin value) stay covered; the
+        # default matches this machine's registration
+        _pin = _os.environ.get("GENOMICSBENCH_SITE_PIN", "axon,cpu")
+        # the session-default env value is the pin's primary platform
+        # ("axon"); only a DIFFERENT explicit request overrides the pin
+        _default_envs = {_pin, _pin.split(",")[0]}
+        if _cur in (None, "", _pin) and _want not in _default_envs:
             _jax.config.update("jax_platforms", _want)
     except Exception:  # noqa: BLE001
         pass

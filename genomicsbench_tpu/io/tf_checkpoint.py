@@ -113,7 +113,8 @@ def _parse_shape(buf: bytes):
 def _parse_entry(buf: bytes):
     """BundleEntryProto: dtype=1, shape=2, shard_id=3, offset=4, size=5,
     crc32c=6, slices=7 (unsupported)."""
-    ent = {"dtype": 0, "shape": (), "shard_id": 0, "offset": 0, "size": 0}
+    ent = {"dtype": 0, "shape": (), "shard_id": 0, "offset": 0, "size": 0,
+           "sliced": False}
     for field, _wire, val in _proto_fields(buf):
         if field == 1:
             ent["dtype"] = int(val)
@@ -126,7 +127,10 @@ def _parse_entry(buf: bytes):
         elif field == 5:
             ent["size"] = int(val)
         elif field == 7:
-            raise NotImplementedError("partitioned (sliced) tensors")
+            # partitioned (sliced) tensor: reassembly unsupported —
+            # the loader skips it (a consumer missing a required tensor
+            # raises a KeyError naming it)
+            ent["sliced"] = True
     return ent
 
 
@@ -280,17 +284,25 @@ def list_tensors(prefix: str):
 
 
 def read_tensor_bundle(prefix: str):
-    """Load every numeric tensor of the bundle as {name: np.ndarray}."""
+    """Load every numeric tensor of the bundle as {name: np.ndarray}.
+
+    Tensors with unsupported dtypes (DT_STRING bookkeeping variables
+    etc.) are skipped rather than failing the whole restore — consumers
+    like `clair_flat_from_tf` pick the numeric tensors they need by
+    name and will raise a KeyError if a required one is missing."""
     header, tensors = _entries(prefix)
+    if header["endianness"] != 0:
+        raise NotImplementedError(
+            "big-endian tensor bundle (BundleHeaderProto.endianness=1): "
+            "decoding it as little-endian would silently scramble weights")
     ns = header["num_shards"]
     shard_paths = [f"{prefix}.data-{i:05d}-of-{ns:05d}" for i in range(ns)]
     shards = {}
     out = {}
     for name, ent in sorted(tensors.items()):
         dt = _DTYPES.get(ent["dtype"])
-        if dt is None:
-            raise NotImplementedError(
-                f"{name}: unsupported dtype enum {ent['dtype']}")
+        if dt is None or ent["sliced"]:
+            continue  # non-numeric bookkeeping variable / partitioned
         sid = ent["shard_id"]
         if sid not in shards:
             with open(shard_paths[sid], "rb") as f:

@@ -232,13 +232,11 @@ def build_window_graphs_soa(refs, ref_starts, seqs_flat, quals_flat, lens,
 
     lens = np.ascontiguousarray(lens, np.int64)
     if offs is None:
-        # integer np.cumsum is pathologically slow on some hosts
-        # (BASELINE.md "host timing"; ~1 s per 10 M int64 rows here);
-        # float64 is exact below 2^53 total bases.  Callers looping over
-        # window subsets of one big SoA should precompute and pass offs.
-        offs = np.zeros(len(lens), np.int64)
-        if len(lens) > 1:
-            np.cumsum(lens[:-1], dtype=np.float64, out=offs[1:])
+        # callers looping over window subsets of one big SoA should
+        # precompute and pass offs (it is O(total reads) to build)
+        from genomicsbench_tpu.utils import offsets_from_lengths
+
+        offs = offsets_from_lengths(lens)
     read_lo = np.ascontiguousarray(read_lo, np.int64)
     read_hi = np.ascontiguousarray(read_hi, np.int64)
     nw = len(refs)
@@ -355,12 +353,10 @@ def build_window_graphs(windows, k=K_DEFAULT, min_qual=20, as_arrays=False):
     if read_entries:
         from genomicsbench_tpu import native
 
+        from genomicsbench_tpu.utils import offsets_from_lengths
+
         lens_all = np.array([len(s) for _, s, _, _ in read_entries], np.int64)
-        # float64 route: integer cumsum is pathologically slow on some
-        # hosts (exact below 2^53 total bases)
-        offs_all = np.zeros(len(lens_all), np.int64)
-        if len(lens_all) > 1:
-            np.cumsum(lens_all[:-1], dtype=np.float64, out=offs_all[1:])
+        offs_all = offsets_from_lengths(lens_all)
         seqs_flat = np.concatenate([s for _, s, _, _ in read_entries])
         quals_flat = np.concatenate(
             [q for _, _, q, _ in read_entries]).astype(np.int32)

@@ -600,7 +600,8 @@ class FmiPipeline:
     # True = emit (k, s) planes inside the walk (no spans post-pass).
     # Identical outputs (parity-tested); the faster side is
     # backend-dependent — flip per measurement.
-    SMEM1_EMIT_KS = bool(os.environ.get("GENOMICSBENCH_FMI_EMIT_KS"))
+    SMEM1_EMIT_KS = os.environ.get(
+        "GENOMICSBENCH_FMI_EMIT_KS") not in (None, "", "0")
 
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one

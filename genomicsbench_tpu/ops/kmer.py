@@ -425,10 +425,9 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
     )
     rid, _ = np.nonzero(mask)
     reps = canon[mask]
-    # float64-routed cumsum (exact < 2^53): integer cumsum is
-    # pathologically slow on some hosts
-    offs = np.concatenate(
-        [[0], np.cumsum(lengths, dtype=np.float64)]).astype(np.int64)
+    from genomicsbench_tpu.utils import offsets_from_lengths
+
+    offs = offsets_from_lengths(lengths, with_total=True)
     gpos = offs[rid] + pos_std[mask].astype(np.int64)
 
     order = np.lexsort((gpos, reps))
@@ -445,8 +444,7 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
 
     kmers = uniq[keep]
     kept_counts = counts[keep]
-    offsets = np.concatenate(
-        [[0], np.cumsum(kept_counts, dtype=np.float64)]).astype(np.int64)
+    offsets = offsets_from_lengths(kept_counts, with_total=True)
     # gather the kept groups' position runs in one vectorized pass (the
     # groups are contiguous in the (reps, gpos) sort; a python loop here
     # was O(#unique kmers) interpreter time at genome scale)
@@ -529,7 +527,9 @@ def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
         hit = uniq_all[idx] == reps
         return np.where(hit, counts_all[idx], 0).astype(np.int64)
 
-    offs = np.concatenate([[0], np.cumsum(lengths)])
+    from genomicsbench_tpu.utils import offsets_from_lengths
+
+    offs = offsets_from_lengths(lengths, with_total=True)
     reps_sel, gpos_sel, freq_sel = [], [], []
     for b in range(len(lengths)):
         pos, fwd, canon, freqs = yield_frequent_kmers(

@@ -286,11 +286,32 @@ def test_gate_permutation_is_involution():
     assert np.array_equal(perm[perm], np.arange(4 * H))
 
 
-def test_sliced_tensors_rejected(tmp_path):
+def test_sliced_and_unsupported_tensors_skipped(tmp_path):
+    # a partitioned (sliced) entry and a DT_STRING bookkeeping variable
+    # must not fail the whole restore; the numeric tensors still load
+    # (a consumer missing a required tensor raises a KeyError by name)
     prefix = str(tmp_path / "m.ckpt")
     arr = np.zeros((2, 2), np.float32)
-    ent = _entry_proto(arr, 0, 0) + b"\x3a\x02\x08\x00"  # slices = 7
-    entries = [(b"", b"\x08\x01"), (b"t", ent)]
+    good = rngd = np.arange(6, dtype=np.float32)
+    sliced = _entry_proto(arr, 0, 0) + b"\x3a\x02\x08\x00"  # slices = 7
+    string_ent = b"\x08\x07" + b"\x12\x00" + b"\x28\x00"  # DT_STRING
+    entries = [(b"", b"\x08\x01"),
+               (b"a_good", _entry_proto(good, 0, arr.nbytes)),
+               (b"sliced_t", sliced),
+               (b"str_var", string_ent)]
+    _write_table(prefix + ".index", entries)
+    with open(prefix + ".data-00000-of-00001", "wb") as f:
+        f.write(arr.tobytes() + good.tobytes())
+    got = tfc.read_tensor_bundle(prefix)
+    assert set(got) == {"a_good"}
+    np.testing.assert_array_equal(got["a_good"], good)
+
+
+def test_big_endian_bundle_rejected(tmp_path):
+    prefix = str(tmp_path / "m.ckpt")
+    arr = np.zeros(3, np.float32)
+    entries = [(b"", b"\x08\x01\x10\x01"),  # num_shards=1, endianness=1
+               (b"t", _entry_proto(arr, 0, 0))]
     _write_table(prefix + ".index", entries)
     with open(prefix + ".data-00000-of-00001", "wb") as f:
         f.write(arr.tobytes())

@@ -263,9 +263,15 @@ def bench_kmer(total_mb=250):
 
     meta_n = max(1, n_reads // 10)
     meta_lens = lens[:meta_n].astype(np.int64)
-    build_index_uneven_coverage(seq[:8], meta_lens[:8], k=k)  # warm
+    # repeat_kmer_rate must match the cfg the reference binary loads
+    # (scale_bench writes repeat_kmer_rate=100 above; the default 1.0
+    # classifies everything repetitive -> empty index, no position fill)
+    RATE = 100.0
+    build_index_uneven_coverage(seq[:8], meta_lens[:8], k=k,
+                                repeat_kmer_rate=RATE)  # warm
     t0 = time.time()
-    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k)
+    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k,
+                                       repeat_kmer_rate=RATE)
     meta_wall_a = time.time() - t0
     ref_meta = None
     if os.path.exists(bin_path):
@@ -281,7 +287,8 @@ def bench_kmer(total_mb=250):
             if ln.startswith("KERNEL_S"):
                 ref_meta = float(ln.split()[1])
     t0 = time.time()
-    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k)
+    midx = build_index_uneven_coverage(seq[:meta_n], meta_lens, k=k,
+                                       repeat_kmer_rate=RATE)
     meta_wall = min(meta_wall_a, time.time() - t0)
     record(workload="kmer-metagenome-index", total_bases=float(meta_n * L),
            k=k, wall_s=round(meta_wall, 2),
@@ -326,8 +333,9 @@ def bench_dbg(region_mb=2):
     # Two runs: the first faults in fresh allocator pages (and this VM's
     # first-run CPU behavior is erratic, BASELINE.md "host timing");
     # steady-state serving is the target, so the ratio uses the warm run.
-    offs = np.zeros(n_reads, np.int64)
-    np.cumsum(lens[:-1], dtype=np.float64, out=offs[1:])
+    from genomicsbench_tpu.utils import offsets_from_lengths
+
+    offs = offsets_from_lengths(lens)
     t0 = time.time()
     graphs = build_window_graphs_soa(refs, wstarts, seqs.ravel(),
                                      quals_flat, lens, read_lo, read_hi,

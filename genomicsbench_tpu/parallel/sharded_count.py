@@ -34,11 +34,18 @@ def sharded_count_kmers(
     k: int,
     axis: str = "data",
     capacity_factor: float = 2.0,
+    replicate_out: bool = False,
 ):
     """Count canonical k-mers with reads sharded over `axis`.
 
     Returns (unique uint32, counts int64) for the full dataset, plus the
-    max bucket fill fraction (for capacity tuning)."""
+    max bucket fill fraction (for capacity tuning).
+
+    replicate_out=True all_gathers each device's sorted key-range before
+    returning, so outputs are fully replicated — required under a REAL
+    multi-process mesh (jax.distributed), where a host cannot
+    device_get shards living on another host's devices.  Single-
+    controller meshes can keep the cheaper sharded output."""
     n_dev = mesh.shape[axis]
     B, L = seq_codes.shape
     assert B % n_dev == 0, "pad the read batch to a multiple of the mesh axis"
@@ -53,7 +60,9 @@ def sharded_count_kmers(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P()) if replicate_out
+        else (P(axis, None), P(axis)),
+        check_vma=not replicate_out,
     )
     def exchange_and_sort(seq, lens):
         km, ok = _canonical_kmers(seq, lens, k=k)
@@ -83,6 +92,9 @@ def sharded_count_kmers(
             sendbuf, axis, split_axis=0, concat_axis=0, tiled=True
         )
         local_sorted = jnp.sort(recv.reshape(-1))
+        if replicate_out:
+            return (jax.lax.all_gather(local_sorted, axis),
+                    jax.lax.all_gather(overflow, axis))
         return local_sorted[None, :], overflow[None]
 
     dev_seq = jax.device_put(seq_codes, NamedSharding(mesh, P(axis, None)))

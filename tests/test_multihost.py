@@ -95,3 +95,61 @@ print(f"PROC{pid}_OK")
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (pid, out[-500:], err[-2000:])
         assert f"PROC{pid}_OK" in out, (pid, out, err[-500:])
+
+
+def test_real_two_process_sharded_kmer_merge(tmp_path):
+    """SURVEY §7.4 criterion 4 at N=2 REAL processes: the sharded k-mer
+    count (shard_map + all_to_all key-range exchange) over a
+    jax.distributed global mesh must equal the single-device count."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    prog = r"""
+import os, sys
+sys.path.insert(0, os.environ["GB_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from genomicsbench_tpu.parallel.multihost import global_mesh, init_multihost
+assert init_multihost() is True
+import numpy as np
+from genomicsbench_tpu.ops.kmer import count_kmers
+from genomicsbench_tpu.parallel.sharded_count import sharded_count_kmers
+
+rng = np.random.default_rng(71)  # same data on every process
+B, L, k = 8, 96, 15
+seq = rng.integers(0, 4, (B, L)).astype(np.uint8)
+lens = np.full(B, L, np.int32)
+mesh = global_mesh(model=1)
+u, c = sharded_count_kmers(mesh, seq, lens, k, replicate_out=True)
+ru, rc = count_kmers(seq, lens, k)
+assert np.array_equal(u, ru) and np.array_equal(c, rc), (
+    len(u), len(ru), int(c.sum()), int(rc.sum()))
+print(f"PROC{jax.process_index()}_OK {len(u)} uniques")
+"""
+    import os as _os
+
+    env_base = dict(_os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "GB_REPO": str(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__)))),
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "NUM_PROCESSES": "2",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", prog], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (pid, out[-500:], err[-2000:])
+        assert f"PROC{pid}_OK" in out, (pid, out, err[-500:])

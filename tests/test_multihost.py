@@ -153,3 +153,70 @@ print(f"PROC{jax.process_index()}_OK {len(u)} uniques")
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (pid, out[-500:], err[-2000:])
         assert f"PROC{pid}_OK" in out, (pid, out, err[-500:])
+
+
+def test_real_two_process_sharded_occ_fmi(tmp_path):
+    """SURVEY §7.4 criterion 4, fmi side: SMEM pass 1 with the occ TABLE
+    sharded across TWO real jax.distributed processes (each host's
+    devices hold only their slab; every rank query is a masked local
+    gather + cross-host psum) must emit the single-device SMEM set."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    prog = r"""
+import os, sys
+sys.path.insert(0, os.environ["GB_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from genomicsbench_tpu.parallel.multihost import global_mesh, init_multihost
+assert init_multihost() is True
+import numpy as np
+from genomicsbench_tpu.ops.fmi import FmiPipeline, build_fmd_index
+from genomicsbench_tpu.parallel.sharded_fmi import pass1_sharded_table
+
+rng = np.random.default_rng(41)  # same data on every process
+ref = rng.integers(0, 4, 700).astype(np.uint8)
+idx = build_fmd_index(ref)
+B, L = 8, 72
+q = np.zeros((B, L), np.uint8)
+qlen = np.zeros(B, np.int32)
+for i in range(B):
+    ln = int(rng.integers(30, L + 1))
+    at = int(rng.integers(0, len(ref) - ln))
+    q[i, :ln] = ref[at : at + ln]
+    qlen[i] = ln
+mesh = global_mesh(model=1)
+got = pass1_sharded_table(mesh, idx, q, qlen, min_seed_len=19)
+want = FmiPipeline(idx, min_seed_len=19).pass1(q, qlen)
+assert got.sorted_tuples(with_interval=True) == \
+    want.sorted_tuples(with_interval=True), (got.count, want.count)
+assert got.count > 0
+print(f"PROC{jax.process_index()}_OK {got.count} smems")
+"""
+    import os as _os
+
+    env_base = dict(_os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "GB_REPO": str(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__)))),
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "NUM_PROCESSES": "2",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", prog], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (pid, out[-500:], err[-2000:])
+        assert f"PROC{pid}_OK" in out, (pid, out, err[-500:])

@@ -17,7 +17,13 @@ python -m pytest tests/ -q
 echo "===== [2/5] reference cross-check (fresh workloads) ====="
 bash tools/build_reference.sh >/tmp/ci_refbuild.log 2>&1 || {
     tail -20 /tmp/ci_refbuild.log; exit 1; }
-python tools/crosscheck_reference.py "${CROSSCHECK_SEED:-$((RANDOM % 10000))}"
+# CPU backend by default: the correctness tier is backend-agnostic and a
+# dead chip tunnel would hang the kernels' first dispatch for hours.
+# CROSSCHECK_TPU=1 opts into running the kernels on the real chip.
+XC_PLATFORM=cpu
+[ "${CROSSCHECK_TPU:-0}" = 1 ] && XC_PLATFORM=""
+JAX_PLATFORMS=$XC_PLATFORM \
+    python tools/crosscheck_reference.py "${CROSSCHECK_SEED:-$((RANDOM % 10000))}"
 
 echo "===== [3/5] ThreadSanitizer (native ingest) ====="
 bash tools/tsan_check.sh

@@ -193,8 +193,11 @@ def cmd_kmer_cnt(args):
     from genomicsbench_tpu.config import load_keyvalue_config
     from genomicsbench_tpu.io.seqio import load_fastx_batch
     from genomicsbench_tpu.ops.kmer import count_kmers_stats, minimizer_mask
+    from genomicsbench_tpu.utils.observability import Logger
 
+    log = Logger(level="debug" if args.debug else "info")
     cfg = load_keyvalue_config(args.config) if args.config else {}
+    log.debug(f"config: {cfg}")
     k = args.kmer or int(cfg.get("kmer_size", 15))
     use_min = bool(cfg.get("use_minimizers", False))
     window = int(cfg.get("minimizer_window", 5))
@@ -252,16 +255,23 @@ def cmd_dbg(args):
 
 # --------------------------------------------------------------------- grm
 def cmd_grm(args):
-    """plink2 --maf --make-grm-bin --out (run-cpu.sh:53,84)."""
+    """plink2 --pgen/--pvar/--psam --maf --make-grm-bin --out
+    (run-cpu.sh:53,84; --bfile covers plink1 bed/bim/fam)."""
     import os
 
     from genomicsbench_tpu.io.plink import read_bed, read_pgen
     from genomicsbench_tpu.ops.grm import grm, write_grm_bin
 
-    if os.path.exists(args.bfile + ".pgen"):
+    if args.pgen:
+        prefix = args.pgen[:-5] if args.pgen.endswith(".pgen") else args.pgen
+        geno, ids = read_pgen(prefix)
+    elif args.bfile and os.path.exists(args.bfile + ".pgen"):
         geno, ids = read_pgen(args.bfile)
-    else:
+    elif args.bfile:
         geno, ids = read_bed(args.bfile)
+    else:
+        print("grm: one of --pgen or --bfile is required", file=sys.stderr)
+        raise SystemExit(2)
     t0 = _t()
     mat, nobs = grm(geno, maf=args.maf)
     dt = _t() - t0
@@ -501,12 +511,17 @@ def build_parser():
     s.add_argument("ref"); s.add_argument("query")
     s.add_argument("batch_size", type=int, nargs="?", default=512)
     s.add_argument("min_seed_len", type=int, nargs="?", default=19)
+    s.add_argument("n_threads", type=int, nargs="?", default=1,
+                   help="accepted for run-cpu.sh parity; batching/mesh "
+                        "parallelism replaces host threads")
     s.add_argument("--max-reads", type=int, default=None)
     s.add_argument("--print-output", action="store_true")
     s.set_defaults(fn=cmd_fmi)
 
     s = sub.add_parser("bsw", help="banded Smith-Waterman extension")
     s.add_argument("-pairs", required=True)
+    s.add_argument("-t", type=int, default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
     s.add_argument("-b", "--batch-size", type=int, default=512)
     s.add_argument("-match", type=int, default=1)
     s.add_argument("-mismatch", type=int, default=4)
@@ -517,6 +532,8 @@ def build_parser():
 
     s = sub.add_parser("phmm", help="pair-HMM forward likelihood")
     s.add_argument("-f", required=True)
+    s.add_argument("-t", type=int, default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
     s.add_argument("-l", "--loop", type=int, default=1)
     s.add_argument("--print-output", action="store_true")
     s.set_defaults(fn=cmd_phmm)
@@ -528,6 +545,8 @@ def build_parser():
 
     s = sub.add_parser("poa", help="partial-order MSA consensus")
     s.add_argument("-s", "--seqfile", required=True)
+    s.add_argument("-t", type=int, default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
     s.add_argument("-m", "--match", type=int, default=2)
     s.add_argument("-x", "--mismatch", type=int, default=4)
     s.add_argument("-o", "--gap-open", default="4,24")
@@ -538,10 +557,17 @@ def build_parser():
     s.add_argument("--reads", required=True)
     s.add_argument("--config")
     s.add_argument("--kmer", type=int)
+    s.add_argument("--threads", type=int, default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
+    s.add_argument("--debug", action="store_true",
+                   help="debug-level logging (kmer_cnt.cpp:144-152)")
     s.set_defaults(fn=cmd_kmer_cnt)
 
     s = sub.add_parser("pileup", help="pileup counts matrix")
     s.add_argument("bam"); s.add_argument("region")
+    s.add_argument("n_threads", type=int, nargs="?", default=1,
+                   help="accepted for run-cpu.sh parity (ignored); "
+                        "medaka_counts.c:487 usage <bam> <region> <threads>")
     s.add_argument("dtypes", nargs="*", default=[])
     s.add_argument("--num-homop", type=int, default=5)  # medaka_counts.c:503
     s.add_argument("--print-output", action="store_true")
@@ -549,10 +575,19 @@ def build_parser():
 
     s = sub.add_parser("dbg", help="de Bruijn graph construction")
     s.add_argument("bam"); s.add_argument("region"); s.add_argument("ref")
+    s.add_argument("n_threads", type=int, nargs="?", default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
     s.set_defaults(fn=cmd_dbg)
 
     s = sub.add_parser("grm", help="genetic relationship matrix")
-    s.add_argument("--bfile", required=True)
+    s.add_argument("--bfile", help="plink1 bed/bim/fam prefix")
+    s.add_argument("--pgen", help="plink2 .pgen path or prefix "
+                                  "(run-cpu.sh:53 shape)")
+    s.add_argument("--pvar"); s.add_argument("--psam")
+    s.add_argument("--make-grm-bin", action="store_true",
+                   help="accepted for parity (grm.bin written when --out)")
+    s.add_argument("--threads", type=int, default=1,
+                   help="accepted for run-cpu.sh parity (ignored)")
     s.add_argument("--maf", type=float, default=0.01)
     s.add_argument("--out")
     s.set_defaults(fn=cmd_grm)

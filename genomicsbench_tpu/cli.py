@@ -615,6 +615,10 @@ def build_parser():
     s.add_argument("--output_fn")
     s.add_argument("--chkpnt_fn",
                    help="TF V2 checkpoint prefix (Clair weights)")
+    # run-gpu.sh:31 parity (prediction.py flags; inference ignores them)
+    s.add_argument("--sampleName", default="SAMPLE")
+    s.add_argument("--threads", type=int, default=1)
+    s.add_argument("--qual", type=int, default=100)
     s.set_defaults(fn=cmd_nn_variant)
 
     s = sub.add_parser("call-methylation", help="CpG methylation calling")

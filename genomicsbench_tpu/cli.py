@@ -306,10 +306,51 @@ def cmd_eventalign(args):
         from genomicsbench_tpu.config import load_abea_profile
 
         profile = load_abea_profile(args.profile)
+    ref_mode = bool(args.bam and args.genome)
     t0 = _t()
     results = eventalign_reads(raws, seqs, model_mean, model_stdv,
-                               tsv_fp=sys.stdout, sample_rate=args.sample_rate,
-                               profile=profile)
+                               tsv_fp=None if ref_mode else sys.stdout,
+                               sample_rate=args.sample_rate,
+                               profile=profile, keep_aux=ref_mode)
+    if ref_mode:
+        # f5c's -b/-g shape: project onto REFERENCE coordinates by
+        # realigning events to genome segments (align_read_to_ref);
+        # rows come out in BAM record order, read_index = that order
+        from genomicsbench_tpu.ops.eventalign import TSV_HEADER
+        from genomicsbench_tpu.ops.ref_align import (
+            align_read_to_ref, emit_ref_alignment_tsv,
+        )
+
+        _CIG = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5,
+                "P": 6, "=": 7, "X": 8}
+        genome = {n: s.decode().upper() for n, s in read_fastx(args.genome)}
+        bam = _open_bam(args.bam)
+        by_name = {n: r for n, r in zip(names, results)}
+        sys.stdout.write(TSV_HEADER + "\n")
+        n_rows = 0
+        recs = bam.records if hasattr(bam, "records") else list(bam)
+        for ridx, rec in enumerate(recs):
+            r = by_name.get(rec.name)
+            if (r is None or r.flag != 0 or rec.is_unmapped
+                    or rec.is_secondary or rec.is_supplementary):
+                continue
+            contig = bam.ref_names[rec.ref_id]
+            ops = [_CIG[c] for c, _ in rec.cigar]
+            lens = [ln for _, ln in rec.cigar]
+            consumed = sum(ln for (c, ln) in rec.cigar if c in "MDN=X")
+            ref_slice = genome[contig][rec.pos:rec.pos + consumed]
+            i = names.index(rec.name)
+            rows = align_read_to_ref(
+                ref_slice, rec.pos, ops, lens, rec.pos, rec.is_reverse,
+                len(seqs[i]), r.b2e, r.events[0], r.scalings,
+                model_mean, model_stdv, r.events_per_base)
+            emit_ref_alignment_tsv(
+                sys.stdout, rows, r.events[0], r.events[1], r.events[2],
+                r.scalings, model_mean, model_stdv, read_index=ridx,
+                ref_name=contig, sample_rate=args.sample_rate)
+            n_rows += len(rows)
+        print(f"[eventalign -b/-g] {n_rows} reference-coordinate rows",
+              file=sys.stderr)
     dt = _t() - t0
     n_ok = sum(1 for r in results if r.flag == 0)
     print(f"[eventalign] {n_ok}/{len(results)} reads aligned, "
@@ -594,7 +635,15 @@ def build_parser():
 
     s = sub.add_parser("eventalign", help="adaptive banded event alignment")
     s.add_argument("--signals", required=True, help=".npz of raw signals")
-    s.add_argument("--reads", required=True, help="FASTA/Q of read sequences")
+    s.add_argument("-r", "--reads", required=True,
+                   help="FASTA/Q of read sequences")
+    s.add_argument("-b", "--bam",
+                   help="alignments; with -g, emit REFERENCE-coordinate "
+                        "rows (f5c's -b/-g mode, run-gpu.sh:45)")
+    s.add_argument("-g", "--genome", help="reference FASTA (with -b)")
+    s.add_argument("-B", "--batch-bases", default=None,
+                   help="accepted for f5c parity (use --profile for "
+                        "batch control)")
     s.add_argument("--model", help="pore model TSV (else synthetic)")
     s.add_argument("--sample-rate", type=float, default=4000.0)
     s.add_argument("--profile",

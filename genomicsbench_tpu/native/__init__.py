@@ -620,3 +620,54 @@ def pileup_matrix(chunks, start: int, end: int, num_homop: int):
         lib.gb_pileup_accumulate(*args, num_homop, ip64(base_cols),
                                  ip32(matrix))
     return matrix.reshape(n_cols, plane), major, minor
+
+
+def psr9_viterbi(fwd_seq: bytes, rc_seq: bytes, ev_mean, scale, shift, var,
+                 model_mean, model_stdv, events_per_base,
+                 e_start: int, e_end: int, event_stride: int, rc: bool,
+                 k: int = 6):
+    """One PSR9 profile-HMM Viterbi segment alignment (gb_psr9_viterbi,
+    the inner kernel of f5c eventalign's align_read_to_ref).  Returns
+    (event_idx, kmer_idx, state_char) int32/int32/uint8 arrays in
+    forward order, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_psr9_viterbi"):
+        return None
+    if not hasattr(lib, "_psr9_bound"):
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gb_psr9_viterbi.restype = ctypes.c_int64
+        lib.gb_psr9_viterbi.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            c_f32p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            c_f32p, c_f32p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib._psr9_bound = True
+    ev_mean = np.ascontiguousarray(ev_mean, np.float32)
+    mm = np.ascontiguousarray(model_mean, np.float32)
+    ms = np.ascontiguousarray(model_stdv, np.float32)
+    n_events = abs(int(e_end) - int(e_start)) + 1
+    n_kmers = max(len(fwd_seq) - k + 1, 0)
+    cap = (n_events + n_kmers) * 2 + 16
+    out_e = np.empty(cap, np.int32)
+    out_k = np.empty(cap, np.int32)
+    out_s = np.empty(cap, np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    n = lib.gb_psr9_viterbi(
+        fwd_seq, rc_seq, len(fwd_seq),
+        ev_mean.ctypes.data_as(f32p), len(ev_mean),
+        float(scale), float(shift), float(var),
+        mm.ctypes.data_as(f32p), ms.ctypes.data_as(f32p),
+        float(events_per_base),
+        int(e_start), int(e_end), int(event_stride), int(bool(rc)),
+        int(k),
+        out_e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_k.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("psr9_viterbi: output capacity exceeded")
+    return out_e[:n].copy(), out_k[:n].copy(), out_s[:n].copy()

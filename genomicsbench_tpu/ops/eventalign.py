@@ -226,11 +226,16 @@ class ReadResult:
     scalings: tuple  # (scale, shift, var) after recalibration
     events_per_base: float
     alignment: EventAlignment | None
+    # populated only with eventalign_reads(keep_aux=True) — inputs the
+    # reference-coordinate realignment (ops/ref_align.py) needs
+    b2e: object = None           # (n_kmers, 2) base-to-event map
+    events: object = None        # (mean, stdv, length) float32 arrays
 
 
 def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
                      tsv_fp=None, sample_rate=4000.0, profile=None,
-                     _write_header=True, _read_indices=None):
+                     keep_aux=False, _write_header=True,
+                     _read_indices=None):
     """Per-batch process_db (f5c.c:1497): event detection -> MoM scaling
     -> batched device ABEA -> postalign -> recalibrate -> QC -> TSV.
 
@@ -261,7 +266,8 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
                 [raw_signals[i] for i in batch],
                 [sequences[i] for i in batch],
                 model_mean, model_stdv, tsv_fp=tsv_fp,
-                sample_rate=sample_rate, _write_header=nonlocal_first,
+                sample_rate=sample_rate, keep_aux=keep_aux,
+                _write_header=nonlocal_first,
                 _read_indices=list(batch))
             for i, r in zip(batch, sub):
                 results[i] = r
@@ -299,7 +305,7 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
         if res.failed[b] or len(res.pairs[b]) == 0:
             out.append(ReadResult(FAILED_ALIGNMENT, (0, 0, 1.0), 0.0, None))
             continue
-        aln, _, epb = postalign(res.pairs[b], nk, ranks)
+        aln, b2e, epb = postalign(res.pairs[b], nk, ranks)
         ok, scale, shift, var = recalibrate(
             events[b][2], aln, ranks, model_mean, model_stdv, scale_var=True
         )
@@ -316,7 +322,11 @@ def eventalign_reads(raw_signals, sequences, model_mean, model_stdv,
                 read_index=(b if _read_indices is None else _read_indices[b]),
                 sample_rate=sample_rate,
             )
-        out.append(ReadResult(0, (float(scale), float(shift), float(var)), epb, aln))
+        out.append(ReadResult(
+            0, (float(scale), float(shift), float(var)), epb, aln,
+            b2e=(b2e if keep_aux else None),
+            events=((events[b][2], events[b][3], events[b][1])
+                    if keep_aux else None)))
     return out
 
 
@@ -364,7 +374,7 @@ def eventalign_pipeline(batch_sources, model_mean, model_stdv, tsv_fp=None,
             if res.failed[b] or len(res.pairs[b]) == 0:
                 out.append(ReadResult(FAILED_ALIGNMENT, (0, 0, 1.0), 0.0, None))
                 continue
-            aln, _, epb = postalign(res.pairs[b], nk, ranks)
+            aln, b2e, epb = postalign(res.pairs[b], nk, ranks)
             ok, scale, shift, var = recalibrate(
                 events[b][2], aln, ranks, model_mean, model_stdv
             )

@@ -80,3 +80,10 @@ gcc -O2 -fopenmp \
     "$HERE/ref_drivers/htslib_shim/sam_shim.c" \
     -o "$OUT/pileup_gold_quiet" -lz -lm
 echo "built $OUT/pileup_gold_quiet"
+
+g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/realign_stub/config.h" \
+    -I"$HERE/ref_drivers/htslib_shim" -I"$HERE/ref_drivers/realign_stub" \
+    -I"$HERE/ref_drivers/abea_stub" -I"$REF/benchmarks/abea/src" \
+    "$HERE/ref_drivers/realign_gold.cpp" \
+    -o "$OUT/realign_gold" -lm
+echo "built $OUT/realign_gold"

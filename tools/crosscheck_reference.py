@@ -475,6 +475,154 @@ def crosscheck_pileup(rng, n_reads=150, ref_len=2000):
           f"bit-exact vs reference binary (python + native paths)")
 
 
+
+
+def crosscheck_realign(rng, n_cases=10):
+    """f5c eventalign reference-coordinate realignment (realign_gold:
+    the REAL align_read_to_ref + profile_hmm_align + TSV emitter
+    compiled against the htslib shim) vs ops/ref_align.py — byte-exact
+    TSV rows over synthetic reads with indels, soft clips, both strands,
+    and sparse base-to-event maps."""
+    import io
+
+    from genomicsbench_tpu.ops.abea import synthetic_model
+    from genomicsbench_tpu.ops.ref_align import (
+        align_read_to_ref, emit_ref_alignment_tsv,
+    )
+
+    bin_path = f"{REFBUILD}/realign_gold"
+    if not os.path.exists(bin_path):
+        print("realign: SKIPPED (realign_gold not built)")
+        return
+    model_mean, model_stdv = synthetic_model(0)
+    bases = "ACGT"
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    K = 6
+
+    total_rows = 0
+    for case in range(n_cases):
+        G = int(rng.integers(800, 1500))
+        genome = "".join(bases[i] for i in rng.integers(0, 4, G))
+        pos = int(rng.integers(10, G // 3))
+        is_rev = case % 2 == 1
+        # build a cigar walk and the stored (reference-strand) read
+        sc0, sc1 = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+        cig = []
+        stored = "".join(bases[i] for i in rng.integers(0, 4, sc0))
+        if sc0:
+            cig.append((sc0, 4))
+        gp = pos
+        target_len = int(rng.integers(200, min(500, G - pos - 20)))
+        while gp - pos < target_len:
+            r = rng.random()
+            if r < 0.82 or not cig or cig[-1][1] != 0:  # match block
+                ln = int(rng.integers(20, 80))
+                ln = min(ln, pos + target_len - gp)
+                if ln <= 0:
+                    break
+                seg = list(genome[gp:gp + ln])
+                for j in range(ln):  # mutations
+                    if rng.random() < 0.03:
+                        seg[j] = bases[int(rng.integers(0, 4))]
+                stored += "".join(seg)
+                cig.append((ln, 0))
+                gp += ln
+            elif r < 0.91:  # insertion
+                ln = int(rng.integers(1, 4))
+                stored += "".join(bases[i] for i in rng.integers(0, 4, ln))
+                cig.append((ln, 1))
+            else:  # deletion
+                ln = int(rng.integers(1, 5))
+                cig.append((ln, 2))
+                gp += ln
+        if sc1:
+            stored += "".join(bases[i] for i in rng.integers(0, 4, sc1))
+            cig.append((sc1, 4))
+        end_pos = gp
+        read_length = len(stored)
+        fastq_read = "".join(comp[c] for c in reversed(stored)) \
+            if is_rev else stored
+
+        # synthetic events + a sparse base-to-event map in FASTQ space
+        n_kmers = read_length - K + 1
+        b2e = np.full((n_kmers, 2), -1, np.int32)
+        ev_mean, ev_stdv, ev_len = [], [], []
+        scale = float(np.float32(1.0 + rng.random() * 0.1))
+        shift = float(np.float32(rng.uniform(15, 25)))
+        var = float(np.float32(rng.uniform(0.9, 1.2)))
+        ranks = np.zeros(n_kmers, np.int64)
+        for ki in range(n_kmers):
+            r = 0
+            for i in range(K):
+                c = fastq_read[ki + K - 1 - i]
+                r += ("ACGT".index(c)) << (i << 1)
+            ranks[ki] = r
+        e = 0
+        for ki in range(n_kmers):
+            if rng.random() < 0.08:
+                continue  # kmer with no events
+            n_ev = 1 + (rng.random() < 0.25)
+            b2e[ki] = (e, e + n_ev - 1)
+            for _ in range(n_ev):
+                mu = scale * float(model_mean[ranks[ki]]) + shift
+                ev_mean.append(mu + rng.normal(0, 0.6))
+                ev_stdv.append(abs(rng.normal(1.0, 0.2)) + 0.1)
+                ev_len.append(float(rng.integers(3, 30)))
+                e += 1
+        if e < 10:
+            continue
+        ev_mean = np.array(ev_mean, np.float32)
+        ev_stdv = np.array(ev_stdv, np.float32)
+        ev_len = np.array(ev_len, np.float32)
+        epb = float(e) / n_kmers
+        ref_seq = genome[pos:end_pos]
+        scale_events = case % 3 != 0
+
+        ours = align_read_to_ref(
+            ref_seq, pos, [op for _, op in cig], [ln for ln, _ in cig],
+            pos, is_rev, read_length, b2e, ev_mean,
+            (scale, shift, var), model_mean, model_stdv, epb)
+        buf = io.StringIO()
+        emit_ref_alignment_tsv(
+            buf, ours, ev_mean, ev_stdv, ev_len, (scale, shift, var),
+            model_mean, model_stdv, read_index=0, ref_name="ref",
+            sample_rate=4000.0, scale_events=scale_events)
+
+        lines = [f"{K} 4000.0 {scale!r} {shift!r} {var!r} {epb!r} "
+                 f"{read_length} {pos} {16 if is_rev else 0} "
+                 f"{int(scale_events)} -1 -1",
+                 str(len(cig))]
+        lines += [f"{ln} {op}" for ln, op in cig]
+        lines.append(f"{pos} {len(ref_seq)}")
+        lines.append(ref_seq)
+        lines.append(str(e))
+        lines += [f"{i * 10} {float(ev_len[i])!r} {float(ev_mean[i])!r} "
+                  f"{float(ev_stdv[i])!r}" for i in range(e)]
+        lines.append(str(n_kmers))
+        lines += [f"{int(a)} {int(b)}" for a, b in b2e]
+        lines.append(str(len(model_mean)))
+        lines += [f"{float(m)!r} {float(s)!r}"
+                  for m, s in zip(model_mean, model_stdv)]
+        path = TMP + "_realign.in"
+        open(path, "w").write("\n".join(lines) + "\n")
+        out = subprocess.run([bin_path, path], capture_output=True,
+                             text=True, check=True)
+        want = out.stdout
+        got = buf.getvalue()
+        if got != want:
+            gl, wl = got.splitlines(), want.splitlines()
+            for i, (a, b) in enumerate(zip(gl, wl)):
+                if a != b:
+                    raise AssertionError(
+                        f"realign case {case} row {i}:\nours: {a}\n"
+                        f"ref:  {b}")
+            raise AssertionError(
+                f"realign case {case}: row count {len(gl)} != {len(wl)}")
+        total_rows += len(got.splitlines())
+    print(f"realign: {n_cases} fresh reads (fwd+rev, indels, clips) "
+          f"byte-exact vs reference binary ({total_rows} TSV rows)")
+
+
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
     print(f"seed = {seed}")
@@ -485,4 +633,5 @@ if __name__ == "__main__":
     crosscheck_kmer(rng)
     crosscheck_dbg(rng)
     crosscheck_pileup(rng)
+    crosscheck_realign(rng)
     print("ALL CROSS-CHECKS PASSED")

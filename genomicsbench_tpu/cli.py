@@ -317,33 +317,13 @@ def cmd_eventalign(args):
         # realigning events to genome segments (align_read_to_ref);
         # rows come out in BAM record order, read_index = that order
         from genomicsbench_tpu.ops.eventalign import TSV_HEADER
-        from genomicsbench_tpu.ops.ref_align import (
-            align_read_to_ref, emit_ref_alignment_tsv,
-        )
+        from genomicsbench_tpu.ops.ref_align import emit_ref_alignment_tsv
 
-        _CIG = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5,
-                "P": 6, "=": 7, "X": 8}
-        genome = {n: s.decode().upper() for n, s in read_fastx(args.genome)}
-        bam = _open_bam(args.bam)
-        by_name = {n: r for n, r in zip(names, results)}
         sys.stdout.write(TSV_HEADER + "\n")
         n_rows = 0
-        recs = bam.records if hasattr(bam, "records") else list(bam)
-        for ridx, rec in enumerate(recs):
-            r = by_name.get(rec.name)
-            if (r is None or r.flag != 0 or rec.is_unmapped
-                    or rec.is_secondary or rec.is_supplementary):
-                continue
-            contig = bam.ref_names[rec.ref_id]
-            ops = [_CIG[c] for c, _ in rec.cigar]
-            lens = [ln for _, ln in rec.cigar]
-            consumed = sum(ln for (c, ln) in rec.cigar if c in "MDN=X")
-            ref_slice = genome[contig][rec.pos:rec.pos + consumed]
-            i = names.index(rec.name)
-            rows = align_read_to_ref(
-                ref_slice, rec.pos, ops, lens, rec.pos, rec.is_reverse,
-                len(seqs[i]), r.b2e, r.events[0], r.scalings,
-                model_mean, model_stdv, r.events_per_base)
+        for ridx, rec, contig, ref_slice, rows, r in _iter_ref_alignments(
+                args.bam, args.genome, names, seqs, results,
+                model_mean, model_stdv):
             emit_ref_alignment_tsv(
                 sys.stdout, rows, r.events[0], r.events[1], r.events[2],
                 r.scalings, model_mean, model_stdv, read_index=ridx,
@@ -356,6 +336,38 @@ def cmd_eventalign(args):
     print(f"[eventalign] {n_ok}/{len(results)} reads aligned, "
           f"total entries: {sum(len(r.alignment.event_idx) for r in results if r.alignment)}; "
           f"Data processing time: {dt:.3f} sec", file=sys.stderr)
+
+
+def _iter_ref_alignments(bam_path, genome_path, names, seqs, results,
+                         model_mean, model_stdv):
+    """Shared -b/-g projection: walk BAM records in order, realign each
+    passing read's events onto its reference span, yield
+    (record_index, record, contig, ref_slice, rows, ReadResult)."""
+    from genomicsbench_tpu.io.seqio import read_fastx
+    from genomicsbench_tpu.ops.ref_align import align_read_to_ref
+
+    cig_code = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5,
+                "P": 6, "=": 7, "X": 8}
+    genome = {n: s.decode().upper() for n, s in read_fastx(genome_path)}
+    bam = _open_bam(bam_path)
+    by_name = {n: (i, r) for i, (n, r) in enumerate(zip(names, results))}
+    recs = bam.records if hasattr(bam, "records") else list(bam)
+    for ridx, rec in enumerate(recs):
+        got = by_name.get(rec.name)
+        if (got is None or got[1].flag != 0 or rec.is_unmapped
+                or rec.is_secondary or rec.is_supplementary):
+            continue
+        i, r = got
+        contig = bam.ref_names[rec.ref_id]
+        ops = [cig_code[c] for c, _ in rec.cigar]
+        lens = [ln for _, ln in rec.cigar]
+        consumed = sum(ln for (c, ln) in rec.cigar if c in "MDN=X")
+        ref_slice = genome[contig][rec.pos:rec.pos + consumed]
+        rows = align_read_to_ref(
+            ref_slice, rec.pos, ops, lens, rec.pos, rec.is_reverse,
+            len(seqs[i]), r.b2e, r.events[0], r.scalings,
+            model_mean, model_stdv, r.events_per_base)
+        yield ridx, rec, contig, ref_slice, rows, r
 
 
 # ----------------------------------------------------------------- nn-base
@@ -443,27 +455,54 @@ def cmd_call_methylation(args):
             names.append(name)
             seqs.append(encode_seq(seq.decode()))
             raws.append(np.asarray(sig[name], np.float32))
+    ref_mode = bool(args.bam and args.genome)
     t0 = _t()
-    results = eventalign_reads(raws, seqs, model_mean, model_stdv)
+    results = eventalign_reads(raws, seqs, model_mean, model_stdv,
+                               keep_aux=ref_mode)
     print("chromosome\tstart\tend\tread_name\tlog_lik_ratio\t"
           "log_lik_methylated\tlog_lik_unmethylated\tnum_cpgs\tsequence")
     n_sites = 0
     site_maps = []
-    for b, res in enumerate(results):
-        if res.flag != 0 or res.alignment is None:
-            continue
-        seq_str = "".join("ACGT"[min(int(c), 3)] for c in seqs[b])
-        sites = meth.call_methylation_for_read(
-            seq_str, 0, res.alignment.ref_position, res.alignment.event_idx,
-            _detect_means(raws[b]),
-            res.scalings, cpg_mean, cpg_stdv, res.events_per_base,
-        )
-        site_maps.append(sites)
-        for pos, ss in sorted(sites.items()):
-            n_sites += 1
-            print(f"read\t{ss.start_position}\t{ss.end_position}\t{names[b]}\t"
-                  f"{ss.ll_ratio:.2f}\t{ss.ll_methylated:.2f}\t"
-                  f"{ss.ll_unmethylated:.2f}\t{ss.n_cpg}\t{ss.sequence}")
+    if ref_mode:
+        # f5c's real flow (meth.c:501-659): realign events onto the
+        # GENOME (align_read_to_ref), then score CpG groups on the
+        # reference sequence — genomic chromosome/start/end columns
+        for ridx, rec, contig, ref_slice, rows, r in _iter_ref_alignments(
+                args.bam, args.genome, names, seqs, results,
+                model_mean, model_stdv):
+            aln_rp = np.array([row.ref_position for row in rows], np.int64)
+            aln_ev = np.array([row.event_idx for row in rows], np.int64)
+            if len(aln_rp) == 0:
+                continue
+            sites = meth.call_methylation_for_read(
+                ref_slice, rec.pos, aln_rp, aln_ev, r.events[0],
+                r.scalings, cpg_mean, cpg_stdv, r.events_per_base,
+                rc=rec.is_reverse,
+            )
+            site_maps.append(sites)
+            for pos, ss in sorted(sites.items()):
+                n_sites += 1
+                print(f"{contig}\t{ss.start_position}\t{ss.end_position}\t"
+                      f"{rec.name}\t{ss.ll_ratio:.2f}\t"
+                      f"{ss.ll_methylated:.2f}\t{ss.ll_unmethylated:.2f}\t"
+                      f"{ss.n_cpg}\t{ss.sequence}")
+    else:
+        for b, res in enumerate(results):
+            if res.flag != 0 or res.alignment is None:
+                continue
+            seq_str = "".join("ACGT"[min(int(c), 3)] for c in seqs[b])
+            sites = meth.call_methylation_for_read(
+                seq_str, 0, res.alignment.ref_position,
+                res.alignment.event_idx, _detect_means(raws[b]),
+                res.scalings, cpg_mean, cpg_stdv, res.events_per_base,
+            )
+            site_maps.append(sites)
+            for pos, ss in sorted(sites.items()):
+                n_sites += 1
+                print(f"read\t{ss.start_position}\t{ss.end_position}\t"
+                      f"{names[b]}\t{ss.ll_ratio:.2f}\t"
+                      f"{ss.ll_methylated:.2f}\t{ss.ll_unmethylated:.2f}\t"
+                      f"{ss.n_cpg}\t{ss.sequence}")
     print(f"[call-methylation] {n_sites} site groups from "
           f"{len(site_maps)} reads in {_t() - t0:.2f} sec", file=sys.stderr)
 
@@ -672,7 +711,11 @@ def build_parser():
 
     s = sub.add_parser("call-methylation", help="CpG methylation calling")
     s.add_argument("--signals", required=True)
-    s.add_argument("--reads", required=True)
+    s.add_argument("-r", "--reads", required=True)
+    s.add_argument("-b", "--bam",
+                   help="with -g: score CpGs on the GENOME via the "
+                        "reference-coordinate realignment (f5c meth flow)")
+    s.add_argument("-g", "--genome")
     s.add_argument("--model")
     s.add_argument("--cpg-model")
     s.set_defaults(fn=cmd_call_methylation)

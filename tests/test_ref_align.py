@@ -142,3 +142,46 @@ def test_eventalign_cli_ref_mode(tmp_path, capsys):
         assert genome[p:p + 6] == r[2]
     # both reads contributed (read_index column distinguishes)
     assert {r[3] for r in rows} == {"0", "1"}
+
+
+def test_call_methylation_cli_ref_mode(tmp_path, capsys):
+    """call-methylation -b/-g: CpG groups scored on the GENOME with
+    chromosome/start/end in reference coordinates (f5c meth flow)."""
+    from genomicsbench_tpu.cli import main
+    from genomicsbench_tpu.io.bam import BamFile, BamRecord, write_bam
+    from genomicsbench_tpu.ops.abea import kmer_ranks, synthetic_model
+
+    mm, ms = synthetic_model(seed=0)
+    rng = np.random.default_rng(21)
+    G = 700
+    genome_codes = rng.integers(0, 4, G).astype(np.uint8)
+    genome = "".join("ACGT"[i] for i in genome_codes)
+    pos, L = 60, 320
+    stored = genome[pos:pos + L]
+    seq = np.array(["ACGT".index(c) for c in stored], np.uint8)
+    ranks = kmer_ranks(seq)
+    sig = (np.repeat(mm[ranks], 8)
+           + rng.normal(0, 0.3, (L - 5) * 8)).astype(np.float32)
+
+    bam_path = str(tmp_path / "reads.bam")
+    write_bam(bam_path, BamFile(
+        header_text="@HD\tVN:1.6\n", ref_names=["chrM"], ref_lens=[G],
+        records=[BamRecord(name="r0", flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=[("M", L)], seq=seq,
+                           qual=np.full(L, 30, np.uint8))]))
+    (tmp_path / "g.fa").write_text(">chrM\n" + genome + "\n")
+    (tmp_path / "r.fa").write_text(">r0\n" + stored + "\n")
+    np.savez(tmp_path / "s.npz", r0=sig)
+
+    main(["call-methylation", "--signals", str(tmp_path / "s.npz"),
+          "-r", str(tmp_path / "r.fa"), "-b", bam_path,
+          "-g", str(tmp_path / "g.fa")])
+    out = capsys.readouterr().out
+    rows = [ln.split("\t") for ln in out.strip().splitlines()[1:]]
+    assert len(rows) > 0
+    for r in rows:
+        assert r[0] == "chrM"
+        start, end = int(r[1]), int(r[2])
+        assert pos <= start <= end <= pos + L
+        # every reported site is a genomic CpG
+        assert genome[start:start + 2] == "CG", (start, genome[start:start+2])

@@ -319,16 +319,40 @@ def cmd_eventalign(args):
         from genomicsbench_tpu.ops.eventalign import TSV_HEADER
         from genomicsbench_tpu.ops.ref_align import emit_ref_alignment_tsv
 
-        sys.stdout.write(TSV_HEADER + "\n")
+        sam_records = [] if args.sam else None
+        if not args.sam:
+            sys.stdout.write(TSV_HEADER + "\n")
         n_rows = 0
+        src_bam = None
         for ridx, rec, contig, ref_slice, rows, r in _iter_ref_alignments(
                 args.bam, args.genome, names, seqs, results,
                 model_mean, model_stdv):
-            emit_ref_alignment_tsv(
-                sys.stdout, rows, r.events[0], r.events[1], r.events[2],
-                r.scalings, model_mean, model_stdv, read_index=ridx,
-                ref_name=contig, sample_rate=args.sample_rate)
+            if sam_records is not None:
+                from genomicsbench_tpu.ops.ref_align import (
+                    ref_rows_to_sam_record,
+                )
+
+                sam_rec = ref_rows_to_sam_record(
+                    rows, rec.name, rec.ref_id, rec.mapq)
+                if sam_rec is not None:
+                    sam_records.append(sam_rec)
+            else:
+                emit_ref_alignment_tsv(
+                    sys.stdout, rows, r.events[0], r.events[1],
+                    r.events[2], r.scalings, model_mean, model_stdv,
+                    read_index=ridx, ref_name=contig,
+                    sample_rate=args.sample_rate)
             n_rows += len(rows)
+        if sam_records is not None:
+            from genomicsbench_tpu.io.bam import BamFile, write_bam
+
+            src = _open_bam(args.bam)
+            write_bam(args.sam, BamFile(
+                header_text=getattr(src, "header_text", "@HD\tVN:1.6\n"),
+                ref_names=src.ref_names, ref_lens=src.ref_lens,
+                records=sam_records))
+            print(f"[eventalign --sam] {len(sam_records)} event-space "
+                  f"records -> {args.sam}", file=sys.stderr)
         print(f"[eventalign -b/-g] {n_rows} reference-coordinate rows",
               file=sys.stderr)
     dt = _t() - t0
@@ -683,6 +707,9 @@ def build_parser():
     s.add_argument("-B", "--batch-bases", default=None,
                    help="accepted for f5c parity (use --profile for "
                         "batch control)")
+    s.add_argument("--sam", metavar="OUT_BAM",
+                   help="with -b/-g: write event-space alignment records "
+                        "(f5c --sam; BAM container) instead of TSV rows")
     s.add_argument("--model", help="pore model TSV (else synthetic)")
     s.add_argument("--sample-rate", type=float, default=4000.0)
     s.add_argument("--profile",

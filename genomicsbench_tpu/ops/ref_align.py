@@ -290,3 +290,35 @@ def emit_ref_alignment_tsv(
                  f"{float(event_stdv):.3f}\t{duration:.5f}\t")
         fp.write(f"{row.model_kmer}\t{float(model_mean_v):.2f}\t"
                  f"{float(model_stdv_v):.2f}\t{float(standard_level):.2f}\n")
+
+
+def ref_rows_to_sam_record(rows, read_name: str, ref_id: int, mapq: int):
+    """Event-space alignment record (emit_event_alignment_sam,
+    eventalign.c:1731-1800): qname `<read>.template`, pos = the first
+    row's reference position, an EVENT cigar over (ref_position,
+    event_idx) steps (insertions = event stays, deletions = reference
+    jumps), zero-length SEQ/QUAL, and an `ES:i` aux tag carrying the
+    event stride.  Returns an io.bam.BamRecord (serialized by
+    write_bam into the BAM container — the binary form of the SAM the
+    reference emits)."""
+    import struct as _struct
+    import types as _types
+
+    from genomicsbench_tpu.io.bam import BamRecord
+    from genomicsbench_tpu.ops.eventalign import event_alignment_to_cigar
+
+    if not rows:
+        return None
+    rp = np.array([r.ref_position for r in rows], np.int64)
+    ev = np.array([r.event_idx for r in rows], np.int64)
+    cig = event_alignment_to_cigar(
+        _types.SimpleNamespace(ref_position=rp, event_idx=ev))
+    stride = 1 if rows[0].event_idx < rows[-1].event_idx else -1
+    return BamRecord(
+        name=read_name + ".template",
+        flag=16 if rows[0].rc else 0,
+        ref_id=ref_id, pos=int(rows[0].ref_position), mapq=mapq,
+        cigar=[(op, n) for n, op in cig],
+        seq=np.zeros(0, np.uint8), qual=np.zeros(0, np.uint8),
+        tags=b"ESi" + _struct.pack("<i", stride),
+    )

@@ -185,3 +185,51 @@ def test_call_methylation_cli_ref_mode(tmp_path, capsys):
         assert pos <= start <= end <= pos + L
         # every reported site is a genomic CpG
         assert genome[start:start + 2] == "CG", (start, genome[start:start+2])
+
+
+def test_eventalign_cli_sam_mode(tmp_path, capsys):
+    """--sam with -b/-g: event-space alignment records in a BAM
+    container (emit_event_alignment_sam semantics: qname .template,
+    event cigar, ES stride tag, empty SEQ)."""
+    import struct
+
+    from genomicsbench_tpu.cli import main
+    from genomicsbench_tpu.io.bam import BamFile, BamRecord, read_bam, write_bam
+    from genomicsbench_tpu.ops.abea import kmer_ranks, synthetic_model
+
+    mm, ms = synthetic_model(seed=0)
+    rng = np.random.default_rng(33)
+    G = 600
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, G))
+    pos, L = 30, 280
+    stored = genome[pos:pos + L]
+    seq = np.array(["ACGT".index(c) for c in stored], np.uint8)
+    sig = (np.repeat(mm[kmer_ranks(seq)], 8)
+           + rng.normal(0, 0.3, (L - 5) * 8)).astype(np.float32)
+    bam_path = str(tmp_path / "in.bam")
+    write_bam(bam_path, BamFile(
+        header_text="@HD\tVN:1.6\n", ref_names=["c"], ref_lens=[G],
+        records=[BamRecord(name="r0", flag=0, ref_id=0, pos=pos, mapq=42,
+                           cigar=[("M", L)], seq=seq,
+                           qual=np.full(L, 30, np.uint8))]))
+    (tmp_path / "g.fa").write_text(">c\n" + genome + "\n")
+    (tmp_path / "r.fa").write_text(">r0\n" + stored + "\n")
+    np.savez(tmp_path / "s.npz", r0=sig)
+    out_bam = str(tmp_path / "events.bam")
+
+    main(["eventalign", "--signals", str(tmp_path / "s.npz"),
+          "-r", str(tmp_path / "r.fa"), "-b", bam_path,
+          "-g", str(tmp_path / "g.fa"), "--sam", out_bam])
+    got = read_bam(out_bam)
+    assert got.ref_names == ["c"]
+    assert len(got.records) == 1
+    rec = got.records[0]
+    assert rec.name == "r0.template"
+    assert rec.pos >= pos
+    assert len(rec.seq) == 0
+    # event cigar spans the reference: M/D ops sum to the ref span
+    ref_span = sum(ln for op, ln in rec.cigar if op in "MD")
+    assert ref_span > L // 2
+    # ES aux tag carries the event stride
+    assert rec.tags[:3] == b"ESi"
+    assert struct.unpack("<i", rec.tags[3:7])[0] in (-1, 1)

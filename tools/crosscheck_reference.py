@@ -577,11 +577,19 @@ def crosscheck_realign(rng, n_cases=10):
         epb = float(e) / n_kmers
         ref_seq = genome[pos:end_pos]
         scale_events = case % 3 != 0
+        # every third case trims to a reference sub-region
+        # (trim_aligned_pairs_to_ref_region path)
+        if case % 3 == 2 and end_pos - pos > 120:
+            region_start = pos + 30
+            region_end = end_pos - 30
+        else:
+            region_start = region_end = -1
 
         ours = align_read_to_ref(
             ref_seq, pos, [op for _, op in cig], [ln for ln, _ in cig],
             pos, is_rev, read_length, b2e, ev_mean,
-            (scale, shift, var), model_mean, model_stdv, epb)
+            (scale, shift, var), model_mean, model_stdv, epb,
+            region_start=region_start, region_end=region_end)
         buf = io.StringIO()
         emit_ref_alignment_tsv(
             buf, ours, ev_mean, ev_stdv, ev_len, (scale, shift, var),
@@ -590,7 +598,7 @@ def crosscheck_realign(rng, n_cases=10):
 
         lines = [f"{K} 4000.0 {scale!r} {shift!r} {var!r} {epb!r} "
                  f"{read_length} {pos} {16 if is_rev else 0} "
-                 f"{int(scale_events)} -1 -1",
+                 f"{int(scale_events)} {region_start} {region_end}",
                  str(len(cig))]
         lines += [f"{ln} {op}" for ln, op in cig]
         lines.append(f"{pos} {len(ref_seq)}")

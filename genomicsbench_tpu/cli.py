@@ -397,15 +397,44 @@ def _iter_ref_alignments(bam_path, genome_path, names, seqs, results,
 # ----------------------------------------------------------------- nn-base
 def cmd_nn_base(args):
     """basecall.py equivalent: chunked CTC basecalling of raw signals
-    (.npz of float arrays) -> FASTQ (basecall.py:630-645)."""
+    (.npz of float arrays or a fast5 dir) -> FASTQ (basecall.py:630-645).
+    Also accepts the reference's positional shape
+    `nn-base <model_directory> <reads_directory> --device X --fastq`
+    (run-gpu.sh:28): a weights_*.tar in the model directory is imported
+    as a torch state dict; otherwise weights are the deterministic
+    random init (the reference checkpoint is stripped from the
+    snapshot)."""
+    import glob
+    import os
+
     from genomicsbench_tpu.models.basecaller import (
-        BasecallerConfig, basecall_signals, init_params,
+        BasecallerConfig, basecall_signals, import_torch_state_dict,
+        init_params,
     )
     import jax
 
     cfg = BasecallerConfig()
-    params = init_params(jax.random.key(0), cfg)
-    sig = _load_signals(args.signals)
+    params = None
+    if args.model_directory:
+        tars = sorted(glob.glob(
+            os.path.join(args.model_directory, "weights_*.tar")))
+        if tars:
+            import torch
+
+            state = torch.load(tars[-1], map_location="cpu")
+            params = import_torch_state_dict(state, cfg)
+            print(f"> loaded {os.path.basename(tars[-1])}", file=sys.stderr)
+        else:
+            print("> model directory has no weights_*.tar; using the "
+                  "deterministic random init", file=sys.stderr)
+    if params is None:
+        params = init_params(jax.random.key(0), cfg)
+    signals_src = args.signals or args.reads_directory
+    if not signals_src:
+        print("nn-base: --signals or a reads directory is required",
+              file=sys.stderr)
+        raise SystemExit(2)
+    sig = _load_signals(signals_src)
     names = list(sig.keys())
     t0 = _t()
     raws = [np.asarray(sig[n], np.float32) for n in names]
@@ -719,7 +748,17 @@ def build_parser():
     s.set_defaults(fn=cmd_eventalign)
 
     s = sub.add_parser("nn-base", help="neural basecalling")
-    s.add_argument("--signals", required=True, help=".npz of raw signals")
+    s.add_argument("model_directory", nargs="?",
+                   help="bonito model dir (basecall.py shape; "
+                        "weights_*.tar imported if present)")
+    s.add_argument("reads_directory", nargs="?",
+                   help="fast5 directory (basecall.py shape)")
+    s.add_argument("--signals", help=".npz of raw signals or fast5 dir")
+    s.add_argument("--device", default=None,
+                   help="accepted for run-gpu.sh parity (ignored; the "
+                        "JAX backend decides)")
+    s.add_argument("--fastq", action="store_true",
+                   help="accepted for parity (FASTQ is the only output)")
     s.add_argument("--chunksize", type=int, default=6000)
     s.add_argument("--overlap", type=int, default=300)
     s.add_argument("--beamsize", type=int, default=5)

@@ -65,36 +65,32 @@ class RefAlignmentRow:
 def aligned_pairs_from_cigar(cigar_ops, cigar_lens, pos: int):
     """BAM cigar -> list of aligned segments, each an (N, 2) int64 array
     of (ref_pos, read_pos) pairs (get_aligned_segments_two_params with
-    read_stride=1; BAM_CREF_SKIP starts a new segment)."""
+    read_stride=1; BAM_CREF_SKIP starts a new segment).  Vectorized per
+    cigar OP (a per-base python walk was the hot loop for long reads)."""
     segments = [[]]
     read_pos = 0
     ref_pos = int(pos)
     for op, ln in zip(cigar_ops, cigar_lens):
         op, ln = int(op), int(ln)
-        read_inc = ref_inc = 0
-        aligned = False
-        if op in (0, 7, 8):      # M / = / X
-            aligned = True
-            read_inc, ref_inc = 1, 1
+        if op in (0, 7, 8):      # M / = / X: emit the aligned run
+            ar = np.arange(ln, dtype=np.int64)
+            segments[-1].append(
+                np.stack([ref_pos + ar, read_pos + ar], axis=1))
+            read_pos += ln
+            ref_pos += ln
         elif op == 2:            # D
-            ref_inc = 1
+            ref_pos += ln
         elif op == 3:            # N: end segment, start a new one
             segments.append([])
-            ref_inc = 1
-        elif op == 1:            # I
-            read_inc = 1
-        elif op == 4:            # S
-            read_inc = 1
+            ref_pos += ln
+        elif op in (1, 4):       # I / S
+            read_pos += ln
         elif op == 5:            # H
             pass
-        else:
+        else:  # P and beyond: the reference asserts here too
             raise ValueError(f"unhandled cigar op {op}")
-        for _ in range(ln):
-            if aligned:
-                segments[-1].append((ref_pos, read_pos))
-            read_pos += read_inc
-            ref_pos += ref_inc
-    return [np.array(s, np.int64).reshape(-1, 2) for s in segments]
+    return [np.concatenate(s, axis=0) if s
+            else np.zeros((0, 2), np.int64) for s in segments]
 
 
 def _get_closest_event_to(k_idx: int, b2e: np.ndarray) -> int:

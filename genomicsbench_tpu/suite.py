@@ -147,21 +147,43 @@ def make_demo_dataset(root: str, seed: int = 0) -> dict:
     jobs["grm"] = ["grm", "--bfile", str(root / "grm"),
                    "--out", str(root / "grm_out")]
 
-    # --- eventalign signals + reads
+    # --- eventalign: genome + mapped nanopore reads + signals (the
+    # reference's canonical shape is `f5c eventalign -b -g -r`,
+    # run-gpu.sh:45 — the suite exercises the reference-coordinate mode)
+    from genomicsbench_tpu.io.bam import BamFile, BamRecord, write_bam
     from genomicsbench_tpu.ops.abea import kmer_ranks, synthetic_model
 
     mm, _ = synthetic_model(seed=0)
+    nano_genome = rng.integers(0, 4, 4000).astype(np.uint8)
+    with open(root / "nanopore_genome.fa", "w") as f:
+        f.write(">ng\n" + _codes_to_str(nano_genome) + "\n")
+    comp = np.array([3, 2, 1, 0], np.uint8)
     sig = {}
+    nano_recs = []
     with open(root / "nanopore_reads.fa", "w") as f:
         for i in range(8):
-            seq = rng.integers(0, 4, int(rng.integers(250, 400))).astype(np.uint8)
+            L = int(rng.integers(250, 400))
+            pos = int(rng.integers(0, 4000 - L))
+            stored = nano_genome[pos:pos + L]
+            is_rev = i % 3 == 2
+            seq = comp[stored][::-1].copy() if is_rev else stored
             lv = mm[kmer_ranks(seq)]
-            raw = (np.repeat(lv, 8) + rng.normal(0, 0.3, len(lv) * 8)).astype(np.float32)
+            raw = (np.repeat(lv, 8)
+                   + rng.normal(0, 0.3, len(lv) * 8)).astype(np.float32)
             sig[f"n{i}"] = raw
             f.write(f">n{i}\n{_codes_to_str(seq)}\n")
+            nano_recs.append(BamRecord(
+                name=f"n{i}", flag=16 if is_rev else 0, ref_id=0, pos=pos,
+                mapq=60, cigar=[("M", L)], seq=stored,
+                qual=np.full(L, 30, np.uint8)))
     np.savez(root / "signals.npz", **sig)
+    write_bam(str(root / "nanopore.bam"), BamFile(
+        header_text="@HD\tVN:1.6\n", ref_names=["ng"], ref_lens=[4000],
+        records=nano_recs))
     jobs["eventalign"] = ["eventalign", "--signals", str(root / "signals.npz"),
-                          "--reads", str(root / "nanopore_reads.fa")]
+                          "-r", str(root / "nanopore_reads.fa"),
+                          "-b", str(root / "nanopore.bam"),
+                          "-g", str(root / "nanopore_genome.fa")]
 
     # --- nn-base / nn-variant
     jobs["nn-base"] = ["nn-base", "--signals", str(root / "signals.npz"),

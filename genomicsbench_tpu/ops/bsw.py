@@ -321,15 +321,26 @@ class BswScorer:
         # by their true lane class (roundup(qlen+1, 128) lanes) first, and
         # by tlen (the scan length) within a class; the Q pad is then set
         # to fill its lane class exactly (Q = class*128 - 1).
+        #
+        # A/B handle (r3 regression hunt — driver bench fell 14.1 -> 5.1
+        # Gcells/s at the commit introducing this policy):
+        #   GENOMICSBENCH_BSW_LANECLS=1  lane-class order + class Q pad
+        #   GENOMICSBENCH_BSW_LANECLS=order  lane-class order, multiple Q pad
+        #   GENOMICSBENCH_BSW_LANECLS=0  r1 policy (tlen sort, multiple pads)
+        lanecls = os.environ.get("GENOMICSBENCH_BSW_LANECLS", "1")
         qcls = -(-(np.asarray(batch.qlen) + 1) // 128)
-        order = np.lexsort((np.asarray(batch.tlen), qcls))
+        if lanecls == "0":
+            order = None
+        else:
+            order = np.lexsort((np.asarray(batch.tlen), qcls))
         self.buckets = bucket_by_length(
             (batch.tlen, batch.qlen), batch_size, multiple=multiple,
             order=order,
         )
-        for b in self.buckets:
-            T, _ = b.pad_sizes
-            b.pad_sizes = (T, int(qcls[b.indices].max()) * 128 - 1)
+        if lanecls == "1":
+            for b in self.buckets:
+                T, _ = b.pad_sizes
+                b.pad_sizes = (T, int(qcls[b.indices].max()) * 128 - 1)
         idx_list = []
         for b in self.buckets:
             idx = np.zeros(batch_size, dtype=np.int32)

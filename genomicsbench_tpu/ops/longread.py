@@ -1,6 +1,6 @@
 """Ultra-long-read banded alignment, sharded across chips.
 
-The reference handles over-长 reads by routing them to a separate CPU
+The reference handles ultra-long reads by routing them to a separate CPU
 path (f5c.cu:1026-1059 ultra-thresh split) because one GPU block cannot
 hold their DP state.  The TPU-native answer (SURVEY.md §5.7) is
 sequence parallelism: keep ONE read's banded DP on the whole mesh by

@@ -287,6 +287,14 @@ def pileup_counts(
         try:
             from genomicsbench_tpu import native
 
+            if num_dtypes > 1 and native.available():
+                # the in-place native accumulator is single-dtype
+                # (gb_pileup_accumulate has no dtype plane stride yet);
+                # say so instead of silently taking the slower event path
+                import sys
+                print("[pileup] num_dtypes=%d: native in-place fast path "
+                      "requires a single dtype; using the event-stream path"
+                      % num_dtypes, file=sys.stderr)
             if num_dtypes == 1 and native.available() \
                     and hasattr(native._load(), "gb_pileup_extents"):
                 # full-native accumulation: matrix cells increment in

@@ -87,3 +87,10 @@ g++ -O2 -DHAVE_CONFIG_H -include "$HERE/ref_drivers/realign_stub/config.h" \
     "$HERE/ref_drivers/realign_gold.cpp" \
     -o "$OUT/realign_gold" -lm
 echo "built $OUT/realign_gold"
+
+# GKL computelikelihoodsboth semantics (the GKL submodule is empty): an
+# honest anti-diagonal SIMD float+double-fallback pair-HMM, timed as the
+# phmm host baseline and used for the phmm numeric crosscheck
+g++ -O3 -march=native -fopenmp-simd \
+    "$HERE/ref_drivers/phmm_gold.cpp" -o "$OUT/phmm_gold" -lm
+echo "built $OUT/phmm_gold"

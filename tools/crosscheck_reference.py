@@ -631,6 +631,69 @@ def crosscheck_realign(rng, n_cases=10):
           f"byte-exact vs reference binary ({total_rows} TSV rows)")
 
 
+def crosscheck_phmm(rng, n_pairs=300):
+    """Ours vs phmm_gold (GKL computelikelihoodsboth semantics,
+    tools/ref_drivers/phmm_gold.cpp) on fresh mixed pairs: mostly
+    read-matches-hap (the GATK shape) plus divergent pairs that force the
+    float->double underflow fallback (pairhmm_common.h:16).
+
+    The f32 passes differ only by op order (device row scan vs gold
+    anti-diagonal SIMD): tolerance 2e-3 in log10.  Fallback pairs are f64
+    on both sides: tolerance 1e-8."""
+    bin_path = f"{REFBUILD}/phmm_gold"
+    if not os.path.exists(bin_path):
+        print("phmm: SKIPPED (phmm_gold not built)")
+        return
+    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch, MIN_ACCEPTED
+
+    B = "ACTG"
+    reads, haps, pairs = [], [], []
+    lines = []
+    for i in range(n_pairs):
+        R = int(rng.integers(8, 152))
+        # mostly ACGT with ~3% ambiguous N (code 4)
+        bases = np.where(rng.random(R) < 0.03, 4,
+                         rng.integers(0, 4, R)).astype(np.uint8)
+        H = int(rng.integers(max(R + 4, 30), 400))
+        hap = rng.integers(0, 4, H).astype(np.uint8)
+        if rng.random() < 0.7:  # aligned pair (f32 path)
+            off = int(rng.integers(0, H - R + 1))
+            hap[off : off + R] = np.where(bases == 4, hap[off : off + R], bases)
+        mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
+        rd = dict(bases=bases, q=mk(6, 61), i=mk(20, 51), d=mk(20, 51),
+                  c=mk(8, 13))
+        reads.append(rd)
+        haps.append(hap)
+        pairs.append((i, i))
+        qstr = lambda a: "".join(chr(int(v) + 33) for v in a)
+        code = "ACTGN"
+        lines.append("1 1")
+        lines.append("".join(code[v] for v in bases) + " "
+                     + " ".join(qstr(rd[k]) for k in "qidc"))
+        lines.append("".join(code[v] for v in hap))
+    path = TMP + "_phmm.in"
+    open(path, "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([bin_path, path, "-x"], capture_output=True,
+                         text=True, check=True)
+    want = np.array([float(x) for x in out.stdout.split()])
+    fb = [int(ln.split()[1]) for ln in out.stderr.splitlines()
+          if ln.startswith("FALLBACKS")][0]
+    got = pairhmm_batch(reads, haps, pairs=pairs)
+    assert len(got) == len(want) == n_pairs
+    diff = np.abs(got - want)
+    # fallback set: scaled f32 < MIN_ACCEPTED means the final log10 is
+    # below log10(1e-28) - 120*log10(2) = -64.1; 5 decades of margin keeps
+    # borderline pairs (which may take different paths per side) out
+    deep = want < (np.log10(MIN_ACCEPTED) - 120 * np.log10(2.0) - 5)
+    assert diff.max() < 2e-3, f"phmm f32 mismatch: max diff {diff.max()}"
+    if deep.any():
+        assert diff[deep].max() < 1e-8, (
+            f"phmm f64 fallback mismatch: {diff[deep].max()}")
+    print(f"phmm: {n_pairs} fresh pairs vs phmm_gold "
+          f"(gold fallbacks={fb}, max |dlog10|={diff.max():.2e}, "
+          f"f64-deep max={diff[deep].max() if deep.any() else 0:.2e})")
+
+
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
     print(f"seed = {seed}")
@@ -642,4 +705,5 @@ if __name__ == "__main__":
     crosscheck_dbg(rng)
     crosscheck_pileup(rng)
     crosscheck_realign(rng)
+    crosscheck_phmm(rng)
     print("ALL CROSS-CHECKS PASSED")

@@ -18,6 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
 from genomicsbench_tpu import ops
 from genomicsbench_tpu.ops import poa
 from genomicsbench_tpu.config import PoaParams
@@ -48,13 +50,24 @@ def main():
         def timed(*a, **k):
             t0 = time.perf_counter()
             r = orig(*a, **k)
+            try:
+                # jitted helpers return asynchronously — block so device
+                # time lands on THIS phase, not on whichever np.asarray
+                # downstream first touches the result (harmless no-op for
+                # host-only helpers)
+                jax.block_until_ready(r)
+            except Exception:
+                pass
             walls[name] += time.perf_counter() - t0
             calls[name] += 1
             return r
 
         setattr(mod, name, timed)
 
-    for fn in ("_poa_dp_batch", "_backtrack_batch", "_decode_path",
+    # _backtrack_batch is invoked INSIDE the jitted _poa_dp_batch, so a
+    # wrapper on it only fires at trace time — excluded (its device cost
+    # is part of _poa_dp_batch's wall).
+    for fn in ("_poa_dp_batch", "_decode_path",
                "_graph_export", "align_batch"):
         if hasattr(poa, fn):
             wrap(poa, fn)

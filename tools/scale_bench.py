@@ -247,13 +247,19 @@ def bench_kmer(total_mb=250):
            bases_per_s=round(sub_n * L / wall_idx, -6),
            n_index_kmers=int(len(idx.kmers)))
 
+    # r3 fix (VERDICT weak #6): both ref fields derive from the SAME
+    # ref_rate, with no magnitude-destroying rounding — the r2 row emitted
+    # ref_1t_bases_per_s=0.0 next to speedup=33.2.  A ref_wall under 10 ms
+    # means the gold timer scope misfired; report n/a rather than a bogus
+    # ratio.
+    ref_ok = ref_wall is not None and ref_wall > 0.01
     record(workload="kmer-cnt", total_bases=total_bases, k=k,
            wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
            unique=uniq, total=tot,
            device_s=dev_s(lambda: count_kmers_stats(seq, lens, k)),
-           ref_1t_bases_per_s=(round(ref_rate, -3) if ref_wall else None),
-           speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 1)
-                              if ref_wall else None))
+           ref_1t_bases_per_s=(float(f"{ref_rate:.4g}") if ref_ok else None),
+           speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 2)
+                              if ref_ok else None))
 
     # metagenome (uneven-coverage) index at a 25 Mb subset, paired with
     # the reference engine's own kernel scope (kmer_gold unevenq:
@@ -490,29 +496,86 @@ def bench_grm(n_variants=100_000, n_samples=2504):
 # phmm — 100k (read, hap) pairs at GATK sizes (large.in scale)
 # ---------------------------------------------------------------------------
 
-def bench_phmm(n_pairs=100_000):
-    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch
-
-    rng = np.random.default_rng(17)
+def _gen_phmm_workload(n_pairs, rng):
+    """GATK-shaped pairs: each read aligns to its candidate haplotype with
+    ~2% SNPs (HaplotypeCaller scores reads against local assembly haps —
+    mostly-matching by construction).  5% of pairs are divergent
+    (read vs an unrelated hap), keeping the f32->f64 underflow fallback
+    path honestly exercised; random-vs-random everywhere (the r2 workload)
+    made 59% of pairs underflow, which benchmarks the double kernel, not
+    the float one."""
     reads, haps, pairs = [], [], []
     cells = 0
     for i in range(n_pairs):
         R = int(rng.integers(10, 152))
-        H = int(rng.integers(200, 401))
         mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
-        reads.append(dict(bases=rng.integers(0, 4, R).astype(np.uint8),
-                          q=mk(6, 61), i=mk(30, 51), d=mk(30, 51),
-                          c=mk(8, 13)))
-        haps.append(rng.integers(0, 4, H).astype(np.uint8))
+        bases = rng.integers(0, 4, R).astype(np.uint8)
+        H = int(rng.integers(max(R + 20, 200), 401))
+        if rng.random() < 0.05:
+            hap = rng.integers(0, 4, H).astype(np.uint8)
+        else:
+            hap = rng.integers(0, 4, H).astype(np.uint8)
+            off = int(rng.integers(0, H - R + 1))
+            hap[off : off + R] = bases
+            nmut = rng.binomial(R, 0.02)
+            if nmut:
+                at = rng.integers(0, R, nmut)
+                hap[off + at] = rng.integers(0, 4, nmut)
+        reads.append(dict(bases=bases, q=mk(6, 61), i=mk(30, 51),
+                          d=mk(30, 51), c=mk(8, 13)))
+        haps.append(hap)
         pairs.append((i, i))
         cells += R * H
+    return reads, haps, pairs, cells
+
+
+def _phmm_gold_rate(reads, haps, pairs, sub=20_000):
+    """Time phmm_gold (tools/ref_drivers/phmm_gold.cpp — the GKL
+    computelikelihoodsboth semantics, anti-diagonal SIMD f32+f64 fallback)
+    on the identical first `sub` pairs; returns (cells_per_s, fallbacks)."""
+    bin_path = f"{REFBUILD}/phmm_gold"
+    if not os.path.exists(bin_path):
+        return None, None
+    B = "ACTG"
+    qstr = lambda a: "".join(chr(int(v) + 33) for v in a)
+    path = f"{SCRATCH}/phmm_gold.in"
+    cells = 0
+    with open(path, "w") as f:
+        for r, h in pairs[:sub]:
+            rd, hap = reads[r], haps[h]
+            f.write("1 1\n")
+            f.write("".join(B[v] for v in rd["bases"]) + " "
+                    + " ".join(qstr(rd[k]) for k in "qidc") + "\n")
+            f.write("".join(B[v] for v in hap) + "\n")
+            cells += len(rd["bases"]) * len(hap)
+    pr = subprocess.run([bin_path, path, "-n"], capture_output=True,
+                        text=True, timeout=3600)
+    ks = fb = None
+    for ln in pr.stderr.splitlines():
+        if ln.startswith("KERNEL_S"):
+            ks = float(ln.split()[1])
+        elif ln.startswith("FALLBACKS"):
+            fb = int(ln.split()[1])
+    return (cells / ks if ks else None), fb
+
+
+def bench_phmm(n_pairs=100_000):
+    from genomicsbench_tpu.ops.pairhmm import pairhmm_batch
+
+    rng = np.random.default_rng(17)
+    reads, haps, pairs, cells = _gen_phmm_workload(n_pairs, rng)
     pairhmm_batch(reads, haps, pairs=pairs)  # warm at FULL shape
     t0 = time.time()
     out = pairhmm_batch(reads, haps, pairs=pairs)
     wall = time.time() - t0
+    ref_rate, ref_fb = _phmm_gold_rate(reads, haps, pairs)
     record(workload="phmm", n_pairs=n_pairs, cells=cells,
            wall_s=round(wall, 2), cells_per_s=round(cells / wall, -6),
            device_s=dev_s(lambda: pairhmm_batch(reads, haps, pairs=pairs)),
+           ref_1t_cells_per_s=(float(f"{ref_rate:.4g}") if ref_rate else None),
+           ref_fallbacks=ref_fb,
+           speedup_vs_ref_1t=(round(cells / wall / ref_rate, 2)
+                              if ref_rate else None),
            checksum=float(np.sum(out)))
 
 

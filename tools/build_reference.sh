@@ -94,3 +94,10 @@ echo "built $OUT/realign_gold"
 g++ -O3 -march=native -fopenmp-simd \
     "$HERE/ref_drivers/phmm_gold.cpp" -o "$OUT/phmm_gold" -lm
 echo "built $OUT/phmm_gold"
+
+# spoa semantics (submodule empty): graph-NW + ring fusion + heaviest
+# bundle consensus with the oracle/poa.py tie-breaks — the poa host
+# baseline; consensus bit-identical to the framework's
+g++ -O3 -march=native \
+    "$HERE/ref_drivers/poa_gold.cpp" -o "$OUT/poa_gold"
+echo "built $OUT/poa_gold"

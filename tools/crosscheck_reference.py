@@ -694,6 +694,51 @@ def crosscheck_phmm(rng, n_pairs=300):
           f"f64-deep max={diff[deep].max() if deep.any() else 0:.2e})")
 
 
+def crosscheck_poa(rng, n_windows=12):
+    """Device msa_consensus_batch vs poa_gold (spoa semantics,
+    tools/ref_drivers/poa_gold.cpp) on fresh windows: consensus strings
+    must be bit-identical (both sides implement the oracle/poa.py
+    contract, including every tie-break)."""
+    bin_path = f"{REFBUILD}/poa_gold"
+    if not os.path.exists(bin_path):
+        print("poa: SKIPPED (poa_gold not built)")
+        return
+    from genomicsbench_tpu.ops.poa import msa_consensus_batch
+
+    windows, lines = [], []
+    for w in range(n_windows):
+        L = int(rng.integers(30, 400))
+        base = rng.integers(0, 4, L)
+        seqs = []
+        for s in range(int(rng.integers(3, 11))):
+            x = base.copy()
+            mut = rng.random(len(x)) < 0.08
+            x[mut] = rng.integers(0, 4, mut.sum())
+            if rng.random() < 0.5:  # deletions exercise the gap pieces
+                cut = int(rng.integers(0, max(1, len(x) - 6)))
+                x = np.delete(x, slice(cut, cut + int(rng.integers(1, 5))))
+            if rng.random() < 0.3:  # insertions
+                at = int(rng.integers(0, len(x)))
+                x = np.insert(x, at, rng.integers(0, 4, int(rng.integers(1, 4))))
+            seqs.append(x.astype(np.int64))
+            lines.append(f">0w{w}" if s == 0 else f">x{w}_{s}")
+            lines.append("".join("ACGT"[int(v)] for v in x))
+        windows.append(seqs)
+    path = TMP + "_poa.fa"
+    open(path, "w").write("\n".join(lines) + "\n")
+    out = subprocess.run([bin_path, path], capture_output=True, text=True,
+                         check=True)
+    want = [ln for ln in out.stdout.splitlines() if not ln.startswith(">")]
+    cons = msa_consensus_batch(windows)
+    got = ["".join("ACGTN"[int(c)] for c in cc) for cc in cons]
+    assert got == want, (
+        "poa consensus mismatch:\n"
+        + "\n".join(f"w{k}:\nours: {a}\ngold: {b}"
+                    for k, (a, b) in enumerate(zip(got, want)) if a != b))
+    print(f"poa: {n_windows} fresh windows, consensus bit-identical vs "
+          f"poa_gold ({sum(len(g) for g in got)} consensus bases)")
+
+
 if __name__ == "__main__":
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else np.random.SeedSequence().entropy % (1 << 32)
     print(f"seed = {seed}")
@@ -706,4 +751,5 @@ if __name__ == "__main__":
     crosscheck_pileup(rng)
     crosscheck_realign(rng)
     crosscheck_phmm(rng)
+    crosscheck_poa(rng)
     print("ALL CROSS-CHECKS PASSED")

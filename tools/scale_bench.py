@@ -604,9 +604,34 @@ def bench_poa(n_windows=5_000):
     for off in range(0, n_windows, 256):  # slab: DP arrays must fit HBM
         cons.extend(msa_consensus_batch(windows[off : off + 256]))
     wall = time.time() - t0
+
+    # paired host baseline: poa_gold (tools/ref_drivers/poa_gold.cpp —
+    # single-thread graph-NW with the pinned spoa semantics; consensus
+    # bit-identical to ours) on the identical first `sub` windows.  The
+    # real spoa SIMD engine (empty submodule) would run faster than this
+    # scalar gold; the ratio is a floor on honesty, not a ceiling.
+    ref_rate = None
+    bin_path = f"{REFBUILD}/poa_gold"
+    if os.path.exists(bin_path):
+        sub = min(50, n_windows)
+        path = f"{SCRATCH}/poa_gold.fa"
+        with open(path, "w") as f:
+            for w in range(sub):
+                for s, seq in enumerate(windows[w]):
+                    f.write(f">0w{w}\n" if s == 0 else f">x{w}_{s}\n")
+                    f.write("".join("ACGT"[int(v)] for v in seq) + "\n")
+        pr = subprocess.run([bin_path, path, "-n"], capture_output=True,
+                            text=True, timeout=3600)
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):
+                ref_rate = sub / float(ln.split()[1])
+
     record(workload="poa", n_windows=n_windows, wall_s=round(wall, 2),
            windows_per_s=round(n_windows / wall, 2),
            device_s_256=dev_s(lambda: msa_consensus_batch(windows[:256])),
+           ref_1t_windows_per_s=(round(ref_rate, 3) if ref_rate else None),
+           speedup_vs_ref_1t=(round(n_windows / wall / ref_rate, 2)
+                              if ref_rate else None),
            total_cons_bases=int(sum(len(c) for c in cons)))
 
 

@@ -486,9 +486,37 @@ def bench_grm(n_variants=100_000, n_samples=2504):
     g = np.asarray(g)
     wall = time.time() - t0
     flops = 2.0 * n_variants * n_samples * n_samples
+
+    # float64 host oracle at FULL chr22 scale (VERDICT r2 missing #3):
+    # blocked so X never materializes at 100k x 2504 f64; bounds the f32
+    # MXU path's error on the whole matrix, not a subsample
+    t0 = time.time()
+    num = np.zeros((n_samples, n_samples))
+    den = np.zeros((n_samples, n_samples))
+    for s in range(0, n_variants, 8192):
+        blk = geno[s : s + 8192]
+        miss = blk == 3
+        gg = np.where(miss, 0, blk).astype(np.float64)
+        n_obs = (~miss).sum(1)
+        p = gg.sum(1) / np.maximum(2 * n_obs, 1)
+        keep = (np.minimum(p, 1 - p) >= 0.01) & (n_obs > 0)
+        x = (gg - 2 * p[:, None]) / np.sqrt(
+            np.maximum(2 * p * (1 - p), 1e-30))[:, None]
+        x = np.where(miss, 0.0, x)[keep]
+        obs = (~miss)[keep].astype(np.float64)
+        num += x.T @ x
+        den += obs.T @ obs
+    g64 = num / np.maximum(den, 1.0)
+    oracle_s = time.time() - t0
+    err = float(np.abs(g - g64).max())
+    nerr = float(np.abs(np.asarray(nobs) - den).max())
+
     record(workload="grm", n_variants=n_variants, n_samples=n_samples,
            wall_s=round(wall, 2), gflops=round(flops / wall / 1e9, 1),
            device_s=dev_s(lambda: np.asarray(grm(geno)[0])),
+           f64_oracle_max_abs_err=float(f"{err:.3g}"),
+           nobs_max_abs_err=nerr,
+           f64_oracle_host_s=round(oracle_s, 2),
            checksum=float(np.trace(g)))
 
 

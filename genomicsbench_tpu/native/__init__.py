@@ -557,6 +557,44 @@ def chain_peak(scores: np.ndarray, parents: np.ndarray,
     return peak
 
 
+def chain_scores(xs_flat, ys_flat, offs, parents, ns, avg_qspan, n_segs,
+                 is_cdna: bool) -> np.ndarray | None:
+    """Rebuild the chain score plane f[] from parents alone
+    (gbingest.cpp gb_chain_scores): the winning predecessor determines the
+    score deterministically via the mm_chain_dp gap cost, so the 4
+    bytes/anchor score plane need never cross the device link.  Returns
+    (R, N) int32, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_scores"):
+        return None
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_u64p = ctypes.POINTER(ctypes.c_uint64)
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gb_chain_scores.restype = None
+    lib.gb_chain_scores.argtypes = [
+        c_u64p, c_u64p, c_i64p, c_i32p, c_i32p,
+        ctypes.c_int64, ctypes.c_int64, c_f64p, c_i32p, ctypes.c_int32,
+        c_i32p,
+    ]
+    xs_flat = np.ascontiguousarray(xs_flat, np.uint64)
+    ys_flat = np.ascontiguousarray(ys_flat, np.uint64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    parents = np.ascontiguousarray(parents, np.int32)
+    ns = np.ascontiguousarray(ns, np.int32)
+    avg_qspan = np.ascontiguousarray(avg_qspan, np.float64)
+    n_segs = np.ascontiguousarray(n_segs, np.int32)
+    R, N = parents.shape
+    scores = np.zeros((R, N), np.int32)
+    lib.gb_chain_scores(
+        xs_flat.ctypes.data_as(c_u64p), ys_flat.ctypes.data_as(c_u64p),
+        offs.ctypes.data_as(c_i64p), parents.ctypes.data_as(c_i32p),
+        ns.ctypes.data_as(c_i32p), R, N,
+        avg_qspan.ctypes.data_as(c_f64p), n_segs.ctypes.data_as(c_i32p),
+        1 if is_cdna else 0, scores.ctypes.data_as(c_i32p))
+    return scores
+
+
 def pileup_matrix(chunks, start: int, end: int, num_homop: int):
     """Full-native pileup accumulation over pre-fetched SoA chunks
     (gb_pileup_extents + gb_pileup_accumulate): the matrix cells increment

@@ -1472,6 +1472,60 @@ void gb_chain_peak(const int32_t* scores, const int32_t* parents,
     }
 }
 
+// Score-plane reconstruction from parents alone (r3): given the winning
+// predecessor j = parents[i], the score is deterministic —
+//   f[i] = parents[i] < 0 ? q_span
+//                         : f[j] + min(min(dq, dr), q_span) - gap(dd)
+// with the concave gap cost of mm_chain_dp (host_kernel.cpp:59-80),
+// computed here in plain double like the reference itself (the repo's
+// oracle/chain.py pins these exact semantics; the device kernel is
+// bit-exact against both).  Fetching parents ONLY costs 2 bytes/anchor on
+// the link; the 4-byte/anchor score plane becomes this O(n) host pass.
+void gb_chain_scores(const uint64_t* xs, const uint64_t* ys,
+                     const int64_t* offs, const int32_t* parents,
+                     const int32_t* ns, int64_t R, int64_t N,
+                     const double* avg_qspan, const int32_t* n_segs,
+                     int32_t is_cdna, int32_t* scores) {
+    for (int64_t r = 0; r < R; r++) {
+        const uint64_t* x = xs + offs[r];
+        const uint64_t* y = ys + offs[r];
+        const int32_t* p = parents + r * N;
+        int32_t* f = scores + r * N;
+        int64_t n = ns[r];
+        double aq = avg_qspan[r];
+        int multi_seg = n_segs[r] > 1;
+        for (int64_t i = 0; i < n; i++) {
+            int32_t q_span = (int32_t)((y[i] >> 32) & 0xff);
+            int32_t j = p[i];
+            if (j < 0) { f[i] = q_span; continue; }
+            int64_t dr64 = (int64_t)(x[i] - x[j]);
+            int32_t dq = (int32_t)(uint32_t)y[i] - (int32_t)(uint32_t)y[j];
+            int32_t dr = (int32_t)dr64;
+            int32_t dd = dr > dq ? dr - dq : dq - dr;
+            int32_t min_d = dq < dr ? dq : dr;
+            int32_t sc = min_d > q_span ? q_span : min_d;
+            int32_t log_dd = dd ? (31 - __builtin_clz((uint32_t)dd)) : 0;
+            int32_t sidi = (int32_t)((y[i] >> 48) & 0xff);
+            int32_t sidj = (int32_t)((y[j] >> 48) & 0xff);
+            int32_t gap_cost = 0;
+            if (is_cdna || sidi != sidj) {
+                int32_t c_lin = (int32_t)(dd * 0.01 * aq);
+                int32_t c_log = log_dd;
+                if (sidi != sidj && dr == 0) sc += 1;  // paired-end bonus
+                else if (dr > dq || sidi != sidj)
+                    gap_cost = c_lin < c_log ? c_lin : c_log;
+                else gap_cost = c_lin + (c_log >> 1);
+            } else {
+                gap_cost = (int32_t)(dd * 0.01 * aq) + (log_dd >> 1);
+            }
+            (void)multi_seg;  // the n_segs>1 skip rule affects only which
+                              // j wins, already encoded in parents[i]
+            sc -= (int32_t)((double)gap_cost * 1.0 + 0.499);
+            f[i] = sc + f[j];
+        }
+    }
+}
+
 }  // extern "C"
 
 

@@ -315,19 +315,19 @@ class BswScorer:
                 multiple = (64, 128)
             else:
                 multiple = (256, 256)  # typically one program total
-        # The kernel occupies qlen+1 lane columns (the eh[end] write-back),
-        # and the VPU pads the lane axis to physical 128-multiples — so a
-        # qlen padded to exactly 128 silently costs 256 lanes.  Group pairs
-        # by their true lane class (roundup(qlen+1, 128) lanes) first, and
-        # by tlen (the scan length) within a class; the Q pad is then set
-        # to fill its lane class exactly (Q = class*128 - 1).
-        #
-        # A/B handle (r3 regression hunt — driver bench fell 14.1 -> 5.1
-        # Gcells/s at the commit introducing this policy):
-        #   GENOMICSBENCH_BSW_LANECLS=1  lane-class order + class Q pad
-        #   GENOMICSBENCH_BSW_LANECLS=order  lane-class order, multiple Q pad
-        #   GENOMICSBENCH_BSW_LANECLS=0  r1 policy (tlen sort, multiple pads)
-        lanecls = os.environ.get("GENOMICSBENCH_BSW_LANECLS", "1")
+        # Bucket order: group pairs by lane class (roundup(qlen+1, 128))
+        # first and by tlen (the scan length) within a class, so buckets
+        # are tight on BOTH axes.  r3 on-chip A/B (100k-pair bench):
+        #   order + multiple pads   14.15 Gcells/s   <- default
+        #   r1 policy (tlen sort)   13.89
+        #   order + class pads       5.18  (the r2 regression, REVERTED)
+        # The r2 "fill the lane class exactly" pad (Q = class*128 - 1,
+        # i.e. Qp = 128 tiles for short queries) looked tighter by slot
+        # count (0.481 -> 0.538) but ran ~2.7x slower per cell: (B, 128)
+        # single-lane-tile scans lower far worse than (B, 256) on this
+        # chip, so the smaller slot count lost to the per-slot rate.
+        # GENOMICSBENCH_BSW_LANECLS: order (default) | 0 (r1) | 1 (r2 pads)
+        lanecls = os.environ.get("GENOMICSBENCH_BSW_LANECLS", "order")
         qcls = -(-(np.asarray(batch.qlen) + 1) // 128)
         if lanecls == "0":
             order = None

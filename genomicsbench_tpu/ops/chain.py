@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -156,12 +157,13 @@ class ChainBatchResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "window", "max_skip", "is_cdna", "max_iter"),
+    static_argnames=("n_steps", "window", "max_skip", "is_cdna", "max_iter",
+                     "fetch_scores"),
 )
 def _chain_scan(
     pos, qpos, span, sid, rid, st, n_anchors, k_limbs, p0, r0,
     patch_dd, patch_delta, max_dist_x, max_dist_y, bw, n_segs,
-    *, n_steps, window, max_skip, is_cdna, max_iter=None,
+    *, n_steps, window, max_skip, is_cdna, max_iter=None, fetch_scores=True,
 ):
     """All (R, Np) anchor arrays are front-padded with `window` junk columns
     so the predecessor window of anchor i is the slice [i, i+window).
@@ -332,8 +334,13 @@ def _chain_scan(
         .astype(jnp.int16)
     # Slice the W-column front pad off on device, and do not return the
     # peak plane at all: it is exactly reconstructible on the host from
-    # scores+parents (native.chain_peak) at 0 transfer bytes.
-    return final["scores"][:, W:], d16[:, W:]
+    # scores+parents (native.chain_peak) at 0 transfer bytes.  With
+    # fetch_scores=False (the default when the native lib is present) the
+    # score plane stays on device too: parents alone determine the scores
+    # (native.chain_scores), shrinking the fetch from 6 to 2 bytes/anchor.
+    if fetch_scores:
+        return final["scores"][:, W:], d16[:, W:]
+    return (d16[:, W:],)
 
 
 def _chain_dispatch(calls, window: int | None, max_iter: int,
@@ -436,18 +443,43 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
         args = shard_batch(mesh, host_args)
     else:
         args = jax.device_put(host_args)
+    # Score-plane reconstruction from parents (native.chain_scores) keeps
+    # the 4-byte/anchor score fetch off the link entirely; fall back to
+    # fetching when the native lib is absent, or force the fetch for A/B
+    # with GENOMICSBENCH_CHAIN_FETCH_SCORES=1.
+    from genomicsbench_tpu import native
+
+    fetch_scores = (os.environ.get("GENOMICSBENCH_CHAIN_FETCH_SCORES") == "1"
+                    or not native.available())
     fut = _chain_scan(*args, n_steps=N, window=W, max_skip=max_skip,
-                      is_cdna=is_cdna, max_iter=(max_iter if all_sorted else None))
-    return fut, ns
+                      is_cdna=is_cdna, max_iter=(max_iter if all_sorted else None),
+                      fetch_scores=fetch_scores)
+    ctx = None
+    if not fetch_scores:
+        offs = np.zeros(R + 1, np.int64)
+        np.cumsum(ns, out=offs[1:])
+        ctx = (flat_x, flat_y, offs,
+               np.array([c.avg_qspan for c in calls], np.float64),
+               np.array([c.n_segs for c in calls], np.int32), is_cdna)
+    return fut, ns, ctx
 
 
-def _chain_collect(fut, ns) -> ChainBatchResult:
-    scores, d16 = jax.device_get(fut)
+def _chain_collect(fut, ns, ctx=None) -> ChainBatchResult:
+    from genomicsbench_tpu import native
+
+    if ctx is None:
+        scores, d16 = jax.device_get(fut)
+    else:
+        (d16,) = jax.device_get(fut)
+        scores = None
     parents = np.where(
         d16 > 0, np.arange(d16.shape[1], dtype=np.int32)[None, :] - d16, -1
     ).astype(np.int32)
-    from genomicsbench_tpu import native
-
+    if scores is None:
+        flat_x, flat_y, offs, avg_qspan, n_segs, is_cdna = ctx
+        scores = native.chain_scores(
+            flat_x, flat_y, offs, parents, ns, avg_qspan, n_segs, is_cdna)
+        assert scores is not None  # dispatch only elides with native present
     peak = native.chain_peak(scores, parents, ns)
     if peak is None:  # pure-Python fallback (toolchain-less hosts)
         peak = scores.copy()
@@ -467,8 +499,9 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
     """Run chain_dp over a list of AnchorCall records, batched on device.
     With `mesh`, reads (rows) shard over the mesh's "data" axis — the
     caller must pass a multiple of the axis size; results are identical."""
-    fut, ns = _chain_dispatch(calls, window, max_iter, max_skip, is_cdna, mesh)
-    return _chain_collect(fut, ns)
+    fut, ns, ctx = _chain_dispatch(calls, window, max_iter, max_skip, is_cdna,
+                                   mesh)
+    return _chain_collect(fut, ns, ctx)
 
 
 def chain_batch_bucketed(calls, bucket_rows: int = 512,
@@ -491,13 +524,13 @@ def chain_batch_bucketed(calls, bucket_rows: int = 512,
     for cap, idxs in sorted(groups.items()):
         for off in range(0, len(idxs), bucket_rows):
             part = idxs[off : off + bucket_rows]
-            fut, ns = _chain_dispatch(
+            fut, ns, ctx = _chain_dispatch(
                 [calls[r] for r in part],
                 window, max_iter, max_skip, is_cdna, mesh)
-            pending.append((part, fut, ns))
+            pending.append((part, fut, ns, ctx))
     out: list = [None] * R
-    for part, fut, ns_part in pending:
-        res = _chain_collect(fut, ns_part)
+    for part, fut, ns_part, ctx in pending:
+        res = _chain_collect(fut, ns_part, ctx)
         for j, r in enumerate(part):
             out[r] = (res.scores[j], res.parents[j], res.peak_scores[j])
     ns = np.array([c.n for c in calls], np.int32)

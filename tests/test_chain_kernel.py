@@ -118,3 +118,41 @@ def test_sorted_bound_paths_agree():
         np.testing.assert_array_equal(dev.parents[r][:n], host.parents[r][:n])
         np.testing.assert_array_equal(dev.peak_scores[r][:n],
                                       host.peak_scores[r][:n])
+
+
+def test_score_reconstruction_matches_fetched_plane(monkeypatch):
+    """The parents-only fetch path (native.chain_scores host
+    reconstruction, the r3 default) must be bit-equal to fetching the
+    device score plane — including multi-segment and cdna gap-cost
+    branches."""
+    from genomicsbench_tpu import native
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import chain_batch
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(303)
+    calls = []
+    for r in range(8):
+        n = int(rng.integers(2, 300))
+        xs = np.sort(rng.integers(0, 80000, n)).astype(np.uint64)
+        sid = (rng.integers(0, 2, n).astype(np.uint64) << 48)
+        ys = ((rng.integers(10, 250, n).astype(np.uint64) << 32)
+              | rng.integers(0, 60000, n).astype(np.uint64) | sid)
+        calls.append(AnchorCall(x=xs, y=ys,
+                                avg_qspan=float(np.float32(rng.uniform(10, 40))),
+                                max_dist_x=5000, max_dist_y=5000,
+                                bw=500, n_segs=2))
+    for cdna in (False, True):
+        a = chain_batch(calls, is_cdna=cdna)
+        monkeypatch.setenv("GENOMICSBENCH_CHAIN_FETCH_SCORES", "1")
+        b = chain_batch(calls, is_cdna=cdna)
+        monkeypatch.delenv("GENOMICSBENCH_CHAIN_FETCH_SCORES")
+        for r, c in enumerate(calls):
+            n = c.n
+            np.testing.assert_array_equal(a.scores[r][:n], b.scores[r][:n])
+            np.testing.assert_array_equal(a.parents[r][:n], b.parents[r][:n])
+            np.testing.assert_array_equal(a.peak_scores[r][:n],
+                                          b.peak_scores[r][:n])

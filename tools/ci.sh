@@ -42,7 +42,25 @@ if [ "${SKIP_BENCH:-0}" != 1 ]; then
 import jax, jax.numpy as jnp
 jax.device_get(jnp.ones((8,8)).sum())" >/dev/null 2>&1; then
         echo "===== [5/5] bench ====="
-        python bench.py
+        # Expected-value gate (VERDICT r2 weak #1: a proxy-metric
+        # "optimization" shipped a 2.8x on-chip regression unbenched).
+        # Fail below BENCH_FLOOR_GCELLS — 0.7x the recorded best healthy
+        # run (13.9 Gcells/s, r3) — so any future change to the headline
+        # path must re-earn its number on the chip before merging.
+        python bench.py | tee /tmp/ci_bench.json
+        python - <<'PYEOF'
+import json
+floor = float(__import__("os").environ.get("BENCH_FLOOR_GCELLS", "9.7"))
+row = json.loads(open("/tmp/ci_bench.json").read().strip().splitlines()[-1])
+val = row.get("value", 0.0)
+if row.get("error"):
+    raise SystemExit(f"bench gate: no measurement ({row['error']})")
+if val < floor:
+    raise SystemExit(
+        f"bench gate FAILED: {val} Gcells/s < floor {floor} "
+        "(0.7x the recorded best; see BASELINE.md)")
+print(f"bench gate OK: {val} Gcells/s >= {floor}")
+PYEOF
     else
         echo "===== [5/5] bench: SKIPPED (chip tunnel unreachable; rerun with a live chip)"
         exit 2

@@ -830,12 +830,16 @@ class FmiPipeline:
         n_arr = qlen.astype(np.int64)
         min_len = self.min_seed_len + 1
         t0 = time.perf_counter()
+        # nxt(p) = min(first N-position >= p, qlen): a suffix-min over
+        # (p if N else +inf), vectorized (the per-column host loop cost
+        # ~L numpy passes per batch)
         is_n = query >= 4
-        nxt = np.full((B, L + 1), 0, np.int64)
+        pos = np.arange(L, dtype=np.int64)[None, :]
+        cand = np.where(is_n, pos, np.int64(1 << 60))
+        sufmin = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1]
+        nxt = np.empty((B, L + 1), np.int64)
+        nxt[:, :L] = np.minimum(sufmin, n_arr[:, None])
         nxt[:, L] = n_arr
-        for p in range(L - 1, -1, -1):
-            nxt[:, p] = np.where(is_n[:, p], p, nxt[:, p + 1])
-        nxt = np.minimum(nxt, n_arr[:, None])
         self.phase_s["p3_nxt"] += time.perf_counter() - t0
 
         max_rounds = 32 * L  # flat walk: cap counts extension BASES

@@ -16,6 +16,8 @@ points (tested on the virtual 8-device CPU mesh)."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from jax.sharding import Mesh
 
@@ -147,6 +149,33 @@ def abea_sharded(mesh: Mesh, sequences, event_means, model_mean, model_stdv,
     res = ab.align_batch(sequences, event_means, model_mean, model_stdv,
                          scalings, mesh=mesh)
     return ab.AbeaResult(pairs=res.pairs[:B], failed=res.failed[:B])
+
+
+def pileup_hist_sharded(mesh: Mesh, keys, size: int):
+    """Sharded pileup feature histogram: flat matrix keys (column * plane
+    + feature, medaka_counts.c:383-459's increment target) shard over the
+    mesh's "data" axis, each device scatter-adds its shard into a dense
+    plane, and a psum merges — deterministic because integer adds commute.
+    The multi-chip analog of the per-chunk OpenMP accumulation
+    (medaka_counts.c:556-565).  Returns (size,) int32 counts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    keys = np.asarray(keys, np.int64)
+    n_dev = mesh.shape["data"]
+    pad = (-len(keys)) % n_dev
+    # pad slots target the drop bin at index `size`
+    buf = np.concatenate([keys, np.full(pad, size, np.int64)])
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+    def hist(k):
+        h = jnp.zeros((size + 1,), jnp.int32).at[k].add(1)
+        return jax.lax.psum(h, "data")
+
+    return np.asarray(jax.device_get(hist(jnp.asarray(buf))))[:size]
 
 
 def fmi_sharded(mesh: Mesh, index, query, qlen, **pipe_kwargs):

@@ -476,6 +476,15 @@ class FmiPipeline:
 
         return jax.device_put(a, NamedSharding(self.mesh, P("data")))
 
+    def _queue_lanes(self, n):
+        """Work-queue lane count for an n-read smem1 walk (None = lockstep;
+        queue mode needs strictly more reads than lanes and no mesh — the
+        SPMD path shards reads, so each shard is its own lockstep walk)."""
+        q = self.SMEM1_QUEUE_LANES
+        if self.mesh is not None or not q or n <= q:
+            return None
+        return q
+
     def _pad_batch(self, n):
         """Rows to add so a data-dependent batch shards evenly."""
         if self.mesh is None:
@@ -598,10 +607,19 @@ class FmiPipeline:
     # smem1 interval source: False = recover (k, s) with one batched
     # re-extension over the emitted spans (fewer per-round scatters);
     # True = emit (k, s) planes inside the walk (no spans post-pass).
-    # Identical outputs (parity-tested); the faster side is
-    # backend-dependent — flip per measurement.
+    # Identical outputs (parity-tested).  r3 chip measurement (65k x
+    # 151 bp vs the 100 Mb index): emit-ks halves the end-to-end batch
+    # wall (34.4 -> 15.9 s) — the spans/p3_ext re-extensions were 30% of
+    # the old wall — so it is now the DEFAULT (=0 opts out).
     SMEM1_EMIT_KS = os.environ.get(
-        "GENOMICSBENCH_FMI_EMIT_KS") not in (None, "", "0")
+        "GENOMICSBENCH_FMI_EMIT_KS", "1") not in ("", "0")
+
+    # lane -> read work queue (r3): the lockstep smem1 walk runs every
+    # round to the slowest lane (measured mean 264 / max 969 rounds at
+    # 65k reads), so batches beyond QUEUE lanes walk with persistent
+    # lanes that pull the next read on completion.  0 disables.
+    SMEM1_QUEUE_LANES = int(os.environ.get(
+        "GENOMICSBENCH_FMI_QUEUE_LANES", "65536"))
 
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
@@ -633,7 +651,8 @@ class FmiPipeline:
         SMEM sets in identical (increasing-start) order."""
         B, L = query.shape
         if self.ENGINE == "smem1":
-            max_rounds = 24 * L  # ~3-4 extension steps/base typical
+            lanes = self._queue_lanes(B)
+            max_rounds = 24 * L * (-(-B // lanes) if lanes else 1)
             emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
             got = jax.device_get(_pass1_smem1(
@@ -642,13 +661,13 @@ class FmiPipeline:
                 self._put(np.ones(B, np.int32)),
                 self._put(np.zeros(B, np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                emit_ks=emit_ks,
+                emit_ks=emit_ks, lanes=lanes,
             ))
             self.phase_s["p1_walk"] += time.perf_counter() - t0
             if emit_ks:
-                sm_me, sm_k, sm_s, count, ovf, rounds = got
+                sm_me, sm_k, sm_s, count, ovf, rounds, _dr = got
             else:
-                sm_me, count, ovf, rounds = got
+                sm_me, count, ovf, rounds, _dr = got
             if int(rounds) >= max_rounds:
                 return self._pass1_etable(query, qlen)
             count = np.where(ovf, 0, count)
@@ -743,7 +762,8 @@ class FmiPipeline:
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
         P, L = pq.shape
         if self.ENGINE == "smem1":
-            max_rounds = 24 * L
+            lanes = self._queue_lanes(P)
+            max_rounds = 24 * L * (-(-P // lanes) if lanes else 1)
             emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
             got = jax.device_get(_pass1_smem1(
@@ -751,13 +771,13 @@ class FmiPipeline:
                 self._put(mintv.astype(np.int32)),
                 self._put(pivots.astype(np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                has_pivot=True, emit_ks=emit_ks,
+                has_pivot=True, emit_ks=emit_ks, lanes=lanes,
             ))
             self.phase_s["p2_walk"] += time.perf_counter() - t0
             if emit_ks:
-                sm_me, sm_k, sm_s, count, ovf, rounds = got
+                sm_me, sm_k, sm_s, count, ovf, rounds, _dr = got
             else:
-                sm_me, count, ovf, rounds = got
+                sm_me, count, ovf, rounds, _dr = got
             if pad:
                 P = P - pad
             if int(rounds) >= max_rounds:
@@ -1220,10 +1240,10 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
-                                             "has_pivot", "emit_ks"))
+                                             "has_pivot", "emit_ks", "lanes"))
 def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
                  *, min_seed_len, max_rounds, has_pivot=False,
-                 emit_ks=False):
+                 emit_ks=False, lanes=None):
     """SMEM enumeration in bwa-mem's smem1 order: from pivot x, forward-
     collect the distinct-occurrence-count prefixes [x, end) (recorded at
     every count change), then sweep j = x-1 .. -1 backward-extending the
@@ -1256,8 +1276,19 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     visible SA k), making the spans post-pass — a full re-extension of
     every emitted span — unnecessary.  Which side wins depends on the
     backend's scatter-vs-extension cost; FmiPipeline.SMEM1_EMIT_KS picks.
+
+    With `lanes` set (r3), the walk runs in WORK-QUEUE mode: `lanes`
+    persistent lanes serve all N reads — a lane whose read completes
+    pulls the next unassigned read (rank-ordered among this round's
+    finishers, so the schedule is deterministic).  The lockstep walk
+    otherwise runs every round to the SLOWEST lane (measured p50 167 /
+    mean 264 / max 969 rounds at 65k x 151 bp vs the 100 Mb index —
+    a 3.7x tail tax).  Emit planes are read-indexed, per-lane scratch
+    stays lane-indexed; outputs are identical per read either way.
     """
-    B, L = query.shape
+    N_reads, L = query.shape
+    queue = lanes is not None and lanes < N_reads
+    B = int(lanes) if queue else N_reads
     # Slot caps: scatter cost on this chip scales with the BUFFER ROW
     # WIDTH (each scalar scatter rewrites the touched rows), so the
     # interval planes stay narrow.  Random-genome forward runs record
@@ -1272,9 +1303,31 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     counts4 = (C[1:5] - C[:4]).astype(jnp.int32)
     rows = jnp.arange(B)
 
+    if queue:
+        # lane -> read assignment; reads [0, B) seed the lanes, the rest
+        # queue behind `head`.  Meta packs (qlen, min_intv, pivot) so a
+        # reassignment refreshes all three with ONE width-3 row gather.
+        flat_q = query.reshape(-1)
+        meta = jnp.stack(
+            [qlen.astype(jnp.int32), min_intv.astype(jnp.int32),
+             (pivot if has_pivot else jnp.zeros(N_reads, jnp.int32))
+             .astype(jnp.int32)], axis=1)
+        rid0 = jnp.arange(B, dtype=jnp.int32)
+        ql0 = qlen[:B].astype(jnp.int32)
+        mi0 = min_intv[:B].astype(jnp.int32)
+        pv0 = (pivot[:B] if has_pivot else jnp.zeros(B, jnp.int32)) \
+            .astype(jnp.int32)
+        phase0 = jnp.full(B, INIT, jnp.int32)
+        NP = N_reads
+    else:
+        ql0, mi0 = qlen, min_intv
+        pv0 = pivot if has_pivot else jnp.zeros(B, jnp.int32)
+        phase0 = jnp.where(qlen < 1, jnp.int32(DONE), jnp.int32(INIT))
+        NP = B
+
     init = dict(
-        phase=jnp.where(qlen < 1, jnp.int32(DONE), jnp.int32(INIT)),
-        x=(pivot if has_pivot else jnp.zeros(B, jnp.int32)),
+        phase=phase0,
+        x=pv0 if has_pivot else jnp.zeros(B, jnp.int32),
         i=jnp.zeros(B, jnp.int32), j=jnp.zeros(B, jnp.int32),
         ptr=jnp.zeros(B, jnp.int32), prev_n=jnp.zeros(B, jnp.int32),
         curr_n=jnp.zeros(B, jnp.int32), cnt=jnp.zeros(B, jnp.int32),
@@ -1295,14 +1348,25 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         # ONE emit plane: the SMEM spans (m, e) only — intervals (k, s)
         # are recomputed by a single cheap batched extension afterwards
         # (the pass-3 pattern), saving two per-round B-row scatters
-        sm_me=jnp.full((B, ME + 1), -1, jnp.int32),
+        sm_me=jnp.full((NP, ME + 1), -1, jnp.int32),
         count=jnp.zeros(B, jnp.int32),
         ovf=jnp.zeros(B, jnp.bool_),
         round=jnp.int32(0),
+        # per-lane finish round: the lockstep walk runs to the SLOWEST
+        # lane, so the mean/max gap of this plane is the measurable
+        # budget for a lane->read work queue (one extra (B,) where/round)
+        done_round=jnp.zeros(B, jnp.int32),
     )
     if emit_ks:
-        init["sm_k"] = jnp.zeros((B, ME + 1), jnp.int32)
-        init["sm_s"] = jnp.zeros((B, ME + 1), jnp.int32)
+        init["sm_k"] = jnp.zeros((NP, ME + 1), jnp.int32)
+        init["sm_s"] = jnp.zeros((NP, ME + 1), jnp.int32)
+    if queue:
+        init["rid"] = rid0
+        init["head"] = jnp.int32(B)
+        init["ql"] = ql0
+        init["mi"] = mi0
+        init["pv"] = pv0
+        init["ovfp"] = jnp.zeros(NP + 1, jnp.bool_)
 
     def cond(c):
         return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
@@ -1312,14 +1376,24 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         is_init = phase == INIT
         is_fwd = phase == FWD
         is_bwd = phase == BWD
+        if queue:
+            rid = c["rid"]
+            ql, mi = c["ql"], c["mi"]
+        else:
+            rid = rows
+            ql, mi = qlen, min_intv
 
         # ---- shared query-char gather (INIT reads x, FWD reads i, BWD j)
         pos = jnp.where(is_fwd, c["i"], jnp.where(is_bwd, c["j"], x))
-        nb_raw = jnp.take_along_axis(
-            query, jnp.clip(pos, 0, L - 1)[:, None], axis=1
-        )[:, 0].astype(jnp.int32)
+        posc = jnp.clip(pos, 0, L - 1)
+        if queue:
+            nb_raw = jnp.take(flat_q, rid * L + posc).astype(jnp.int32)
+        else:
+            nb_raw = jnp.take_along_axis(
+                query, posc[:, None], axis=1
+            )[:, 0].astype(jnp.int32)
         nb = jnp.clip(nb_raw, 0, 3)
-        nb_ok = (nb_raw < 4) & (pos >= 0) & (pos < qlen)
+        nb_ok = (nb_raw < 4) & (pos >= 0) & (pos < ql)
 
         # ---- BWD lanes: fetch prev[idx] (longest-end-first on round 1)
         bwd_live = is_bwd & (c["ptr"] < c["prev_n"])
@@ -1341,13 +1415,13 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         k0 = _select4(C[0], C[1], C[2], C[3], nb)
         s0 = _select4(counts4[0], counts4[1], counts4[2], counts4[3], nb)
         l0 = _select4(C[3], C[2], C[1], C[0], nb)  # C[3 - nb]
-        seed_ok = is_init & nb_ok & (s0 >= min_intv)
-        init_done = is_init & (x >= qlen)
+        seed_ok = is_init & nb_ok & (s0 >= mi)
+        init_done = is_init & (x >= ql)
         init_dead = is_init & ~seed_ok & ~init_done
 
         # ================= FWD: one forward base, record on count change
         kf, lf, sf = o_n, a_n, s_n  # (k', l', s') in fwd orientation
-        stopf = is_fwd & (~nb_ok | (sf < min_intv))
+        stopf = is_fwd & (~nb_ok | (sf < mi))
         growf = is_fwd & ~stopf
         push = stopf | (growf & (sf != c["ws"]))
         ccol = jnp.where(push, c["par"] * CP + jnp.clip(c["cnt"], 0, CP - 1),
@@ -1355,7 +1429,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
 
         # ================= BWD: one backward try of prev[idx]
         kb, sb = a_n, s_n  # (k', s') in bwd orientation (l never needed)
-        die = bwd_live & (~nb_ok | (sb < min_intv))
+        die = bwd_live & (~nb_ok | (sb < mi))
         surv = bwd_live & ~die
         emit = die & (c["curr_n"] == 0) & ~c["emitted"] \
             & (pe - (c["j"] + 1) >= min_seed_len)
@@ -1378,11 +1452,11 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         bkb = c["bk"].at[rows, col].set(wr_k)
         bsb = c["bs"].at[rows, col].set(wr_s)
         beb = c["be"].at[rows, col].set(wr_e)
-        sm_me = c["sm_me"].at[rows, eslot].set((pe << 16) | (c["j"] + 1))
+        sm_me = c["sm_me"].at[rid, eslot].set((pe << 16) | (c["j"] + 1))
         count = c["count"] + emit.astype(jnp.int32)
         if emit_ks:  # the dying prev entry IS the emitted SMEM's interval
-            sm_k = c["sm_k"].at[rows, eslot].set(pk)
-            sm_s = c["sm_s"].at[rows, eslot].set(ps)
+            sm_k = c["sm_k"].at[rid, eslot].set(pk)
+            sm_s = c["sm_s"].at[rid, eslot].set(ps)
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
         cnt_n = c["cnt"] + push.astype(jnp.int32)
@@ -1402,13 +1476,37 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         x_next = jnp.maximum(c["ex"], x + 1)
         new_x = jnp.where(piv_end, x_next, jnp.where(init_dead, x + 1, x))
         to_done = init_done | (piv_end & bool(has_pivot)) \
-            | (piv_end & (x_next >= qlen)) | new_ovf
+            | (piv_end & (x_next >= ql)) | new_ovf
         to_init = (piv_end & ~to_done) | init_dead
 
         phase_n = jnp.where(seed_ok, jnp.int32(FWD), phase)
         phase_n = jnp.where(stopf, jnp.int32(BWD), phase_n)
         phase_n = jnp.where(to_init, jnp.int32(INIT), phase_n)
         phase_n = jnp.where(to_done, jnp.int32(DONE), phase_n)
+
+        extra = {}
+        if queue:
+            # lane -> read reassignment: this round's finishers claim the
+            # next unassigned reads in lane order (deterministic); their
+            # per-read ovf lands in the read-indexed plane first
+            fin = to_done & (phase != DONE)
+            fin_i = fin.astype(jnp.int32)
+            order = jnp.cumsum(fin_i) - fin_i
+            new_rid = c["head"] + order
+            got = fin & (new_rid < N_reads)
+            rid_n = jnp.where(got, new_rid, rid)
+            oidx = jnp.where(fin, rid, jnp.int32(N_reads))
+            ovfp = c["ovfp"].at[oidx].set(ovf)
+            meta_n = jnp.take(meta, jnp.clip(rid_n, 0, N_reads - 1), axis=0)
+            ql_n = jnp.where(got, meta_n[:, 0], ql)
+            mi_n = jnp.where(got, meta_n[:, 1], mi)
+            pv_n = jnp.where(got, meta_n[:, 2], c["pv"])
+            phase_n = jnp.where(got, jnp.int32(INIT), phase_n)
+            new_x = jnp.where(got, pv_n if has_pivot else 0, new_x)
+            count = jnp.where(got, 0, count)
+            ovf = jnp.where(got, False, ovf)
+            extra = dict(rid=rid_n, head=c["head"] + fin_i.sum(),
+                         ql=ql_n, mi=mi_n, pv=pv_n, ovfp=ovfp)
 
         return dict(
             phase=phase_n,
@@ -1432,14 +1530,25 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             bk=bkb, bs=bsb, be=beb,
             sm_me=sm_me, count=count, ovf=ovf,
             round=c["round"] + 1,
+            done_round=jnp.where((phase != DONE) & (phase_n == DONE),
+                                 c["round"] + 1, c["done_round"]),
             **({"sm_k": sm_k, "sm_s": sm_s} if emit_ks else {}),
+            **extra,
         )
 
     final = jax.lax.while_loop(cond, step, init)
     out = (final["sm_me"][:, :ME],)
     if emit_ks:
         out += (final["sm_k"][:, :ME], final["sm_s"][:, :ME])
-    return out + (final["count"], final["ovf"], final["round"])
+    if queue:
+        # per-read count derives from the emit plane (slots fill 0..n-1);
+        # per-read ovf lives in the read-indexed plane
+        count_out = jnp.sum(final["sm_me"][:, :ME] != -1, axis=1) \
+            .astype(jnp.int32)
+        return out + (count_out, final["ovfp"][:N_reads], final["round"],
+                      final["done_round"])
+    return out + (final["count"], final["ovf"], final["round"],
+                  final["done_round"])
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds",

@@ -27,6 +27,11 @@ import dataclasses
 import numpy as np
 
 FEATLEN = 10
+
+# scale-bench hook (tools/scale_bench.py pileup row): when set to a list,
+# the event-path histogram stage appends (keys, size) so the device
+# sort-reduce alternative can be timed on the identical workload
+DEBUG_KEYS = None
 FWD_DEL = 9
 REV_DEL = 8
 
@@ -431,6 +436,8 @@ def pileup_counts(
     else:
         keys = np.zeros(0, np.int64)
     if len(keys):
+        if DEBUG_KEYS is not None:  # scale-bench hook: expose the final
+            DEBUG_KEYS.append((keys, n_cols * plane))  # histogram workload
         # keys ARE final matrix indices: a host histogram is the exact
         # deterministic count (the device sort+RLE variant, _count_keys,
         # only pays off when the matrix is consumed on device — shipping

@@ -457,6 +457,42 @@ def test_smem1_slot_overflow_fallback():
         q2.sorted_tuples(with_interval=True)
 
 
+def test_smem1_queue_matches_lockstep(small_index):
+    """The smem1 lane->read work queue (SMEM1_QUEUE_LANES < batch) must
+    produce identical SmemResults to the lockstep walk across passes
+    1/2/3, including overflow reads (homopolymer), empty reads, and
+    embedded N bases — and in both emit_ks modes."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(201)
+    N, L = 36, 90
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        ln = int(rng.integers(22, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, ln:] = 4
+        qlen[i] = ln
+    q[2, : qlen[2]] = ref[10]  # homopolymer-ish: slot-cap pressure
+    qlen[5] = 0                # empty read
+    q[9, 12] = 4               # embedded N
+
+    def run(lanes, emit_ks):
+        pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
+                           max_mem_intv=20)
+        pipe.SMEM1_QUEUE_LANES = lanes
+        pipe.SMEM1_EMIT_KS = emit_ks
+        p1 = pipe.pass1(q, qlen)
+        p2 = pipe.pass2(q, qlen, p1)
+        p3 = pipe.pass3(q, qlen)
+        return tuple(p.sorted_tuples(with_interval=True)
+                     for p in (p1, p2, p3))
+
+    want = run(0, True)
+    for emit_ks in (True, False):
+        assert run(8, emit_ks) == want, f"queue mismatch emit_ks={emit_ks}"
+
+
 def test_smem1_emit_ks_matches_spans_postpass(small_index):
     """SMEM1_EMIT_KS=True emits each SMEM's (k, s) from the walk's own
     interval planes instead of the spans re-extension post-pass; all

@@ -122,11 +122,20 @@ def init_params(key, cfg: BasecallerConfig = BasecallerConfig()) -> dict:
 
 def _conv1d(x, w, stride=1, groups=1):
     """x (B, T, C); w (k, Cin/groups, Cout).  Operands share one dtype
-    (bf16 on the hot path; the TPU conv accumulates bf16 in f32)."""
+    (bf16 on the hot path; the TPU conv accumulates bf16 in f32).
+
+    Padding is the reference model's explicit k//2 both sides
+    (basecall.py:140-171 TCSConv1d(padding=kernel//2)) — NOT XLA "SAME":
+    for the stride-3 entry conv (k=9) SAME pads 3/3 while torch pads 4/4,
+    shifting every output frame by one input sample.  Output lengths
+    match SAME for every (k, stride) in the config; the explicit form
+    makes real bonito checkpoints reproduce the reference activations
+    (pinned by the torch crosscheck test)."""
+    k = w.shape[0]
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride,),
-        padding="SAME",
+        padding=((k // 2, k // 2),),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
     )

@@ -91,3 +91,106 @@ def test_torch_state_dict_import_roundtrip():
     bad[first] = torch.zeros(3, 3, 3)
     with pytest.raises(ValueError):
         import_torch_state_dict(bad, cfg)
+
+
+def test_torch_model_crosscheck(tmp_path):
+    """Independent-artifact converter validation (the r2 VERDICT gap):
+    the QuartzNet block is built in REAL torch (nn.Conv1d/BatchNorm1d in
+    bonito's registration order, basecall.py:74-255), its state_dict is
+    written by torch.save and reloaded by torch.load — no repo code
+    touches the file's layout — then import_torch_state_dict maps it and
+    the JAX forward must reproduce the torch forward (eval-mode BN with
+    randomized running stats, swish, residual, stride-3 k//2-padded
+    entry conv) to bf16-compute tolerance."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from genomicsbench_tpu.models.basecaller import (
+        BasecallerConfig, forward, import_torch_state_dict,
+    )
+
+    cfg = BasecallerConfig.tiny()
+    nn = torch.nn
+    rng = np.random.default_rng(31)
+
+    class Block(nn.Module):
+        def __init__(self, cin, b):
+            super().__init__()
+            self.b = b
+            self.units = nn.ModuleList()
+            c = cin
+            for _ in range(b.repeat):
+                mods = nn.ModuleDict()
+                if b.separable:
+                    mods["depth"] = nn.Conv1d(
+                        c, c, b.kernel, padding=b.kernel // 2,
+                        groups=c, bias=False)
+                    mods["point"] = nn.Conv1d(c, b.filters, 1, bias=False)
+                else:
+                    mods["conv"] = nn.Conv1d(
+                        c, b.filters, b.kernel, stride=b.stride,
+                        padding=b.kernel // 2, bias=False)
+                mods["bn"] = nn.BatchNorm1d(b.filters)
+                self.units.append(mods)
+                c = b.filters
+            if b.residual:
+                self.res = nn.Conv1d(cin, b.filters, 1, bias=False)
+                self.res_bn = nn.BatchNorm1d(b.filters)
+
+        def forward(self, x):
+            inp = x
+            for r, mods in enumerate(self.units):
+                if self.b.separable:
+                    x = mods["point"](mods["depth"](x))
+                else:
+                    x = mods["conv"](x)
+                x = mods["bn"](x)
+                if not (self.b.residual and r == self.b.repeat - 1):
+                    x = x * torch.sigmoid(x)
+            if self.b.residual:
+                x = x + self.res_bn(self.res(inp))
+                x = x * torch.sigmoid(x)
+            return x
+
+    class Model(nn.Module):
+        def __init__(self, cfg):
+            super().__init__()
+            blocks, cin = [], cfg.features_in
+            for b in cfg.blocks:
+                blocks.append(Block(cin, b))
+                cin = b.filters
+            self.encoder = nn.Sequential(*blocks)
+            self.decoder = nn.Conv1d(cin, cfg.num_labels, 1, bias=False)
+
+        def forward(self, x):
+            y = self.decoder(self.encoder(x))
+            return torch.log_softmax(y, dim=1)
+
+    m = Model(cfg)
+    with torch.no_grad():  # randomize BN stats so mean/var import is checked
+        for mod in m.modules():
+            if isinstance(mod, nn.BatchNorm1d):
+                n = mod.num_features
+                mod.running_mean.copy_(torch.tensor(
+                    rng.normal(0, 0.5, n), dtype=torch.float32))
+                mod.running_var.copy_(torch.tensor(
+                    rng.uniform(0.5, 2.0, n), dtype=torch.float32))
+                mod.weight.copy_(torch.tensor(
+                    rng.normal(1, 0.2, n), dtype=torch.float32))
+                mod.bias.copy_(torch.tensor(
+                    rng.normal(0, 0.2, n), dtype=torch.float32))
+    m.eval()
+
+    tar = tmp_path / "weights_0.tar"   # the reference's artifact shape
+    torch.save(m.state_dict(), str(tar))
+    params = import_torch_state_dict(torch.load(str(tar)), cfg)
+
+    x = rng.normal(0, 1, (2, 999)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.tensor(x)[:, None, :]).numpy().transpose(0, 2, 1)
+    got = np.asarray(forward(params, jnp.asarray(x), cfg))
+    assert got.shape == want.shape
+    # bf16 conv compute: compare posteriors and frame argmax
+    assert np.abs(np.exp(got) - np.exp(want)).max() < 0.05
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.98, agree

@@ -617,9 +617,12 @@ class FmiPipeline:
     # lane -> read work queue (r3): the lockstep smem1 walk runs every
     # round to the slowest lane (measured mean 264 / max 969 rounds at
     # 65k reads), so batches beyond QUEUE lanes walk with persistent
-    # lanes that pull the next read on completion.  0 disables.
+    # lanes that pull the next read on completion.  0 disables.  Chip
+    # A/B at 65k x 151 bp vs the 100 Mb index: lockstep 18.9 s/batch,
+    # 32768 lanes 16.0, 16384 lanes 12.4 — the per-round cost has a
+    # ~2-3 ms fixed floor, so lanes far below 16k stop paying.
     SMEM1_QUEUE_LANES = int(os.environ.get(
-        "GENOMICSBENCH_FMI_QUEUE_LANES", "65536"))
+        "GENOMICSBENCH_FMI_QUEUE_LANES", "16384"))
 
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
@@ -847,27 +850,17 @@ class FmiPipeline:
         The walk runs on device (_pass3_jump); the emitted segments'
         intervals come from one small batched extension."""
         B, L = query.shape
-        n_arr = qlen.astype(np.int64)
         min_len = self.min_seed_len + 1
-        t0 = time.perf_counter()
-        # nxt(p) = min(first N-position >= p, qlen): a suffix-min over
-        # (p if N else +inf), vectorized (the per-column host loop cost
-        # ~L numpy passes per batch)
-        is_n = query >= 4
-        pos = np.arange(L, dtype=np.int64)[None, :]
-        cand = np.where(is_n, pos, np.int64(1 << 60))
-        sufmin = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1]
-        nxt = np.empty((B, L + 1), np.int64)
-        nxt[:, :L] = np.minimum(sufmin, n_arr[:, None])
-        nxt[:, L] = n_arr
-        self.phase_s["p3_nxt"] += time.perf_counter() - t0
-
+        # the next-ambiguous table (nxt) is computed inside the jitted
+        # walk from the resident query (one reversed cummin) — it was a
+        # 3.7 s/65k-batch host numpy pass plus a 40 MB upload (p3_nxt
+        # phase, retained at 0 for report compatibility)
         max_rounds = 32 * L  # flat walk: cap counts extension BASES
         emit_ks = self.SMEM1_EMIT_KS
         t0 = time.perf_counter()
         got = jax.device_get(_pass3_jump(
             *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
-            self._put(nxt.astype(np.int32)), self.max_mem_intv,
+            self.max_mem_intv,
             min_len=min_len, max_rounds=max_rounds, emit_ks=emit_ks,
         ))
         self.phase_s["p3_walk"] += time.perf_counter() - t0
@@ -1553,7 +1546,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_rounds",
                                              "emit_ks"))
-def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
+def _pass3_jump(C, table, sent_row, query, qlen, min_intv_val,
                 *, min_len, max_rounds, emit_ks=False):
     """Device walk for pass 3 (bwt_seed_strategy1): from x, probe the
     min_intv-floored extension end e(x); emit [x, i*+1) with
@@ -1575,6 +1568,16 @@ def _pass3_jump(C, table, sent_row, query, qlen, nxt, min_intv_val,
     B, L = query.shape
     mi = jnp.full((B,), min_intv_val, jnp.int32)
     counts = (C[1:5] - C[:4]).astype(jnp.int32)
+    # nxt(p) = min(first ambiguous position >= p, qlen), (B, L+1): one
+    # reversed cummin on device — computed here (query already resident)
+    # instead of on host, which cost ~3.7 s/65k-batch of numpy passes
+    # plus a 40 MB upload per batch on the tunnel
+    pos_row = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    cand = jnp.where(query >= 4, pos_row, jnp.int32(1 << 30))
+    sufmin = jax.lax.cummin(cand, axis=1, reverse=True)
+    qlen_i = qlen.astype(jnp.int32)
+    nxt = jnp.concatenate(
+        [jnp.minimum(sufmin, qlen_i[:, None]), qlen_i[:, None]], axis=1)
 
     def init_ext(p):
         base0 = jnp.take_along_axis(

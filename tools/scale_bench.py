@@ -133,6 +133,7 @@ def bench_bsw(n_pairs=1_000_000):
     record(workload="bsw", n=n_pairs, cells=cells, wall_s=round(wall, 2),
            cells_per_s=round(cells / wall, -6), checksum=checksum,
            device_s=dev_s(lambda: scorer.score()),
+           slot_efficiency=round(scorer.padding_report()["efficiency"], 3),
            ref_1t_cells_per_s=(round(ref_rate, -6) if ref_rate else None),
            speedup_vs_ref_1t=(round(cells / wall / ref_rate, 1)
                               if ref_rate else None))
@@ -183,7 +184,7 @@ def bench_chain(n_reads=10_000):
             if ln.startswith("KERNEL_S"):
                 ref_kernel = float(ln.split()[1])
     record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
-           wall_s=round(wall, 2),
+           wall_s=round(wall, 2), window=128,
            device_s=dev_s(lambda: chain_batch_bucketed(calls)),
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),

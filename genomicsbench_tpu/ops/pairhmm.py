@@ -177,6 +177,25 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
     rl = np.array([len(reads[r]["bases"]) for r, _ in pairs], np.int32)
     hl = np.array([len(haps[h]) for _, h in pairs], np.int32)
 
+    # Pad each UNIQUE read/hap once (n_reads + n_haps rows), then every
+    # bucket marshals by one fancy-index gather — the former per-PAIR
+    # Python fill loop was O(n_pairs) interpreter work and measured in
+    # seconds at the 100k-pair scale workload.
+    pr_idx = np.array([r for r, _ in pairs], np.int64)
+    ph_idx = np.array([h for _, h in pairs], np.int64)
+    g_rmax = max(len(rd["bases"]) for rd in reads)
+    g_hmax = max((len(h) for h in haps), default=1)
+    reads_tab = np.zeros((len(reads), g_rmax), np.uint8)
+    quals_tab = {k: np.zeros((len(reads), g_rmax), np.uint8) for k in "qidc"}
+    for r, rd in enumerate(reads):
+        n = len(rd["bases"])
+        reads_tab[r, :n] = rd["bases"]
+        for key in "qidc":
+            quals_tab[key][r, :n] = np.asarray(rd[key], np.uint8)
+    haps_tab = np.zeros((len(haps), g_hmax), np.uint8)
+    for h, hp in enumerate(haps):
+        haps_tab[h, : len(hp)] = hp
+
     hcls = -(-hl // 128)
     order = np.lexsort((rl, hcls))
     futs = []
@@ -191,13 +210,12 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
         read_arr = np.zeros((cap, rmax), np.uint8)
         hap_arr = np.zeros((cap, hmax), np.uint8)
         quals = {k: np.zeros((cap, rmax), np.uint8) for k in "qidc"}
-        for j, k in enumerate(idx):
-            r, h = pairs[k]
-            rd = reads[r]
-            read_arr[j, : rl[k]] = rd["bases"]
-            hap_arr[j, : hl[k]] = haps[h]
-            for key in "qidc":
-                quals[key][j, : rl[k]] = np.asarray(rd[key], np.uint8)
+        rs = min(rmax, g_rmax)
+        hs = min(hmax, g_hmax)
+        read_arr[:nb, :rs] = reads_tab[pr_idx[idx], :rs]
+        hap_arr[:nb, :hs] = haps_tab[ph_idx[idx], :hs]
+        for key in "qidc":
+            quals[key][:nb, :rs] = quals_tab[key][pr_idx[idx], :rs]
         rl_b = np.zeros(cap, np.int32)
         hl_b = np.ones(cap, np.int32)  # avoid 1/haplen div-by-zero on pads
         rl_b[:nb] = rl[idx]

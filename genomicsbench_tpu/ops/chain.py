@@ -163,6 +163,7 @@ class ChainBatchResult:
 def _chain_scan(
     pos, qpos, span, sid, rid, st, n_anchors, k_limbs, p0, r0,
     patch_dd, patch_delta, max_dist_x, max_dist_y, bw, n_segs,
+    pos_patch=None,
     *, n_steps, window, max_skip, is_cdna, max_iter=None, fetch_scores=True,
 ):
     """All (R, Np) anchor arrays are front-padded with `window` junk columns
@@ -179,10 +180,24 @@ def _chain_scan(
     `dr <= max_dist_x && j >= i - max_iter` for sorted x, so the bound is
     derived on device and `st` ships as an (R, 1) dummy."""
     R, Np = pos.shape
+    # pos may ship as uint16 row deltas (x-sorted anchors) with an int32
+    # patch list for first-anchor/overflow deltas: reconstruct the
+    # absolute plane with one scatter + row cumsum.  4 -> 2 bytes/anchor
+    # on the dominant upload plane at reference scale.
+    if pos.dtype == jnp.uint16:
+        d = pos.astype(jnp.int32).reshape(-1)
+        if pos_patch is not None:
+            idx, val = pos_patch
+            d = d.at[idx].set(val)  # OOB pad indices drop
+        pos = jnp.cumsum(d.reshape(R, Np), axis=1)
     span = span.astype(jnp.int32)
     sid = sid.astype(jnp.int32)
     rid = rid.astype(jnp.int32)
     qpos = qpos.astype(jnp.int32)
+    # (R, 1) rid/sid planes mean "constant over the whole batch": the
+    # equality masks are identically True and the planes ship as 1 column
+    rid_const = rid.shape[1] == 1
+    sid_const = sid.shape[1] == 1
     W = window
     n_words = W // 32
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -204,17 +219,21 @@ def _chain_scan(
         def win(a):
             return jax.lax.dynamic_slice_in_dim(a, i, W, axis=1)
 
-        ri, qi, q_span, sidi, ridi = (cur(a) for a in (pos, qpos, span, sid, rid))
+        ri, qi, q_span = (cur(a) for a in (pos, qpos, span))
         j_ids = (i - W) + p_ids
-        pos_w, qpos_w, span_w, sid_w, rid_w = (
-            win(a) for a in (pos, qpos, span, sid, rid)
-        )
+        pos_w, qpos_w, span_w = (win(a) for a in (pos, qpos, span))
         scores_w = win(c["scores"])
 
-        same_rid = rid_w == ridi[:, None]
+        if rid_const:
+            same_rid = jnp.ones((R, W), bool)
+        else:
+            same_rid = win(rid) == cur(rid)[:, None]
         dr = jnp.where(same_rid, ri[:, None] - pos_w, NEG)
         dq = qi[:, None] - qpos_w
-        same_sid = sid_w == sidi[:, None]
+        if sid_const:
+            same_sid = jnp.ones((R, W), bool)
+        else:
+            same_sid = win(sid) == cur(sid)[:, None]
 
         if max_iter is not None:  # device-derived two-pointer bound
             valid = (j_ids >= 0) & (j_ids >= i - max_iter)
@@ -389,21 +408,50 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
         return a
 
     u64 = np.uint64
-    pos = plane((flat_x & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32))
+    pos_f = (flat_x & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+    pos_patch = None
+    if all_sorted and mesh is None and len(pos_f):
+        # x-sorted rows: ship pos as uint16 row DELTAS (halving the
+        # dominant upload plane) with an int32 patch list for the
+        # first-anchor columns and rare >=2^16 jumps; the kernel
+        # rebuilds the absolute plane with one scatter + row cumsum
+        pos_abs = plane(pos_f)
+        d = np.diff(pos_abs, axis=1, prepend=np.zeros((R, 1), np.int32))
+        big = (d < 0) | (d >= (1 << 16))
+        prow, pcol = np.nonzero(big)
+        pidx = (prow * Np + pcol).astype(np.int32)
+        pval = d[prow, pcol].astype(np.int32)
+        npad = max(4, -(-len(pidx) // 4) * 4) - len(pidx)
+        if npad:  # OOB indices drop in the device scatter
+            pidx = np.concatenate(
+                [pidx, np.full(npad, R * Np, np.int32)])
+            pval = np.concatenate([pval, np.zeros(npad, np.int32)])
+        pos = np.where(big, 0, d).astype(np.uint16)
+        pos_patch = (pidx, pval)
+    else:
+        pos = plane(pos_f)
     rid_f = (flat_x >> u64(32)).astype(np.int64).astype(np.int32)
     qpos_f = (flat_y & u64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+    sid_f = ((flat_y >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF)).astype(np.uint8)
     # rid/qpos ship at the narrowest width their values allow (uint16
-    # covers every real contig count and short-read query length)
+    # covers every real contig count and short-read query length);
+    # batch-constant rid/sid planes collapse to one column (the kernel
+    # then skips their equality masks entirely)
     rid_fits = len(rid_f) == 0 or (rid_f.min() >= 0 and rid_f.max() < (1 << 16))
     qpos_fits = len(qpos_f) == 0 or (qpos_f.min() >= 0 and qpos_f.max() < (1 << 16))
-    rid = plane(rid_f.astype(np.uint16) if rid_fits else rid_f,
-                dtype=np.uint16 if rid_fits else np.int32)
+    if mesh is None and (len(rid_f) == 0 or rid_f.min() == rid_f.max()):
+        rid = np.zeros((R, 1), np.uint16)
+    else:
+        rid = plane(rid_f.astype(np.uint16) if rid_fits else rid_f,
+                    dtype=np.uint16 if rid_fits else np.int32)
     qpos = plane(qpos_f.astype(np.uint16) if qpos_fits else qpos_f,
                  dtype=np.uint16 if qpos_fits else np.int32)
     span = plane(((flat_y >> u64(32)) & u64(0xFF)).astype(np.uint8),
                  dtype=np.uint8)
-    sid = plane(((flat_y >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF))
-                .astype(np.uint8), dtype=np.uint8)
+    if mesh is None and (len(sid_f) == 0 or sid_f.min() == sid_f.max()):
+        sid = np.zeros((R, 1), np.uint8)
+    else:
+        sid = plane(sid_f, dtype=np.uint8)
     if all_sorted:
         # x-sorted anchors (the minimap2 invariant): the window-start
         # bound is derived on device; ship a dummy plane.
@@ -443,6 +491,8 @@ def _chain_dispatch(calls, window: int | None, max_iter: int,
         args = shard_batch(mesh, host_args)
     else:
         args = jax.device_put(host_args)
+        if pos_patch is not None:
+            args = args + (jax.device_put(pos_patch),)
     # Score-plane reconstruction from parents (native.chain_scores) keeps
     # the 4-byte/anchor score fetch off the link entirely; fall back to
     # fetching when the native lib is absent, or force the fetch for A/B

@@ -14,7 +14,7 @@ reported separately.
 
 Usage:  python tools/scale_bench.py <workload> [n_override]
         python tools/scale_bench.py all
-Each workload appends one JSON record to SCALE_r02.json.
+Each workload appends one JSON record to SCALE_r03.json.
 """
 
 import json
@@ -37,7 +37,7 @@ if os.environ.get("GENOMICSBENCH_CPU"):
 
 REFBUILD = "/tmp/refbuild"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "SCALE_r02.json")
+                   "SCALE_r03.json")
 SCRATCH = "/tmp/gb_scale"
 
 
@@ -397,6 +397,37 @@ def bench_dbg(region_mb=2):
                         ref_sub += float(ln.split()[1])
         speedup = ref_sub / ours_sub
         ref_wall = ref_sub * nw / nsub
+    # Device-path honesty (VERDICT r2 weak #5): time the TPU sort-reduce
+    # formulation (lax.sort_key_val lexsort + host reduceat) on a window
+    # subset small enough to stay on the device sort (<2^22 keys), next
+    # to the native-C number on the SAME windows.
+    from genomicsbench_tpu import native
+    from genomicsbench_tpu.ops.dbg import build_window_graphs
+
+    nsub_d = max(1, nw // 40)
+    sub_windows = []
+    for w in range(nsub_d):
+        rds = [(seqs[r], np.full(RL, 30, np.int64), False)
+               for r in range(read_lo[w], read_hi[w])]
+        sub_windows.append((refs[w], int(wstarts[w]), rds))
+    orig = (native.dbg_build, native.dbg_build_soa)
+    native.dbg_build = lambda *a, **k: None
+    native.dbg_build_soa = lambda *a, **k: None
+    try:
+        build_window_graphs(sub_windows[:1], as_arrays=True)  # warm compile
+        t0 = time.time()
+        dres = build_window_graphs(sub_windows, as_arrays=True)
+        dev_path_s = time.time() - t0
+    finally:
+        native.dbg_build, native.dbg_build_soa = orig
+    t0 = time.time()
+    nres = build_window_graphs_soa(refs[:nsub_d], wstarts[:nsub_d],
+                                   seqs.ravel(), quals_flat, lens,
+                                   read_lo[:nsub_d], read_hi[:nsub_d],
+                                   offs=offs)
+    native_sub_s = time.time() - t0
+    assert all(np.array_equal(a["node_keys"], b["node_keys"])
+               for a, b in zip(dres, nres))
     record(workload="dbg", n_windows=nw, kmers=kmers_total,
            wall_s=round(wall, 2), wall_cold_s=round(wall_cold, 2),
            windows_per_s=round(nw / wall, 1),
@@ -404,7 +435,13 @@ def bench_dbg(region_mb=2):
            ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
            ours_sub_s=(round(ours_sub, 2) if ours_sub else None),
            ref_sub_s=(round(ref_sub, 2) if ref_sub else None),
-           speedup_vs_ref_1t=(round(speedup, 2) if speedup else None))
+           speedup_vs_ref_1t=(round(speedup, 2) if speedup else None),
+           # the TPU sort-reduce alternative on identical windows
+           device_path_windows=nsub_d,
+           device_path_s=round(dev_path_s, 2),
+           device_path_windows_per_s=round(nsub_d / dev_path_s, 1),
+           native_path_sub_s=round(native_sub_s, 2),
+           native_path_windows_per_s=round(nsub_d / native_sub_s, 1))
 
 
 # ---------------------------------------------------------------------------

@@ -476,6 +476,17 @@ class FmiPipeline:
 
         return jax.device_put(a, NamedSharding(self.mesh, P("data")))
 
+    def _put_query(self, query):
+        """Device copy of the batch query, cached by identity: pass 1/2/3
+        all read the same (B, L) matrix, and re-uploading it per pass
+        costs ~0.3 s/batch each on the tunnel."""
+        cached = getattr(self, "_qcache", None)
+        if cached is not None and cached[0] is query:
+            return cached[1]
+        dev = self._put(query)
+        self._qcache = (query, dev)
+        return dev
+
     def _queue_lanes(self, n):
         """Work-queue lane count for an n-read smem1 walk (None = lockstep;
         queue mode needs strictly more reads than lanes and no mesh — the
@@ -659,7 +670,7 @@ class FmiPipeline:
             emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
             got = jax.device_get(_pass1_smem1(
-                *self.dev, self._put(query),
+                *self.dev, self._put_query(query),
                 self._put(qlen.astype(np.int32)),
                 self._put(np.ones(B, np.int32)),
                 self._put(np.zeros(B, np.int32)),
@@ -750,29 +761,50 @@ class FmiPipeline:
         prid = parents.rid[sel].astype(np.int64)
         pivots = (parents.m[sel] + parents.n[sel] + 1) >> 1
         mintv = parents.s[sel] + 1
-        pq = query[prid]
         plen = qlen[prid]
+        # Reseed work items outnumber reads ~8x at reference scale, so
+        # the walk takes (N,) query-ROW indices (qrow) and gathers from
+        # the pass-1-resident query instead of shipping a gathered
+        # (N, L) copy (~83 MB/65k-read batch).  The mesh path still
+        # ships the copy (row sharding needs materialized rows), and
+        # the host fallback paths gather lazily.
+        use_qrow = (self.mesh is None and self.ENGINE == "smem1"
+                    and os.environ.get("GENOMICSBENCH_FMI_QROW", "1")
+                    not in ("", "0"))
+        pq = None if use_qrow else query[prid]
+
+        def get_pq(n=None):
+            full = query[prid] if pq is None else pq
+            return full[: len(prid)] if n is None else full[n]
         # pow2-pad the parent batch (then up to the mesh axis): every
         # data-dependent parent count otherwise compiles a fresh walk
         # executable.  Padding lanes have qlen 0 -> born done, emit
         # nothing.
         cap = max(128, 1 << (len(prid) - 1).bit_length())
         pad = (cap - len(prid)) + self._pad_batch(cap)
+        qrow = prid.astype(np.int32)
         if pad:
-            pq = np.concatenate([pq, np.zeros((pad, pq.shape[1]), pq.dtype)])
+            if pq is not None:
+                pq = np.concatenate(
+                    [pq, np.zeros((pad, pq.shape[1]), pq.dtype)])
             plen = np.concatenate([plen, np.zeros(pad, plen.dtype)])
             pivots = np.concatenate([pivots, np.zeros(pad, pivots.dtype)])
             mintv = np.concatenate([mintv, np.ones(pad, mintv.dtype)])
-        P, L = pq.shape
+            qrow = np.concatenate([qrow, np.zeros(pad, np.int32)])
+        P, L = len(plen), query.shape[1]
         if self.ENGINE == "smem1":
             lanes = self._queue_lanes(P)
             max_rounds = 24 * L * (-(-P // lanes) if lanes else 1)
             emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
+            if use_qrow:
+                walk_q, walk_rows = self._put_query(query), self._put(qrow)
+            else:
+                walk_q, walk_rows = self._put(pq), None
             got = jax.device_get(_pass1_smem1(
-                *self.dev, self._put(pq), self._put(plen.astype(np.int32)),
+                *self.dev, walk_q, self._put(plen.astype(np.int32)),
                 self._put(mintv.astype(np.int32)),
-                self._put(pivots.astype(np.int32)),
+                self._put(pivots.astype(np.int32)), walk_rows,
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
                 has_pivot=True, emit_ks=emit_ks, lanes=lanes,
             ))
@@ -784,7 +816,7 @@ class FmiPipeline:
             if pad:
                 P = P - pad
             if int(rounds) >= max_rounds:
-                return self._pass2_etable(pq[: len(prid)], plen[: len(prid)],
+                return self._pass2_etable(get_pq(), plen[: len(prid)],
                                           prid, pivots[: len(prid)],
                                           mintv[: len(prid)])
             count = np.where(ovf[:P], 0, count[:P])
@@ -795,13 +827,14 @@ class FmiPipeline:
             if emit_ks:
                 k = sm_k[pi, cols].astype(np.int64)
                 s = sm_s[pi, cols].astype(np.int64)
-            else:
-                k, s = self._spans_intervals(pq, plen, pi, m, e)
+            else:  # pi indexes live rows only (pi < P <= len(prid))
+                k, s = self._spans_intervals(get_pq(), plen[: len(prid)],
+                                             pi, m, e)
             rid_out = prid[pi]
             n = e - 1
             if ovf[:P].any():
                 sub = np.nonzero(ovf[:P])[0]
-                et = self._pass2_etable(pq[sub], plen[sub], prid[sub],
+                et = self._pass2_etable(get_pq(sub), plen[sub], prid[sub],
                                         pivots[sub], mintv[sub])
                 rid_out = np.concatenate([rid_out, et.rid])
                 m = np.concatenate([m, et.m])
@@ -1235,7 +1268,7 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
                                              "has_pivot", "emit_ks", "lanes"))
 def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
-                 *, min_seed_len, max_rounds, has_pivot=False,
+                 qrow=None, *, min_seed_len, max_rounds, has_pivot=False,
                  emit_ks=False, lanes=None):
     """SMEM enumeration in bwa-mem's smem1 order: from pivot x, forward-
     collect the distinct-occurrence-count prefixes [x, end) (recorded at
@@ -1279,7 +1312,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     a 3.7x tail tax).  Emit planes are read-indexed, per-lane scratch
     stays lane-indexed; outputs are identical per read either way.
     """
-    N_reads, L = query.shape
+    L = query.shape[1]
+    # With `qrow` (r3, pass-2 reseed), work item w reads query row
+    # qrow[w]: the caller ships (N,) row indices instead of a gathered
+    # (N, L) query copy — at reference scale the reseed pass has ~8x
+    # more work items than reads, so the gathered copy was an ~83 MB
+    # re-upload per 65k-read batch on the tunnel.
+    use_qrow = qrow is not None
+    N_reads = qlen.shape[0] if use_qrow else query.shape[0]
     queue = lanes is not None and lanes < N_reads
     B = int(lanes) if queue else N_reads
     # Slot caps: scatter cost on this chip scales with the BUFFER ROW
@@ -1296,20 +1336,23 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     counts4 = (C[1:5] - C[:4]).astype(jnp.int32)
     rows = jnp.arange(B)
 
+    flat_q = query.reshape(-1) if (queue or use_qrow) else None
     if queue:
         # lane -> read assignment; reads [0, B) seed the lanes, the rest
-        # queue behind `head`.  Meta packs (qlen, min_intv, pivot) so a
-        # reassignment refreshes all three with ONE width-3 row gather.
-        flat_q = query.reshape(-1)
-        meta = jnp.stack(
-            [qlen.astype(jnp.int32), min_intv.astype(jnp.int32),
-             (pivot if has_pivot else jnp.zeros(N_reads, jnp.int32))
-             .astype(jnp.int32)], axis=1)
+        # queue behind `head`.  Meta packs (qlen, min_intv, pivot[, qrow])
+        # so a reassignment refreshes them all with ONE row gather.
+        meta_cols = [qlen.astype(jnp.int32), min_intv.astype(jnp.int32),
+                     (pivot if has_pivot else jnp.zeros(N_reads, jnp.int32))
+                     .astype(jnp.int32)]
+        if use_qrow:
+            meta_cols.append(qrow.astype(jnp.int32))
+        meta = jnp.stack(meta_cols, axis=1)
         rid0 = jnp.arange(B, dtype=jnp.int32)
         ql0 = qlen[:B].astype(jnp.int32)
         mi0 = min_intv[:B].astype(jnp.int32)
         pv0 = (pivot[:B] if has_pivot else jnp.zeros(B, jnp.int32)) \
             .astype(jnp.int32)
+        qr0 = qrow[:B].astype(jnp.int32) if use_qrow else None
         phase0 = jnp.full(B, INIT, jnp.int32)
         NP = N_reads
     else:
@@ -1360,6 +1403,8 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         init["mi"] = mi0
         init["pv"] = pv0
         init["ovfp"] = jnp.zeros(NP + 1, jnp.bool_)
+        if use_qrow:
+            init["qr"] = qr0
 
     def cond(c):
         return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
@@ -1380,7 +1425,11 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         pos = jnp.where(is_fwd, c["i"], jnp.where(is_bwd, c["j"], x))
         posc = jnp.clip(pos, 0, L - 1)
         if queue:
-            nb_raw = jnp.take(flat_q, rid * L + posc).astype(jnp.int32)
+            qr = c["qr"] if use_qrow else rid
+            nb_raw = jnp.take(flat_q, qr * L + posc).astype(jnp.int32)
+        elif use_qrow:
+            nb_raw = jnp.take(
+                flat_q, qrow.astype(jnp.int32) * L + posc).astype(jnp.int32)
         else:
             nb_raw = jnp.take_along_axis(
                 query, posc[:, None], axis=1
@@ -1500,6 +1549,8 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             ovf = jnp.where(got, False, ovf)
             extra = dict(rid=rid_n, head=c["head"] + fin_i.sum(),
                          ql=ql_n, mi=mi_n, pv=pv_n, ovfp=ovfp)
+            if use_qrow:
+                extra["qr"] = jnp.where(got, meta_n[:, 3], c["qr"])
 
         return dict(
             phase=phase_n,

@@ -85,6 +85,22 @@ def main():
     print(f"  host ragged assembly residual ~ {host_rest:.2f}s")
     print(f"  unaccounted (batch synth excluded): {total-acct:.2f}s")
 
+    # Gather-budget roofline share per walk pass (BASELINE.md "Roofline /
+    # gather-budget accounting"): the mandatory work per extension step is
+    # the 2-row rank-pair gather at the measured ~17 ns/row.  smems1 does
+    # ~1.75 steps/base (measured mean 264 rounds / 151 bases); pass 2
+    # walks one pivot per reseed seed; pass 3 ~1.1 steps/base.
+    GATHER_NS = 17e-9
+    bases = n_batches * batch * L
+    budgets = {"p1_walk": bases * 1.75 * 2 * GATHER_NS,
+               "p2_walk": bases * 0.9 * 2 * GATHER_NS,   # ~0.9 steps/base
+               "p3_walk": bases * 1.1 * 2 * GATHER_NS}
+    print("\nGATHER-BUDGET SHARE (mandatory rank gathers / measured wall):")
+    for k, floor in budgets.items():
+        if sp.get(k):
+            print(f"  {k:8s} floor {floor:6.2f}s  measured {sp[k]:6.2f}s "
+                  f"-> {100*floor/sp[k]:5.1f}% of gather roofline")
+
 
 if __name__ == "__main__":
     main()

@@ -150,15 +150,29 @@ def bench_chain(n_reads=10_000):
     rng = np.random.default_rng(11)
     calls = []
     lines = []
+    in_window = 0
     for _ in range(n_reads):
         nn = int(rng.integers(200, 2000))
-        xs = np.sort(rng.integers(0, 2_000_000, nn)).astype(np.uint64)
-        qs = np.sort(rng.integers(0, 50_000, nn)).astype(np.uint64)
+        # Long-read anchor chains advance ~10-40 bp per anchor (minimizer
+        # hits along the aligned read), so hundreds of predecessors fall
+        # inside max_dist_x=5000 — the r2 generator spread anchors over
+        # 2 Mb, which left ~5 candidates per window and let the reference
+        # kernel exit its j-loop almost immediately (an unrealistically
+        # flattering baseline) while the fixed-window device kernel paid
+        # full freight.  Density now matches the c_elegans_40x anchor
+        # spacing; the device window grows to cover the same horizon.
+        dx = rng.integers(10, 40, nn)
+        xs = (100_000 + np.cumsum(dx)).astype(np.uint64)
+        # query advances with the reference coordinate plus indel noise
+        dq = np.maximum(1, dx + rng.integers(-8, 9, nn))
+        qs = np.cumsum(dq).astype(np.uint64)
         span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
         avg = round(float(rng.uniform(10, 20)), 4)
         calls.append(AnchorCall(x=xs, y=qs | span, avg_qspan=avg,
                                 max_dist_x=5000, max_dist_y=5000,
                                 bw=500, n_segs=1))
+        in_window += float((np.searchsorted(xs, xs + np.uint64(5000))
+                            - np.arange(nn)).mean())
         lines.append(f"{nn} {avg} 5000 5000 500 1")
         lines += [f"{int(x)} {int(y)}" for x, y in zip(xs, qs | span)]
     from genomicsbench_tpu.ops.chain import chain_batch_bucketed
@@ -183,8 +197,15 @@ def bench_chain(n_reads=10_000):
         for ln in pr.stderr.splitlines():
             if ln.startswith("KERNEL_S"):
                 ref_kernel = float(ln.split()[1])
+    from genomicsbench_tpu.ops.chain import compute_window_starts
+
+    req_w = max(int((np.arange(c.n)
+                     - compute_window_starts(c.x, c.max_dist_x, 5000)).max())
+                + 1 for c in calls)
+    W_used = max(128, -(-req_w // 128) * 128)
     record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
-           wall_s=round(wall, 2), window=128,
+           wall_s=round(wall, 2), window=W_used,
+           mean_window_candidates=round(in_window / n_reads, 1),
            device_s=dev_s(lambda: chain_batch_bucketed(calls)),
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),

@@ -461,6 +461,7 @@ class FmiPipeline:
                         # p3_nxt = host next-ambiguous-base table
                         "p1_walk": 0.0, "p2_walk": 0.0, "p3_walk": 0.0,
                         "p3_nxt": 0.0, "p3_ext": 0.0}
+        self.SMEM1_FLUSH = self._default_flush()
         # with a mesh, read batches shard over its "data" axis (the index
         # tables replicate) and the jump kernels compile SPMD -- the
         # multi-chip analog of fmi.cpp's dynamic OpenMP batch loop.
@@ -635,6 +636,23 @@ class FmiPipeline:
     SMEM1_QUEUE_LANES = int(os.environ.get(
         "GENOMICSBENCH_FMI_QUEUE_LANES", "16384"))
 
+    # store-queue window (r3): the walk body unrolls FLUSH machine steps
+    # whose buffer writes stay in registers, then flushes each plane with
+    # ONE multi-update scatter — per-round scalar scatters (~7 x ~0.27 ms
+    # at B=16384) dominate the walk wall, so batching them is the main
+    # post-queue lever.  1 = scatter every round (r2 behavior).  Outputs
+    # are bit-identical for any value (parity-tested).  The default is
+    # BACKEND-GATED: XLA:CPU compile of the unrolled window body blows up
+    # superlinearly (measured 1.6/6.4/22/>590 s at F=1/2/4/8 on this
+    # box), so the window is only on by default where it pays — the
+    # accelerator.  Tests pin small F explicitly to cover the machinery.
+    @staticmethod
+    def _default_flush():
+        env = os.environ.get("GENOMICSBENCH_FMI_FLUSH")
+        if env:
+            return int(env)
+        return 1 if jax.default_backend() == "cpu" else 8
+
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
         batched extension (the same string's interval is reached by any
@@ -675,7 +693,7 @@ class FmiPipeline:
                 self._put(np.ones(B, np.int32)),
                 self._put(np.zeros(B, np.int32)),
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                emit_ks=emit_ks, lanes=lanes,
+                emit_ks=emit_ks, lanes=lanes, flush=self.SMEM1_FLUSH,
             ))
             self.phase_s["p1_walk"] += time.perf_counter() - t0
             if emit_ks:
@@ -807,6 +825,7 @@ class FmiPipeline:
                 self._put(pivots.astype(np.int32)), walk_rows,
                 min_seed_len=self.min_seed_len, max_rounds=max_rounds,
                 has_pivot=True, emit_ks=emit_ks, lanes=lanes,
+                flush=self.SMEM1_FLUSH,
             ))
             self.phase_s["p2_walk"] += time.perf_counter() - t0
             if emit_ks:
@@ -1266,10 +1285,11 @@ def _pass1_jump(C, table, sent_row, query, qlen, min_intv, pivot,
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
-                                             "has_pivot", "emit_ks", "lanes"))
+                                             "has_pivot", "emit_ks", "lanes",
+                                             "flush"))
 def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
                  qrow=None, *, min_seed_len, max_rounds, has_pivot=False,
-                 emit_ks=False, lanes=None):
+                 emit_ks=False, lanes=None, flush=1):
     """SMEM enumeration in bwa-mem's smem1 order: from pivot x, forward-
     collect the distinct-occurrence-count prefixes [x, end) (recorded at
     every count change), then sweep j = x-1 .. -1 backward-extending the
@@ -1311,6 +1331,21 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     mean 264 / max 969 rounds at 65k x 151 bp vs the 100 Mb index —
     a 3.7x tail tax).  Emit planes are read-indexed, per-lane scratch
     stays lane-indexed; outputs are identical per read either way.
+
+    With `flush` = F > 1 (r3), the walk runs a STORE QUEUE: the loop body
+    unrolls F machine steps whose buffer writes stay in registers (one
+    pending (col, k, s, e) scratch write + one pending emit + one pending
+    ovfp write per step), then flushes each plane with ONE multi-update
+    scatter per window.  Scalar scatters dominate the per-round wall
+    (~7 x ~0.27 ms vs the 0.56 ms mandatory rank gather), so batching F
+    rounds' writes into one scatter op per plane removes most of it.
+    Correctness pieces: reads of the scratch planes forward from the
+    window's pending writes (the BWD sweep reads entries pushed 1 round
+    earlier); a same-col rewrite inside a window invalidates the older
+    pending entry (matching last-write-wins of sequential scatters); the
+    round counter only advances while any lane is live, so the e-table
+    fallback trigger (rounds >= max_rounds) is unchanged.  Outputs are
+    bit-identical for any F; FmiPipeline.SMEM1_FLUSH picks the default.
     """
     L = query.shape[1]
     # With `qrow` (r3, pass-2 reseed), work item w reads query row
@@ -1406,10 +1441,12 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         if use_qrow:
             init["qr"] = qr0
 
+    TRASH = jnp.int32(2 * CP)
+
     def cond(c):
         return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
 
-    def step(c):
+    def step(c, pend):
         phase, x = c["phase"], c["x"]
         is_init = phase == INIT
         is_fwd = phase == FWD
@@ -1437,13 +1474,21 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         nb = jnp.clip(nb_raw, 0, 3)
         nb_ok = (nb_raw < 4) & (pos >= 0) & (pos < ql)
 
-        # ---- BWD lanes: fetch prev[idx] (longest-end-first on round 1)
+        # ---- BWD lanes: fetch prev[idx] (longest-end-first on round 1),
+        # forwarding from the window's unflushed pending writes (the BWD
+        # sweep reads entries pushed as recently as the previous step).
+        # Dup invalidation at insert guarantees at most one pending match.
         bwd_live = is_bwd & (c["ptr"] < c["prev_n"])
         idx = jnp.where(c["first"], c["prev_n"] - 1 - c["ptr"], c["ptr"])
         pcol = jnp.clip(c["par"] * CP + jnp.clip(idx, 0, CP - 1), 0, 2 * CP)
         pk = c["bk"][rows, pcol]
         ps = c["bs"][rows, pcol]
         pe = c["be"][rows, pcol]
+        for p in pend:
+            hit = p["col"] == pcol   # pcol < 2*CP, so TRASH never matches
+            pk = jnp.where(hit, p["wk"], pk)
+            ps = jnp.where(hit, p["ws"], ps)
+            pe = jnp.where(hit, p["we"], pe)
 
         # ---- ONE shared rank-pair extension for FWD and BWD lanes
         a_in = jnp.where(is_fwd, c["wl"], pk)
@@ -1482,7 +1527,9 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             (1 - c["par"]) * CP + jnp.clip(c["curr_n"], 0, CP - 1),
             jnp.int32(2 * CP))
 
-        # ---- buffer writes (pure scalar scatters; trash col = 2*CP).
+        # ---- buffer writes: held as this step's PENDING entry, flushed
+        # by the window body as one multi-update scatter per plane (or
+        # scattered immediately when flush == 1).  Trash col = 2*CP.
         # NOTE: no unique_indices/indices_are_sorted hints — they
         # measured SLOWER on this chip, and a large-batch run (B=85912)
         # produced corrupted scatters with them (counted emissions whose
@@ -1491,14 +1538,17 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         wr_s = jnp.where(push, c["ws"], sb)
         wr_e = jnp.where(push, c["i"], pe)
         col = jnp.where(push, ccol, acol)
-        bkb = c["bk"].at[rows, col].set(wr_k)
-        bsb = c["bs"].at[rows, col].set(wr_s)
-        beb = c["be"].at[rows, col].set(wr_e)
-        sm_me = c["sm_me"].at[rid, eslot].set((pe << 16) | (c["j"] + 1))
+        for p in pend:   # same (row, col) rewritten inside the window:
+            # drop the older pending write (last-write-wins, as the
+            # sequential scatters would have resolved it)
+            p["col"] = jnp.where(p["col"] == col, TRASH, p["col"])
+        pw = dict(col=col, wk=wr_k, ws=wr_s, we=wr_e,
+                  erid=rid, eslot=eslot,
+                  eme=(pe << 16) | (c["j"] + 1))
         count = c["count"] + emit.astype(jnp.int32)
         if emit_ks:  # the dying prev entry IS the emitted SMEM's interval
-            sm_k = c["sm_k"].at[rid, eslot].set(pk)
-            sm_s = c["sm_s"].at[rid, eslot].set(ps)
+            pw["ek"] = pk
+            pw["es"] = ps
 
         # ---- BWD bookkeeping: ptr advance, column end, pivot end
         cnt_n = c["cnt"] + push.astype(jnp.int32)
@@ -1537,8 +1587,8 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             new_rid = c["head"] + order
             got = fin & (new_rid < N_reads)
             rid_n = jnp.where(got, new_rid, rid)
-            oidx = jnp.where(fin, rid, jnp.int32(N_reads))
-            ovfp = c["ovfp"].at[oidx].set(ovf)
+            pw["oidx"] = jnp.where(fin, rid, jnp.int32(N_reads))
+            pw["oval"] = ovf
             meta_n = jnp.take(meta, jnp.clip(rid_n, 0, N_reads - 1), axis=0)
             ql_n = jnp.where(got, meta_n[:, 0], ql)
             mi_n = jnp.where(got, meta_n[:, 1], mi)
@@ -1548,7 +1598,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             count = jnp.where(got, 0, count)
             ovf = jnp.where(got, False, ovf)
             extra = dict(rid=rid_n, head=c["head"] + fin_i.sum(),
-                         ql=ql_n, mi=mi_n, pv=pv_n, ovfp=ovfp)
+                         ql=ql_n, mi=mi_n, pv=pv_n)
             if use_qrow:
                 extra["qr"] = jnp.where(got, meta_n[:, 3], c["qr"])
 
@@ -1571,16 +1621,46 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             wk=jnp.where(seed_ok, k0, jnp.where(growf, kf, c["wk"])),
             wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
             ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
-            bk=bkb, bs=bsb, be=beb,
-            sm_me=sm_me, count=count, ovf=ovf,
-            round=c["round"] + 1,
+            # buffer planes pass through untouched: the window body
+            # flushes this step's pending writes (pw)
+            bk=c["bk"], bs=c["bs"], be=c["be"],
+            sm_me=c["sm_me"], count=count, ovf=ovf,
+            # gate the counter on liveness: a window whose lanes all
+            # finish at its first step must not inflate `rounds` past
+            # max_rounds (the caller's e-table fallback trigger)
+            round=c["round"] + (phase != DONE).any().astype(jnp.int32),
             done_round=jnp.where((phase != DONE) & (phase_n == DONE),
                                  c["round"] + 1, c["done_round"]),
-            **({"sm_k": sm_k, "sm_s": sm_s} if emit_ks else {}),
+            **({"sm_k": c["sm_k"], "sm_s": c["sm_s"]} if emit_ks else {}),
+            **({"ovfp": c["ovfp"]} if queue else {}),
             **extra,
-        )
+        ), pw
 
-    final = jax.lax.while_loop(cond, step, init)
+    F = max(1, int(flush))
+
+    def body(c):
+        pend = []
+        for _ in range(F):
+            c, pw = step(c, pend)
+            pend.append(pw)
+
+        def plane(key):
+            return jnp.stack([p[key] for p in pend], axis=1)  # (B, F)
+
+        colM = plane("col")
+        c["bk"] = c["bk"].at[rows[:, None], colM].set(plane("wk"))
+        c["bs"] = c["bs"].at[rows[:, None], colM].set(plane("ws"))
+        c["be"] = c["be"].at[rows[:, None], colM].set(plane("we"))
+        eridM, eslotM = plane("erid"), plane("eslot")
+        c["sm_me"] = c["sm_me"].at[eridM, eslotM].set(plane("eme"))
+        if emit_ks:
+            c["sm_k"] = c["sm_k"].at[eridM, eslotM].set(plane("ek"))
+            c["sm_s"] = c["sm_s"].at[eridM, eslotM].set(plane("es"))
+        if queue:
+            c["ovfp"] = c["ovfp"].at[plane("oidx")].set(plane("oval"))
+        return c
+
+    final = jax.lax.while_loop(cond, body, init)
     out = (final["sm_me"][:, :ME],)
     if emit_ks:
         out += (final["sm_k"][:, :ME], final["sm_s"][:, :ME])

@@ -493,6 +493,50 @@ def test_smem1_queue_matches_lockstep(small_index):
         assert run(8, emit_ks) == want, f"queue mismatch emit_ks={emit_ks}"
 
 
+def test_smem1_store_queue_flush_matches_unwindowed(small_index):
+    """The smem1 store-queue window (SMEM1_FLUSH > 1: buffer writes held
+    in registers for F unrolled steps, flushed as one multi-update
+    scatter per plane) must be bit-identical to per-round scatters —
+    covering the 1-round write->read forwarding gap (BWD reads the entry
+    pushed on the stopf round), same-col rewrites inside a window
+    (prev-buffer reuse after a 1-entry column swap), slot-cap overflow,
+    queue-mode lane reassignment mid-window, and both emit_ks modes.
+    Small F keeps the CPU-backend compile bounded (the window body's
+    XLA:CPU compile grows superlinearly in F; the chip default is 8)."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(77)
+    N, L = 36, 90
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        ln = int(rng.integers(22, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, ln:] = 4
+        qlen[i] = ln
+    q[2, : qlen[2]] = ref[10]  # homopolymer-ish: slot-cap pressure
+    qlen[5] = 0                # empty read
+    q[9, 12] = 4               # embedded N
+
+    def run(lanes, flush, emit_ks=True):
+        pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
+                           max_mem_intv=20)
+        pipe.SMEM1_QUEUE_LANES = lanes
+        pipe.SMEM1_FLUSH = flush
+        pipe.SMEM1_EMIT_KS = emit_ks
+        p1 = pipe.pass1(q, qlen)
+        p2 = pipe.pass2(q, qlen, p1)
+        p3 = pipe.pass3(q, qlen)
+        return [sorted(zip(p.rid.tolist(), p.m.tolist(), p.n.tolist(),
+                           p.k.tolist(), p.s.tolist()))
+                for p in (p1, p2, p3)]
+
+    want = run(0, 1)
+    assert run(8, 3) == want         # queue mode, windowed
+    assert run(0, 2) == want         # lockstep, windowed
+    assert run(8, 3, emit_ks=False) == want  # spans post-pass, windowed
+
+
 def test_smem1_emit_ks_matches_spans_postpass(small_index):
     """SMEM1_EMIT_KS=True emits each SMEM's (k, s) from the walk's own
     interval planes instead of the spans re-extension post-pass; all

@@ -586,9 +586,15 @@ def pack_codes_2bit(seq_codes: np.ndarray):
 
 
 def _unpack_codes_2bit(packed, L):
-    s = packed.astype(jnp.uint8)
-    parts = [(s >> np.uint8(2 * j)) & np.uint8(3) for j in range(4)]
-    return jnp.stack(parts, axis=2).reshape(packed.shape[0], -1)[:, :L]
+    # one (B, L) gather + shift — NOT a stack to (B, L/4, 4): a minor
+    # dim of 4 pads to the 128-lane tile on TPU, so the stacked
+    # intermediate materializes 32x its logical bytes (a 25k x 10 kb
+    # read batch OOM'd the chip at a 32 GB 'copy' allocation)
+    B = packed.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    byte = jnp.take_along_axis(packed, cols >> 2, axis=1).astype(jnp.uint32)
+    return ((byte >> (2 * (cols & 3)).astype(jnp.uint32))
+            & jnp.uint32(3)).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L"))

@@ -26,6 +26,7 @@ TPU-first design:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +42,7 @@ INITIAL_EXP_F32 = 120
 MIN_ACCEPTED = 1e-28
 
 
-@functools.partial(jax.jit, static_argnames=("r_steps",))
-def _phmm_scan(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
+def _phmm_core(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
     """read (B,Rmax) u8; hap (B,H) u8; q/i/d/c (B,Rmax) uint8 Phred
     values; returns (B,) scaled f32 likelihoods.
 
@@ -136,6 +136,30 @@ def _phmm_scan(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
     return acc
 
 
+_phmm_scan = functools.partial(jax.jit, static_argnames=("r_steps",))(
+    _phmm_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r_steps", "rmax", "hmax"))
+def _phmm_scan_gather(rt, ht, qt, it, dt, ct, idx_r, idx_h, rslen, haplen,
+                      *, r_steps, rmax, hmax):
+    """_phmm_core over DEVICE-RESIDENT unique read/hap tables: the caller
+    uploads (n_reads, g_rmax)/(n_haps, g_hmax) byte tables once and each
+    bucket ships only (B,) row indices + lengths.  HaplotypeCaller scores
+    every read against every candidate haplotype of its active region
+    (PairHMMUnitTest.cpp:232-244 read-major cross product), so per-pair
+    row shipping re-uploads each read n_haps times and each hap n_reads
+    times — on a bandwidth-bound link the unique-table gather removes
+    that factor entirely (the fmi pass-2 qrow indirection, same idea).
+    The gather + static slice feeds bit-identical inputs to _phmm_core."""
+    take = lambda t, ix, w: jnp.take(t, ix, axis=0)[:, :w]
+    return _phmm_core(
+        take(rt, idx_r, rmax), take(ht, idx_h, hmax), rslen, haplen,
+        take(qt, idx_r, rmax), take(it, idx_r, rmax),
+        take(dt, idx_r, rmax), take(ct, idx_r, rmax), r_steps=r_steps)
+
+
 def _transition_arrays(q, ins, dele, cont, rmax):
     """Host-side per-row transition tables, float32 (GKL Context semantics)."""
     B = len(q)
@@ -183,8 +207,10 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
     # seconds at the 100k-pair scale workload.
     pr_idx = np.array([r for r, _ in pairs], np.int64)
     ph_idx = np.array([h for _, h in pairs], np.int64)
-    g_rmax = max(len(rd["bases"]) for rd in reads)
-    g_hmax = max((len(h) for h in haps), default=1)
+    # table widths pre-padded to the bucket granularities (8 read cols /
+    # 128 hap lanes) so the device-gather path's static slices always fit
+    g_rmax = -(-max(len(rd["bases"]) for rd in reads) // 8) * 8
+    g_hmax = -(-max((len(h) for h in haps), default=1) // 128) * 128
     reads_tab = np.zeros((len(reads), g_rmax), np.uint8)
     quals_tab = {k: np.zeros((len(reads), g_rmax), np.uint8) for k in "qidc"}
     for r, rd in enumerate(reads):
@@ -195,6 +221,23 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
     haps_tab = np.zeros((len(haps), g_hmax), np.uint8)
     for h, hp in enumerate(haps):
         haps_tab[h, : len(hp)] = hp
+
+    # Device-gather mode: HaplotypeCaller pairs are read-major cross
+    # products per active region (PairHMMUnitTest.cpp:232-244), so each
+    # read re-ships n_haps times (and each hap n_reads times) under
+    # per-pair row marshalling.  When the unique tables are under half
+    # the per-pair bytes, upload them ONCE and ship only (B,) row
+    # indices per bucket — the kernel gathers its rows on device.
+    # Bit-identical results (the gather feeds the same core).
+    env = os.environ.get("GENOMICSBENCH_PHMM_GATHER")
+    uniq_bytes = 5 * reads_tab.nbytes + haps_tab.nbytes
+    pair_bytes = int(5 * rl.astype(np.int64).sum() + hl.astype(np.int64).sum())
+    gather = (env not in ("", "0") if env is not None
+              else 2 * uniq_bytes < pair_bytes)
+    if gather:
+        tabs = jax.device_put(
+            (reads_tab, haps_tab, quals_tab["q"], quals_tab["i"],
+             quals_tab["d"], quals_tab["c"]))
 
     hcls = -(-hl // 128)
     order = np.lexsort((rl, hcls))
@@ -207,6 +250,19 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
         # pow2-pad the row count so tail buckets reuse compiled shapes;
         # pad rows have rslen 0 (never harvested) and are sliced off below
         cap = max(128, 1 << (nb - 1).bit_length())
+        rl_b = np.zeros(cap, np.int32)
+        hl_b = np.ones(cap, np.int32)  # avoid 1/haplen div-by-zero on pads
+        rl_b[:nb] = rl[idx]
+        hl_b[:nb] = hl[idx]
+        if gather:
+            ir = np.zeros(cap, np.int32)
+            ih = np.zeros(cap, np.int32)
+            ir[:nb] = pr_idx[idx]
+            ih[:nb] = ph_idx[idx]
+            small = jax.device_put((ir, ih, rl_b, hl_b))
+            futs.append((idx, nb, _phmm_scan_gather(
+                *tabs, *small, r_steps=rmax, rmax=rmax, hmax=hmax)))
+            continue
         read_arr = np.zeros((cap, rmax), np.uint8)
         hap_arr = np.zeros((cap, hmax), np.uint8)
         quals = {k: np.zeros((cap, rmax), np.uint8) for k in "qidc"}
@@ -216,10 +272,6 @@ def pairhmm_batch(reads, haps, pairs=None, bucket_rows: int = 4096):
         hap_arr[:nb, :hs] = haps_tab[ph_idx[idx], :hs]
         for key in "qidc":
             quals[key][:nb, :rs] = quals_tab[key][pr_idx[idx], :rs]
-        rl_b = np.zeros(cap, np.int32)
-        hl_b = np.ones(cap, np.int32)  # avoid 1/haplen div-by-zero on pads
-        rl_b[:nb] = rl[idx]
-        hl_b[:nb] = hl[idx]
         dev = jax.device_put(
             (read_arr, hap_arr, rl_b, hl_b,
              quals["q"], quals["i"], quals["d"], quals["c"])

@@ -134,3 +134,32 @@ def test_bucketed_equals_global_padding():
     a = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=16)
     b = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=10_000)
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_gather_equals_row_marshalling(monkeypatch):
+    """The device-resident unique-table gather path (pairs ship as row
+    indices; GATK cross-product workloads re-ship each read n_haps times
+    otherwise) must be bit-identical to per-pair row marshalling — same
+    core, gathered inputs — including underflow-fallback pairs, ambiguous
+    bases, and bucket-boundary pad rows."""
+    rng = np.random.default_rng(47)
+    reads, haps, pairs = [], [], []
+    for g in range(5):
+        h0 = len(haps)
+        n_haps = int(rng.integers(2, 5))
+        for _ in range(n_haps):
+            H = int(rng.integers(80, 300))
+            haps.append(rng.integers(0, 5, H).astype(np.uint8))
+        for _ in range(7):
+            R = int(rng.integers(5, 120))
+            mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
+            reads.append(dict(bases=rng.integers(0, 5, R).astype(np.uint8),
+                              q=mk(6, 61), i=mk(30, 51), d=mk(30, 51),
+                              c=mk(8, 13)))
+            for h in range(n_haps):
+                pairs.append((len(reads) - 1, h0 + h))
+    monkeypatch.setenv("GENOMICSBENCH_PHMM_GATHER", "0")
+    a = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=32)
+    monkeypatch.setenv("GENOMICSBENCH_PHMM_GATHER", "1")
+    b = pairhmm_batch(reads, haps, pairs=pairs, bucket_rows=32)
+    np.testing.assert_array_equal(a, b)

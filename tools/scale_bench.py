@@ -630,35 +630,52 @@ def bench_grm(n_variants=100_000, n_samples=2504):
 # ---------------------------------------------------------------------------
 
 def _gen_phmm_workload(n_pairs, rng):
-    """GATK-shaped pairs: each read aligns to its candidate haplotype with
-    ~2% SNPs (HaplotypeCaller scores reads against local assembly haps —
-    mostly-matching by construction).  5% of pairs are divergent
-    (read vs an unrelated hap), keeping the f32->f64 underflow fallback
-    path honestly exercised; random-vs-random everywhere (the r2 workload)
-    made 59% of pairs underflow, which benchmarks the double kernel, not
-    the float one."""
+    """GATK-shaped pairs: ACTIVE REGIONS of n_reads x n_haps read-major
+    cross products (HaplotypeCaller scores every region read against
+    every candidate assembly haplotype; PairHMMUnitTest.cpp:232-244 is
+    exactly that pairing).  Region haplotypes share a base sequence with
+    a few SNPs; each read samples one hap with ~2% errors, except ~5%
+    divergent reads (random sequence) keeping the f32->f64 underflow
+    fallback honestly exercised.  The r2 generator emitted independent
+    1:1 pairs — no read/hap sharing, which both mismatches the
+    reference's pairing semantics and hides the transfer win of
+    device-resident unique tables (ops/pairhmm.py gather mode)."""
     reads, haps, pairs = [], [], []
     cells = 0
-    for i in range(n_pairs):
-        R = int(rng.integers(10, 152))
-        mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
-        bases = rng.integers(0, 4, R).astype(np.uint8)
-        H = int(rng.integers(max(R + 20, 200), 401))
-        if rng.random() < 0.05:
-            hap = rng.integers(0, 4, H).astype(np.uint8)
-        else:
-            hap = rng.integers(0, 4, H).astype(np.uint8)
-            off = int(rng.integers(0, H - R + 1))
-            hap[off : off + R] = bases
-            nmut = rng.binomial(R, 0.02)
-            if nmut:
-                at = rng.integers(0, R, nmut)
-                hap[off + at] = rng.integers(0, 4, nmut)
-        reads.append(dict(bases=bases, q=mk(6, 61), i=mk(30, 51),
-                          d=mk(30, 51), c=mk(8, 13)))
-        haps.append(hap)
-        pairs.append((i, i))
-        cells += R * H
+    while len(pairs) < n_pairs:
+        n_haps = int(rng.integers(2, 9))
+        n_reads = int(rng.integers(10, 41))
+        H = int(rng.integers(200, 401))
+        base_hap = rng.integers(0, 4, H).astype(np.uint8)
+        h0 = len(haps)
+        for _ in range(n_haps):
+            hap = base_hap.copy()
+            nsnp = int(rng.integers(0, 6))
+            if nsnp:
+                at = rng.integers(0, H, nsnp)
+                hap[at] = rng.integers(0, 4, nsnp)
+            haps.append(hap)
+        for _ in range(n_reads):
+            R = int(rng.integers(10, 152))
+            mk = lambda lo, hi: rng.integers(lo, hi, R).astype(np.int32)
+            if rng.random() < 0.05:
+                bases = rng.integers(0, 4, R).astype(np.uint8)
+            else:
+                src = haps[h0 + int(rng.integers(0, n_haps))]
+                off = int(rng.integers(0, len(src) - R + 1))
+                bases = src[off : off + R].copy()
+                nmut = rng.binomial(R, 0.02)
+                if nmut:
+                    at = rng.integers(0, R, nmut)
+                    bases[at] = rng.integers(0, 4, nmut)
+            r_id = len(reads)
+            reads.append(dict(bases=bases, q=mk(6, 61), i=mk(30, 51),
+                              d=mk(30, 51), c=mk(8, 13)))
+            for h in range(n_haps):
+                pairs.append((r_id, h0 + h))
+                cells += R * H
+    pairs = pairs[:n_pairs]
+    cells = sum(len(reads[r]["bases"]) * len(haps[h]) for r, h in pairs)
     return reads, haps, pairs, cells
 
 

@@ -53,3 +53,11 @@ echo "=== r3 follow-ups done; logs in $LOG ==="
 # appended while the queue waited: kmer OOM fix (minor-dim-4 unpack) rerun
 step scale_kmer_rerun 2400 python tools/scale_bench.py kmer
 echo "=== r3 follow-ups (incl. kmer rerun) done ==="
+step poa_probe 2400 python tools/poa_phase_probe.py
+echo "=== r3 follow-ups (incl. poa probe) done ==="
+# reruns for rows polluted by concurrent CPU work during the first pass
+# (builder's own tests/builds ran alongside; host-heavy walls inflated)
+step scale_pileup_rerun 2400 python tools/scale_bench.py pileup
+step scale_grm_rerun 2400 python tools/scale_bench.py grm
+step scale_nn-variant_rerun 2400 python tools/scale_bench.py nn-variant
+echo "=== r3 follow-ups (incl. pollution reruns) done ==="

@@ -546,13 +546,21 @@ def bench_pileup(region_mb=10):
         return s[-1], uniq  # force the sort; fetch two scalars
 
     dev_keys = jax.device_put(jnp.asarray(keys))
-    jax.block_until_ready(dev_rle(dev_keys))  # warm
+    mx, uq = jax.device_get(dev_rle(dev_keys))  # warm + full fetch
+    # the r3 first pass recorded 0.000 s here (1.7e15 keys/s): validate
+    # the device actually did the work by checking its answer against
+    # the host, and take the min of 3 fully-fetched reps
     t0 = time.time()
-    jax.block_until_ready(dev_rle(dev_keys))
-    dev_sort_s = time.time() - t0
-    t0 = time.time()
-    np.bincount(keys, minlength=int(keys.max()) + 1)
+    host_hist = np.bincount(keys, minlength=int(keys.max()) + 1)
     host_hist_s = time.time() - t0
+    assert int(mx) == int(keys.max()) \
+        and int(uq) == int((host_hist > 0).sum()), "device RLE wrong"
+    def _one_rep():
+        t0 = time.time()
+        jax.device_get(dev_rle(dev_keys))
+        return time.time() - t0
+
+    dev_sort_s = min(_one_rep() for _ in range(3))
 
     record(workload="pileup", region_mb=region_mb, coverage=COV,
            n_reads=n_reads, wall_s=round(wall, 2),
@@ -567,7 +575,8 @@ def bench_pileup(region_mb=10):
            event_path_wall_s=round(event_path_wall, 2),
            n_hist_keys=int(len(keys)),
            device_sort_rle_s=round(dev_sort_s, 3),
-           device_keys_per_s=round(len(keys) / dev_sort_s, -6),
+           device_keys_per_s=(round(len(keys) / dev_sort_s, -6)
+                              if dev_sort_s > 1e-3 else None),
            host_bincount_s=round(host_hist_s, 3),
            host_keys_per_s=round(len(keys) / host_hist_s, -6))
 

@@ -234,8 +234,7 @@ def _closed_form_e(gf, oo, ee, qp):
     return e, best_k
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "p_pad", "q_pad", "params"))
-def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, params):
+def _poa_dp_core(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, params):
     """Batched graph-NW forward DP + on-device backtrack.
 
     Shapes (B = batch of windows): base (B,N), pred (B,N,P), pmask
@@ -341,6 +340,31 @@ def _poa_dp_batch(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad,
     return score, path, plen
 
 
+_poa_dp_batch = functools.partial(
+    jax.jit, static_argnames=("n_pad", "p_pad", "q_pad", "params"))(
+        _poa_dp_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "p_pad", "q_pad", "params"))
+def _poa_dp_packed(basep, predp, n, seq8, qlen, *, n_pad, p_pad, q_pad,
+                   params):
+    """_poa_dp_core behind a NARROW upload: every MSA round re-ships the
+    whole (growing) graph topology, so on a bandwidth-bound link the
+    plane widths are the wall.  predp is uint16 with 0xFFFF meaning "no
+    predecessor slot" (replaces the int32 pred + bool pmask pair: 5 B ->
+    2 B per slot); basep is uint8 with the sink flag in bit 7 (replaces
+    int32 base + bool sink: 5 B -> 1 B per node); the query ships int8.
+    Widening happens on device; inputs to the core are bit-identical."""
+    pm = predp != jnp.uint16(0xFFFF)
+    pred = jnp.where(pm, predp, jnp.uint16(0)).astype(jnp.int32)
+    base = (basep & jnp.uint8(0x7F)).astype(jnp.int32)
+    sink = (basep & jnp.uint8(0x80)) != 0
+    return _poa_dp_core(base, pred, pm, sink, n, seq8.astype(jnp.int32),
+                        qlen, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad,
+                        params=params)
+
+
 def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
     """Lockstep on-device backtrack over all windows.
 
@@ -439,29 +463,32 @@ def align_batch(graphs, seqs, params: PoaParams):
     n_pad = bucket(max(_graph_n(g) for g in graphs) + 1, 128)
     p_pad = bucket(max(_graph_max_indeg(g) for g in graphs), 2)
     q_pad = bucket(max(len(s) for s in seqs) + 1, 128)
+    assert n_pad < 0xFFFF, "u16 pred ranks / sentinel need n_pad < 65535"
     # the window-batch axis buckets too: MSA drivers shrink the active
     # set as windows finish, and each distinct b recompiled the DP
     bp = bucket(max(b, 1), 8)
-    base = np.zeros((bp, n_pad), np.int32)
-    pred = np.zeros((bp, n_pad, p_pad), np.int32)
-    pmask = np.zeros((bp, n_pad, p_pad), bool)
-    sink = np.zeros((bp, n_pad), bool)
+    # narrow upload planes (see _poa_dp_packed): u16 pred ranks with the
+    # 0xFFFF no-slot sentinel, u8 base with sink in bit 7, i8 query —
+    # the graph re-ships every MSA round, so plane width is the wall
+    basep = np.zeros((bp, n_pad), np.uint8)
+    predp = np.full((bp, n_pad, p_pad), 0xFFFF, np.uint16)
     n = np.zeros(bp, np.int32)
-    seq_a = np.zeros((bp, q_pad), np.int32)
+    seq_a = np.zeros((bp, q_pad), np.int8)
     qlen = np.zeros(bp, np.int32)
     orders = []
     for i, (g, s) in enumerate(zip(graphs, seqs)):
         arrs, order = _graph_export(g, n_pad, p_pad)
         orders.append(order)
-        base[i], pred[i], pmask[i], sink[i], n[i] = (
-            arrs["base"], arrs["pred"], arrs["pmask"], arrs["sink"], arrs["n"],
-        )
+        predp[i] = np.where(arrs["pmask"], arrs["pred"], 0xFFFF)
+        basep[i] = arrs["base"].astype(np.uint8) \
+            | (arrs["sink"].astype(np.uint8) << 7)
+        n[i] = arrs["n"]
         # query is 1-indexed in lanes: lane j holds q_{j-1}
-        seq_a[i, 1 : len(s) + 1] = np.asarray(s, np.int32)
+        seq_a[i, 1 : len(s) + 1] = np.asarray(s, np.int8)
         seq_a[i, 0] = -1
         qlen[i] = len(s)
-    score, path, plen = _poa_dp_batch(
-        jnp.asarray(base), jnp.asarray(pred), jnp.asarray(pmask), jnp.asarray(sink),
+    score, path, plen = _poa_dp_packed(
+        jnp.asarray(basep), jnp.asarray(predp),
         jnp.asarray(n), jnp.asarray(seq_a), jnp.asarray(qlen),
         n_pad=n_pad, p_pad=p_pad, q_pad=q_pad, params=params,
     )

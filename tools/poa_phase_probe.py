@@ -64,10 +64,11 @@ def main():
 
         setattr(mod, name, timed)
 
-    # _backtrack_batch is invoked INSIDE the jitted _poa_dp_batch, so a
-    # wrapper on it only fires at trace time — excluded (its device cost
-    # is part of _poa_dp_batch's wall).
-    for fn in ("_poa_dp_batch", "_decode_path",
+    # _backtrack_batch is invoked INSIDE the jitted DP, so a wrapper on
+    # it only fires at trace time — excluded (its device cost is part of
+    # the DP wall).  _poa_dp_packed is the live entry (narrow-upload
+    # path); _poa_dp_batch kept for older trees.
+    for fn in ("_poa_dp_packed", "_poa_dp_batch", "_decode_path",
                "_graph_export", "align_batch"):
         if hasattr(poa, fn):
             wrap(poa, fn)

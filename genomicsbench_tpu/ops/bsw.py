@@ -88,9 +88,19 @@ def _cummax_mode() -> str:
 def _scan_lane_cummax(x, js, Qp, mode):
     """Running max along the lane axis (lax.scan backend; the Pallas
     backend has its own `_lane_cummax`).  mode "lax": lax.cummax (one XLA
-    op).  mode "doubling": explicit log2(Qp) masked-roll rounds — an A/B
-    handle for how XLA lowers the scan op on the VPU (results identical:
-    max is associative/commutative)."""
+    op).  mode "doubling": explicit log2(Qp) masked-roll rounds.  mode
+    "padshift": log2(Qp) pad+slice rounds — on the chain kernel the same
+    rewrite beat lax.cummax ~100x inside a scan body (tools/chain_micro.py:
+    lax.cummax +91 us/step vs pad-shift +0.9 us at (2048, 256)); rolls
+    relayout, pad+slice lowers to cheap shifts.  Results identical (max is
+    associative/commutative)."""
+    if mode == "padshift":
+        sh = 1
+        while sh < Qp:
+            p = jnp.pad(x, ((0, 0), (sh, 0)), constant_values=NEG)
+            x = jnp.maximum(x, p[:, :-sh])
+            sh *= 2
+        return x
     if mode != "doubling":
         return jax.lax.cummax(x, axis=1)
     sh = 1

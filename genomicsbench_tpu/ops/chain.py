@@ -55,6 +55,40 @@ def _ilog2(v):
     return r
 
 
+def _suffix_max_excl(x, fill):
+    """max_{q > p} x[:, q] via explicit pad+slice log-shift doubling.
+
+    XLA's native lax.cummax/cumsum/cummin lower catastrophically on this
+    TPU inside a scan body (measured +91/+46/+243 us/step at (2048, 256),
+    tools/chain_micro.py) while the same suffix scans as log-step
+    pad-shifts cost ~1-9 us — the bsw pad-shift lesson applied here."""
+    W = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (0, 1)), constant_values=fill)[:, 1:]
+    sh = 1
+    while sh < W:
+        p = jnp.pad(x, ((0, 0), (0, sh)), constant_values=fill)
+        x = jnp.maximum(x, p[:, sh:])
+        sh *= 2
+    return x
+
+
+def _suffix_sum_min(e, inf):
+    """(S, M): S_p = sum_{q >= p} e_q and M_p = min_{q >= p} S_q, fused in
+    one log-shift pass.  Doubling invariant over span [p, p+sh): s = span
+    sum, m = min over q in span of sum_{q}^{span end}; combine with the
+    following span via m' = min(m + s_next, m_next), s' = s + s_next."""
+    W = e.shape[-1]
+    s, m = e, e
+    sh = 1
+    while sh < W:
+        sp = jnp.pad(s, ((0, 0), (0, sh)))[:, sh:]
+        mp = jnp.pad(m, ((0, 0), (0, sh)), constant_values=inf)[:, sh:]
+        m = jnp.minimum(m + sp, mp)
+        s = s + sp
+        sh *= 2
+    return s, m
+
+
 def _lin_fixed(dd, k_limbs):
     """floor(dd * K48 / 2^48) with K48 < 2^48 given as four 12-bit limbs
     (R,1) each; dd (R,W) in [0, 2^22].  Exact, int32-only."""
@@ -295,16 +329,12 @@ def _chain_scan(
         hits = (jnp.right_shift(expanded, p_ids & 31) & 1) > 0
 
         sc_masked = jnp.where(valid, sc, NEG)
-        suf_max_incl = jax.lax.cummax(sc_masked, axis=1, reverse=True)
-        suf_max_excl = jnp.concatenate(
-            [suf_max_incl[:, 1:], jnp.full((R, 1), NEG)], axis=1
-        )
-        running = jnp.maximum(suf_max_excl, q_span[:, None])
+        running = jnp.maximum(_suffix_max_excl(sc_masked, NEG),
+                              q_span[:, None])
         imp = valid & (sc > running)
         skip_ev = valid & ~imp & hits
         e = jnp.where(skip_ev, 1, 0) + jnp.where(imp, -1, 0)
-        S = jax.lax.cumsum(e, axis=1, reverse=True)
-        sufmin = jax.lax.cummin(S, axis=1, reverse=True)
+        S, sufmin = _suffix_sum_min(e, np.int32(1 << 30))
         nskip = S - jnp.minimum(0, sufmin)
         qualify = skip_ev & (nskip > max_skip)
         break_p = jnp.max(jnp.where(qualify, p_ids, -1), axis=1)

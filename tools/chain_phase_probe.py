@@ -96,7 +96,8 @@ def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     calls = gen_calls(n_reads)
     n_anchors = sum(c.n for c in calls)
-    run(calls[:512])  # warm compile on the small buckets
+    run(calls)  # warm ALL bucket-shape compiles (a 512-read prefix missed
+    # most cap classes and the measured run paid their compiles)
     t, checksum, n_buckets = run(calls)
     wall = sum(t.values())
     print(f"chain phase probe: {n_reads} reads, {n_anchors} anchors, "

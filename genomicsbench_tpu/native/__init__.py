@@ -557,6 +557,132 @@ def chain_peak(scores: np.ndarray, parents: np.ndarray,
     return peak
 
 
+def chain_reqw(xs_flat, offs, order, mdx: int, max_iter: int):
+    """Exact packed-chain window requirement over one parameter group
+    (gbingest.cpp gb_chain_reqw; the reference two-pointer horizon).
+    Returns int, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_reqw"):
+        return None
+    c_u64p = ctypes.POINTER(ctypes.c_uint64)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.gb_chain_reqw.restype = ctypes.c_int64
+    lib.gb_chain_reqw.argtypes = [c_u64p, c_i64p, c_i32p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64]
+    xs_flat = np.ascontiguousarray(xs_flat, np.uint64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    order = np.ascontiguousarray(order, np.int32)
+    return int(lib.gb_chain_reqw(
+        xs_flat.ctypes.data_as(c_u64p), offs.ctypes.data_as(c_i64p),
+        order.ctypes.data_as(c_i32p), len(order), mdx, max_iter))
+
+
+def chain_pack(xs_flat, ys_flat, offs, order, row_of, col_of, W: int,
+               Np: int, R: int, mdx1: int):
+    """Fill the packed-chain uint8 delta planes + patch lists in one C
+    pass (gbingest.cpp gb_chain_pack).  Returns (pos_d, qpos_d, span8,
+    sid8, rid16, (ppi, ppv), (qpi, qpv), meta dict) or None if the
+    native library is unavailable.  meta['error'] bit 1 = row span
+    overflow, bit 2 = rid overflows uint16 (caller falls back)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_pack"):
+        return None
+    c_u64p = ctypes.POINTER(ctypes.c_uint64)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u16p = ctypes.POINTER(ctypes.c_uint16)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gb_chain_pack.restype = None
+    lib.gb_chain_pack.argtypes = [
+        c_u64p, c_u64p, c_i64p, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        c_u8p, c_u8p, c_u8p, c_u8p, c_u16p,
+        c_i64p, c_i32p, c_i64p, c_i64p, c_i32p, c_i64p, c_i64p]
+    xs_flat = np.ascontiguousarray(xs_flat, np.uint64)
+    ys_flat = np.ascontiguousarray(ys_flat, np.uint64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    order = np.ascontiguousarray(order, np.int32)
+    row_of = np.ascontiguousarray(row_of, np.int32)
+    col_of = np.ascontiguousarray(col_of, np.int32)
+    K = len(order)
+    pos_d = np.zeros((R, Np), np.uint8)
+    qpos_d = np.zeros((R, Np), np.uint8)
+    span8 = np.zeros((R, Np), np.uint8)
+    sid8 = np.zeros((R, Np), np.uint8)
+    rid16 = np.zeros((R, Np), np.uint16)
+    total = int(offs[-1])
+    cap = K + 65536
+    meta = np.zeros(8, np.int64)
+    for _ in range(2):  # retry once with the max-possible capacity
+        ppi = np.zeros(cap, np.int64)
+        ppv = np.zeros(cap, np.int32)
+        qpi = np.zeros(cap, np.int64)
+        qpv = np.zeros(cap, np.int32)
+        ppn = np.array([cap], np.int64)
+        qpn = np.array([cap], np.int64)
+        lib.gb_chain_pack(
+            xs_flat.ctypes.data_as(c_u64p), ys_flat.ctypes.data_as(c_u64p),
+            offs.ctypes.data_as(c_i64p), order.ctypes.data_as(c_i32p),
+            row_of.ctypes.data_as(c_i32p), col_of.ctypes.data_as(c_i32p),
+            K, W, Np, mdx1,
+            pos_d.ctypes.data_as(c_u8p), qpos_d.ctypes.data_as(c_u8p),
+            span8.ctypes.data_as(c_u8p), sid8.ctypes.data_as(c_u8p),
+            rid16.ctypes.data_as(c_u16p),
+            ppi.ctypes.data_as(c_i64p), ppv.ctypes.data_as(c_i32p),
+            ppn.ctypes.data_as(c_i64p),
+            qpi.ctypes.data_as(c_i64p), qpv.ctypes.data_as(c_i32p),
+            qpn.ctypes.data_as(c_i64p), meta.ctypes.data_as(c_i64p))
+        if int(ppn[0]) <= cap and int(qpn[0]) <= cap:
+            break
+        cap = total + 1
+    md = dict(rid_min=int(meta[0]), rid_max=int(meta[1]),
+              span_per_read=bool(meta[2]), span_min=int(meta[3]),
+              span_max=int(meta[4]), sid_max=int(meta[5]),
+              error=int(meta[6]))
+    return (pos_d, qpos_d, span8, sid8, rid16,
+            (ppi[:int(ppn[0])], ppv[:int(ppn[0])]),
+            (qpi[:int(qpn[0])], qpv[:int(qpn[0])]), md)
+
+
+def chain_unpack(d8, hibits, sc_plane, rows, offs, kns, parents_out,
+                 scores_out=None) -> bool:
+    """Expand packed-chain device fetches (uint8 deltas + carry bitplane,
+    optional score plane) into the call-major parents/scores planes in
+    one C pass (gbingest.cpp gb_chain_unpack).  Writes rows with
+    kns[k] > 0 of parents_out (and scores_out when sc_plane is given)
+    in place.  Returns False if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_unpack"):
+        return False
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.gb_chain_unpack.restype = None
+    lib.gb_chain_unpack.argtypes = [
+        c_u8p, c_u32p, c_i32p, ctypes.c_int64, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int64, ctypes.c_int64, c_i32p, c_i32p]
+    d8 = np.ascontiguousarray(d8, np.uint8)
+    hibits = np.ascontiguousarray(hibits).view(np.uint32)
+    rows = np.ascontiguousarray(rows, np.int32)
+    offs = np.ascontiguousarray(offs, np.int32)
+    kns = np.ascontiguousarray(kns, np.int32)
+    assert parents_out.dtype == np.int32 and parents_out.flags.c_contiguous
+    K, N = parents_out.shape
+    sc_ptr = ctypes.cast(None, c_i32p)
+    sc_out = ctypes.cast(None, c_i32p)
+    if sc_plane is not None:
+        sc_plane = np.ascontiguousarray(sc_plane, np.int32)
+        sc_ptr = sc_plane.ctypes.data_as(c_i32p)
+        sc_out = scores_out.ctypes.data_as(c_i32p)
+    lib.gb_chain_unpack(
+        d8.ctypes.data_as(c_u8p), hibits.ctypes.data_as(c_u32p), sc_ptr,
+        d8.shape[1], rows.ctypes.data_as(c_i32p),
+        offs.ctypes.data_as(c_i32p), kns.ctypes.data_as(c_i32p),
+        K, N, parents_out.ctypes.data_as(c_i32p), sc_out)
+    return True
+
+
 def chain_scores(xs_flat, ys_flat, offs, parents, ns, avg_qspan, n_segs,
                  is_cdna: bool) -> np.ndarray | None:
     """Rebuild the chain score plane f[] from parents alone

@@ -1526,6 +1526,153 @@ void gb_chain_scores(const uint64_t* xs, const uint64_t* ys,
     }
 }
 
+// Packed-chain marshal (r4): the per-call python/numpy loop that builds
+// the uint8 delta planes + patch lists cost ~1 s per 10k reads on this
+// 1-core host; one C pass over the anchors is ~60 ms.  Layout (row/col
+// assignment) stays in python (cheap LPT); this fills the planes.
+
+// exact per-group window requirement: the reference two-pointer
+// (host_kernel.cpp:56-57) horizon max over the group's calls
+int64_t gb_chain_reqw(const uint64_t* xs, const int64_t* offs,
+                      const int32_t* order, int64_t K,
+                      int64_t mdx, int64_t max_iter) {
+    int64_t req = 1;
+    for (int64_t c = 0; c < K; c++) {
+        const uint64_t* x = xs + offs[order[c]];
+        const int64_t n = offs[order[c] + 1] - offs[order[c]];
+        int64_t st = 0;
+        for (int64_t i = 0; i < n; i++) {
+            while (st < i && x[i] > x[st] + (uint64_t)mdx) st++;
+            int64_t s2 = st;
+            if (i - s2 > max_iter) s2 = i - max_iter;
+            if (i - s2 + 1 > req) req = i - s2 + 1;
+        }
+    }
+    return req;
+}
+
+// Fill the packed planes for one group.  order/row_of/col_of: packed
+// placement (row-major).  Planes are caller-zeroed (R, Np).  Patch lists
+// carry int64 flat indices (r*Np + col) + int32 true delta values; *pp_n
+// and *qp_n are in: capacity, out: count (count > capacity = caller must
+// retry with a bigger buffer; nothing was written past the cap).
+// meta out: [0] rid_min [1] rid_max [2] span_per_read (1/0)
+// [3] span_min [4] span_max [5] sid_max [6] error (1 = row span
+// overflowed int32, 2 = rid overflows uint16)
+void gb_chain_pack(const uint64_t* xs, const uint64_t* ys,
+                   const int64_t* offs, const int32_t* order,
+                   const int32_t* row_of, const int32_t* col_of,
+                   int64_t K, int64_t W, int64_t Np, int64_t mdx1,
+                   uint8_t* pos_d, uint8_t* qpos_d, uint8_t* span8,
+                   uint8_t* sid8, uint16_t* rid16,
+                   int64_t* ppi, int32_t* ppv, int64_t* pp_n,
+                   int64_t* qpi, int32_t* qpv, int64_t* qp_n,
+                   int64_t* meta) {
+    const int64_t pp_cap = *pp_n, qp_cap = *qp_n;
+    int64_t pp = 0, qp = 0;
+    int64_t rid_min = INT64_MAX, rid_max = INT64_MIN;
+    int64_t span_min = 255, span_max = 0;
+    int64_t sid_max = 0, err = 0;
+    int span_per_read = 1;
+    int64_t prev_row = -1, prev_pos_end = 0;
+    for (int64_t c = 0; c < K; c++) {
+        const int64_t k = order[c];
+        const uint64_t* x = xs + offs[k];
+        const uint64_t* y = ys + offs[k];
+        const int64_t n = offs[k + 1] - offs[k];
+        if (n == 0) continue;
+        const int64_t r = row_of[c];
+        if (r != prev_row) { prev_row = r; prev_pos_end = 0; }
+        const int64_t cs = r * Np + W + col_of[c];
+        uint8_t* pd = pos_d + cs;
+        uint8_t* qd = qpos_d + cs;
+        uint8_t* sp = span8 + cs;
+        uint8_t* sd = sid8 + cs;
+        uint16_t* rd = rid16 + cs;
+        int64_t prev_pos = prev_pos_end;
+        int64_t prev_rid = -1;
+        int64_t prev_q = 0;
+        const int64_t sp0 = (y[0] >> 32) & 0xff;
+        if (sp0 < span_min) span_min = sp0;
+        if (sp0 > span_max) span_max = sp0;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t pos = (int64_t)(uint32_t)x[i];
+            const int64_t rid = (int64_t)(x[i] >> 32);
+            const int64_t q = (int64_t)(uint32_t)y[i];
+            const int64_t spn = (y[i] >> 32) & 0xff;
+            const int64_t sid = (y[i] >> 48) & 0xff;
+            int64_t d = (i == 0 || rid != prev_rid) ? mdx1 : pos - prev_pos;
+            prev_pos_end += d;
+            if (d < 0 || d >= 256) {
+                if (pp < pp_cap) { ppi[pp] = cs + i; ppv[pp] = (int32_t)d; }
+                pp++;
+                pd[i] = 0;
+            } else {
+                pd[i] = (uint8_t)d;
+            }
+            int64_t dq = (i == 0) ? 0 : q - prev_q;
+            if (dq < 0 || dq >= 256) {
+                if (qp < qp_cap) { qpi[qp] = cs + i; qpv[qp] = (int32_t)dq; }
+                qp++;
+                qd[i] = 0;
+            } else {
+                qd[i] = (uint8_t)dq;
+            }
+            sp[i] = (uint8_t)spn;
+            sd[i] = (uint8_t)sid;
+            rd[i] = (uint16_t)rid;
+            if (rid >= (1 << 16)) err |= 2;
+            if (spn != sp0) span_per_read = 0;
+            if (sid > sid_max) sid_max = sid;
+            if (rid < rid_min) rid_min = rid;
+            if (rid > rid_max) rid_max = rid;
+            prev_pos = pos;
+            prev_rid = rid;
+            prev_q = q;
+        }
+        if (prev_pos_end >= (1LL << 31)) err |= 1;
+    }
+    *pp_n = pp;
+    *qp_n = qp;
+    meta[0] = rid_min == INT64_MAX ? 0 : rid_min;
+    meta[1] = rid_max == INT64_MIN ? 0 : rid_max;
+    meta[2] = span_per_read;
+    meta[3] = span_min;
+    meta[4] = span_max;
+    meta[5] = sid_max;
+    meta[6] = err;
+}
+
+// Packed-chain fetch decode (r4): the device returns per-anchor parent
+// window deltas as uint8 + a packed carry bitplane (value 256 == window
+// width); this expands them straight into the call-major parents plane.
+// numpy did this in ~6 vectorized passes over 11M-anchor planes — ~2-3 s
+// on this 1-core host; one C pass is ~50 ms.  scores (optional, from a
+// fetched plane) rides the same walk.
+void gb_chain_unpack(const uint8_t* d8, const uint32_t* hibits,
+                     const int32_t* sc_plane, int64_t C,
+                     const int32_t* rows, const int32_t* offs,
+                     const int32_t* kns, int64_t K, int64_t N,
+                     int32_t* parents, int32_t* scores) {
+    const int64_t words = C / 32;
+    for (int64_t k = 0; k < K; k++) {
+        if (kns[k] <= 0) continue;  // call not in this packed group
+        const int64_t base = (int64_t)rows[k] * C + offs[k];
+        const uint8_t* dk = d8 + base;
+        const uint32_t* hb = hibits + (int64_t)rows[k] * words;
+        int32_t* pk = parents + k * N;
+        const int64_t n = kns[k];
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t col = offs[k] + i;
+            int32_t d = dk[i] | (((hb[col >> 5] >> (col & 31)) & 1u) << 8);
+            pk[i] = d > 0 ? (int32_t)i - d : -1;
+        }
+        if (sc_plane) {
+            memcpy(scores + k * N, sc_plane + base, n * sizeof(int32_t));
+        }
+    }
+}
+
 }  // extern "C"
 
 

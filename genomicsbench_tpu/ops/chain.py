@@ -45,6 +45,18 @@ MM_SEED_SEG_SHIFT = 48
 MAX_DD_BITS = 22  # dd <= 2^22 (max_dist_x larger than this is rejected)
 
 
+def _ragged_arange(counts) -> np.ndarray:
+    """[arange(c) for c in counts] flattened (cumsum routed through
+    float64: integer cumsum is pathologically slow on this host)."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    off = np.concatenate(
+        [[0], np.cumsum(counts.astype(np.float64)).astype(np.int64)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+
+
 def _ilog2(v):
     """floor(log2(v)) for v >= 1 via 5-step binary reduction (exact)."""
     r = jnp.zeros_like(v)
@@ -219,11 +231,56 @@ def _chain_scan(
     # absolute plane with one scatter + row cumsum.  4 -> 2 bytes/anchor
     # on the dominant upload plane at reference scale.
     if pos.dtype == jnp.uint16:
-        d = pos.astype(jnp.int32).reshape(-1)
-        if pos_patch is not None:
-            idx, val = pos_patch
-            d = d.at[idx].set(val)  # OOB pad indices drop
-        pos = jnp.cumsum(d.reshape(R, Np), axis=1)
+        pos = _delta_rebuild(pos, pos_patch)
+    kl = [k_limbs[:, j : j + 1] for j in range(4)]
+    patches = [(patch_dd[:, p : p + 1], patch_delta[:, p : p + 1])
+               for p in range(patch_dd.shape[1])]
+
+    def k_get(cur):
+        return kl, p0[:, None], r0[:, None], patches
+
+    return _run_scan(
+        pos, qpos, span, sid, rid, st, k_get,
+        max_dist_x, max_dist_y, bw, n_segs,
+        n_steps=n_steps, window=window, max_skip=max_skip, is_cdna=is_cdna,
+        max_iter=max_iter, fetch_scores=fetch_scores)
+
+
+def _delta_rebuild(d16, patch):
+    """(R, Np) uint16 row deltas + int32 patch list -> absolute int32 plane
+    (one scatter + a pad-shift row prefix sum; lax.cumsum is slow on this
+    chip even outside scan bodies at these shapes)."""
+    R, Np = d16.shape
+    d = d16.astype(jnp.int32).reshape(-1)
+    if patch is not None:
+        idx, val = patch
+        d = d.at[idx].set(val)  # OOB pad indices drop
+    return _prefix_sum(d.reshape(R, Np))
+
+
+def _prefix_sum(x):
+    """Prefix sum along axis 1 via pad+slice log-shift doubling."""
+    W = x.shape[-1]
+    sh = 1
+    while sh < W:
+        x = x + jnp.pad(x, ((0, 0), (sh, 0)))[:, :-sh]
+        sh *= 2
+    return x
+
+
+def _run_scan(
+    pos, qpos, span, sid, rid, st, k_get, max_dist_x, max_dist_y, bw, n_segs,
+    *, n_steps, window, max_skip, is_cdna, max_iter, fetch_scores,
+    compact_parents=False,
+):
+    """Shared scan core for the bucketed and packed formulations.
+
+    pos/qpos: absolute int32 (R, Np) planes (front-padded with `window`
+    junk columns).  k_get(cur) -> (kl 4-list, p0c, r0c, patches) — the
+    per-current-anchor gap-cost constants, either batch-row broadcasts
+    (bucketed: one call per row) or per-column plane lookups (packed:
+    many reads per row)."""
+    R, Np = pos.shape
     span = span.astype(jnp.int32)
     sid = sid.astype(jnp.int32)
     rid = rid.astype(jnp.int32)
@@ -232,10 +289,10 @@ def _chain_scan(
     # equality masks are identically True and the planes ship as 1 column
     rid_const = rid.shape[1] == 1
     sid_const = sid.shape[1] == 1
+    span_const = span.shape[1] == 1
     W = window
     n_words = W // 32
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    kl = [k_limbs[:, j : j + 1] for j in range(4)]
 
     init = dict(
         scores=jnp.zeros((R, Np), jnp.int32),
@@ -245,7 +302,6 @@ def _chain_scan(
 
     def step(c, i):
         col = W + i
-        run = i < n_anchors
 
         def cur(a):
             return jax.lax.dynamic_index_in_dim(a, col, axis=1, keepdims=False)
@@ -253,9 +309,10 @@ def _chain_scan(
         def win(a):
             return jax.lax.dynamic_slice_in_dim(a, i, W, axis=1)
 
-        ri, qi, q_span = (cur(a) for a in (pos, qpos, span))
+        ri, qi = cur(pos), cur(qpos)
+        q_span = span[:, 0] if span_const else cur(span)
         j_ids = (i - W) + p_ids
-        pos_w, qpos_w, span_w = (win(a) for a in (pos, qpos, span))
+        pos_w, qpos_w = win(pos), win(qpos)
         scores_w = win(c["scores"])
 
         if rid_const:
@@ -288,16 +345,14 @@ def _chain_scan(
         log_dd = jnp.where(dd > 0, _ilog2(jnp.maximum(dd, 1)), 0)
 
         ddc = jnp.clip(dd, 0, (1 << MAX_DD_BITS) - 1)
+        kl, p0c, r0c, patches = k_get(cur)
         c_lin = _lin_fixed(ddc, kl)
         # snap exactly-integer r = dd*avg/100 points (see lin_constants)
-        p0c = p0[:, None]
         safe_p0 = jnp.maximum(p0c, 1)
         is_int = (p0c > 0) & (ddc % safe_p0 == 0)
-        c_lin = jnp.where(is_int, (ddc // safe_p0) * r0[:, None], c_lin)
-        for p in range(patch_dd.shape[1]):
-            c_lin = c_lin + jnp.where(
-                ddc == patch_dd[:, p : p + 1], patch_delta[:, p : p + 1], 0
-            )
+        c_lin = jnp.where(is_int, (ddc // safe_p0) * r0c, c_lin)
+        for pdd, pdl in patches:
+            c_lin = c_lin + jnp.where(ddc == pdd, pdl, 0)
 
         diff_path = jnp.ones_like(valid) if is_cdna else ~same_sid
         bonus = ~same_sid & (dr == 0)
@@ -355,9 +410,8 @@ def _chain_scan(
         )[:, 0]
         peak_i = jnp.where((max_j >= 0) & (peak_at_j > max_f), peak_at_j, max_f)
 
-        # Columns past a read's own n_anchors receive junk but are never read
+        # Columns past a read's own anchors receive junk but are never read
         # back (windows only look at j < i) and are sliced off on the host.
-        del run
 
         def setcol(a, v):
             return jax.lax.dynamic_update_slice_in_dim(a, v[:, None], col, axis=1)
@@ -379,17 +433,88 @@ def _chain_scan(
         step2, init, jnp.arange(-(-n_steps // 2), dtype=jnp.int32)
     )
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, Np), 1) - W
-    d16 = jnp.where(final["parents"] >= 0, idx - final["parents"], 0) \
-        .astype(jnp.int16)
+    d = jnp.where(final["parents"] >= 0, idx - final["parents"], 0)[:, W:]
     # Slice the W-column front pad off on device, and do not return the
     # peak plane at all: it is exactly reconstructible on the host from
     # scores+parents (native.chain_peak) at 0 transfer bytes.  With
     # fetch_scores=False (the default when the native lib is present) the
     # score plane stays on device too: parents alone determine the scores
     # (native.chain_scores), shrinking the fetch from 6 to 2 bytes/anchor.
+    if compact_parents:
+        # 1 byte + 1 bit per anchor: window deltas are in [0, W]; for
+        # W == 256 only the value 256 overflows uint8, carried as a
+        # packed bitplane (the fetch link runs at ~37 MB/s)
+        C = Np - W
+        d8 = d.astype(jnp.uint8)
+        hi = (d >> 8).astype(jnp.int32).reshape(R, C // 32, 32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+        hibits = jnp.sum(hi << lanes, axis=2, dtype=jnp.int32)
+        out = (d8, hibits)
+    else:
+        out = (d.astype(jnp.int16),)
     if fetch_scores:
-        return final["scores"][:, W:], d16[:, W:]
-    return (d16[:, W:],)
+        return (final["scores"][:, W:],) + out
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "window", "max_skip", "is_cdna", "max_iter",
+                     "fetch_scores", "n_patch", "span_in_params"),
+)
+def _chain_scan_packed(
+    pos_d, pos_patch, qpos_d, qpos_patch, span, sid, rid,
+    kidx, kvals, max_dist_x, max_dist_y, bw, n_segs,
+    *, n_steps, window, max_skip, is_cdna, max_iter, fetch_scores, n_patch,
+    span_in_params=False,
+):
+    """Packed formulation: MANY reads per row, back-to-back, with
+    boundary sentinels instead of per-read rows — ONE compiled shape and
+    one dispatch for a whole batch (the bucketed path compiles and
+    dispatches one program per anchor-count class, and its per-step cost
+    is dominated by fixed op overheads, so fewer+longer rows win).
+
+    * pos/qpos ship as uint16 within-read deltas + int32 patch lists;
+      read boundaries (and intra-read rid changes) carry a sentinel pos
+      delta > max_dist_x, so cross-read pairs fail the dr window bound
+      exactly like out-of-window anchors (host_kernel.cpp:56-57).  Front
+      pads are excluded by j_ids >= 0; row-tail pads only ever look
+      backward and their outputs are dropped on the host.
+    * max_iter on global row indices equals the per-read rule: within a
+      read global index differences ARE local differences, and cross-read
+      pairs are dr-excluded.
+    * per-read gap-cost constants (4 K48 limbs, p0, r0[, patch pairs])
+      become (R, Np) step-function planes, built on device from one
+      read-start delta scatter + a pad-shift row prefix sum (~0.4 MB of
+      deltas instead of ~50 MB of planes)."""
+    R, Np = pos_d.shape
+    W = window
+    pos = _delta_rebuild(pos_d, pos_patch)
+    qpos = _delta_rebuild(qpos_d, qpos_patch)
+    nplanes = 6 + (1 if span_in_params else 0) + 2 * n_patch
+    flat = jnp.zeros((nplanes, R * Np), jnp.int32).at[:, kidx].set(kvals.T)
+    planes = _prefix_sum(flat.reshape(nplanes * R, Np)) \
+        .reshape(nplanes, R, Np)
+    base = 6
+    if span_in_params:  # per-read-constant span rides the param planes
+        span = planes[6]
+        base = 7
+
+    def k_get(cur):
+        kl = [cur(planes[j])[:, None] for j in range(4)]
+        p0c = cur(planes[4])[:, None]
+        r0c = cur(planes[5])[:, None]
+        patches = [(cur(planes[base + 2 * p])[:, None],
+                    cur(planes[base + 1 + 2 * p])[:, None])
+                   for p in range(n_patch)]
+        return kl, p0c, r0c, patches
+
+    return _run_scan(
+        pos, qpos, span, sid, rid, None, k_get,
+        max_dist_x, max_dist_y, bw, n_segs,
+        n_steps=n_steps, window=window, max_skip=max_skip, is_cdna=is_cdna,
+        max_iter=max_iter, fetch_scores=fetch_scores,
+        compact_parents=(window == 256))
 
 
 def _chain_dispatch(calls, window: int | None, max_iter: int,
@@ -584,6 +709,401 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
     return _chain_collect(fut, ns, ctx)
 
 
+def _pack_eligible(calls, xs_list, max_iter):
+    """Packed-formulation eligibility: x-sorted anchors (the minimap2
+    invariant), bounded max_dist, bounded per-read span (the packed row
+    accumulates spans in int32)."""
+    for c, xs in zip(calls, xs_list):
+        if c.max_dist_x >= (1 << MAX_DD_BITS):
+            return False
+        if c.n and not bool(np.all(xs[1:] >= xs[:-1])):
+            return False
+    return True
+
+
+def _pack_group_py(calls, ns, xs_list, ys_list, row_calls, W, Np, R, MDX1):
+    """Pure-python fallback for native.chain_pack (toolchain-less hosts):
+    fills the packed uint8 delta planes + patch lists.  Same outputs and
+    semantics as gbingest.cpp gb_chain_pack (see that function's doc)."""
+    u64 = np.uint64
+    pos_d = np.zeros((R, Np), np.uint8)
+    qpos_d = np.zeros((R, Np), np.uint8)
+    span8 = np.zeros((R, Np), np.uint8)
+    sid8 = np.zeros((R, Np), np.uint8)
+    rid16 = np.zeros((R, Np), np.uint16)
+    ppatch_idx, ppatch_val = [], []
+    qpatch_idx, qpatch_val = [], []
+    rid_min, rid_max = None, None
+    span_min, span_max = 255, 0
+    span_per_read = True
+    sid_max = 0
+    err = 0
+    for r, rc in enumerate(row_calls):
+        off = 0
+        prev_pos_end = 0
+        for k in rc:
+            n = int(ns[k])
+            if n == 0:
+                continue
+            xs, ys = xs_list[k], ys_list[k]
+            pos32 = (xs & u64(0xFFFFFFFF)).astype(np.int64)
+            rid32 = (xs >> u64(32)).astype(np.int64)
+            qp = (ys & u64(0xFFFFFFFF)).astype(np.int64)
+            sp = ((ys >> u64(32)) & u64(0xFF)).astype(np.uint8)
+            sd = ((ys >> u64(MM_SEED_SEG_SHIFT)) & u64(0xFF)) \
+                .astype(np.uint8)
+            cs = W + off
+            # pos deltas: boundary/rid-change cells get the MDX+1
+            # sentinel — cross-read (and cross-rid, which same_rid masks
+            # anyway) pairs then fail the dr <= max_dist_x bound exactly
+            # like out-of-window anchors; same-rid in-read differences
+            # are preserved exactly
+            d = np.diff(pos32, prepend=np.int64(prev_pos_end))
+            ridc = np.empty(n, bool)
+            ridc[0] = True  # read start
+            ridc[1:] = rid32[1:] != rid32[:-1]
+            d[ridc] = MDX1
+            prev_pos_end += int(d.sum())
+            if prev_pos_end >= (1 << 31):
+                err |= 1
+            big = (d < 0) | (d >= (1 << 8))
+            if big.any():
+                w = np.nonzero(big)[0]
+                ppatch_idx.append((r * Np + cs + w).astype(np.int64))
+                ppatch_val.append(d[w].astype(np.int32))
+                d = np.where(big, 0, d)
+            pos_d[r, cs:cs + n] = d.astype(np.uint8)
+            dq = np.diff(qp, prepend=np.int64(0))
+            dq[0] = 0  # restart: only in-read qpos diffs are read
+            bigq = (dq < 0) | (dq >= (1 << 8))
+            if bigq.any():
+                w = np.nonzero(bigq)[0]
+                qpatch_idx.append((r * Np + cs + w).astype(np.int64))
+                qpatch_val.append(dq[w].astype(np.int32))
+                dq = np.where(bigq, 0, dq)
+            qpos_d[r, cs:cs + n] = dq.astype(np.uint8)
+            span8[r, cs:cs + n] = sp
+            sid8[r, cs:cs + n] = sd
+            if int(rid32.max(initial=0)) >= (1 << 16):
+                err |= 2
+            rid16[r, cs:cs + n] = rid32.astype(np.uint16)
+            rid_min = int(rid32.min()) if rid_min is None \
+                else min(rid_min, int(rid32.min()))
+            rid_max = int(rid32.max()) if rid_max is None \
+                else max(rid_max, int(rid32.max()))
+            lo, hi = int(sp.min()), int(sp.max())
+            if lo != hi:
+                span_per_read = False
+            span_min, span_max = min(span_min, lo), max(span_max, hi)
+            sid_max = max(sid_max, int(sd.max()))
+            off += n
+
+    def cat(idx_l, val_l):
+        if idx_l:
+            return np.concatenate(idx_l), np.concatenate(val_l)
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+
+    md = dict(rid_min=rid_min or 0, rid_max=rid_max or 0,
+              span_per_read=span_per_read, span_min=span_min,
+              span_max=span_max, sid_max=sid_max, error=err)
+    return (pos_d, qpos_d, span8, sid8, rid16,
+            cat(ppatch_idx, ppatch_val), cat(qpatch_idx, qpatch_val), md)
+
+
+def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
+                       max_iter: int = 5000, max_skip: int = 25,
+                       is_cdna: bool = False, chunks: int = 2,
+                       fetch_scores: bool | None = None) -> ChainBatchResult:
+    """chain_batch over a PACKED layout: all reads concatenated back-to-back
+    into up to `rows` device rows with sentinel pos jumps at read
+    boundaries — one compiled program and ~(total anchors / rows) scan
+    steps for the whole batch, vs one program per anchor-count class and
+    sum-of-caps steps for the bucketed path.  Bit-identical results
+    (tests pin equality against chain_batch/the reference oracle).
+
+    Calls are grouped by (max_dist_x, max_dist_y, bw, n_segs) — per-batch
+    constants in minimap2 — and each group packs independently.  Rows are
+    dispatched in `chunks` slices so chunk k+1's upload overlaps chunk
+    k's kernel on the link.  Host marshal and fetch decode run in C
+    (gbingest.cpp gb_chain_pack/gb_chain_unpack) with numpy fallbacks;
+    anchors ship as uint8 within-read deltas + int32 patch lists and
+    parents return as uint8 window deltas + a carry bitplane — on the
+    ~40 MB/s tunnel the link bytes, not the kernel, bound this path."""
+    import heapq
+    import time as _time
+
+    probe = os.environ.get("GENOMICSBENCH_CHAIN_PROBE") == "1"
+    t_start = _time.perf_counter()
+
+    K = len(calls)
+    if K == 0:
+        return ChainBatchResult(*(np.zeros((0, 0), np.int32),) * 3,
+                                n=np.zeros(0, np.int32))
+    xs_list = [np.asarray(c.x, np.uint64) for c in calls]
+    ys_list = [np.asarray(c.y, np.uint64) for c in calls]
+    if not _pack_eligible(calls, xs_list, max_iter):
+        raise ValueError("packed chain requires x-sorted anchors")
+    ns = np.array([c.n for c in calls], np.int32)
+    N = int(ns.max())
+    offs = np.zeros(K + 1, np.int64)
+    np.cumsum(ns, out=offs[1:])
+    flat_x = np.concatenate(xs_list)
+    flat_y = np.concatenate(ys_list)
+
+    from genomicsbench_tpu import native
+
+    if fetch_scores is None:
+        fetch_scores = (os.environ.get("GENOMICSBENCH_CHAIN_FETCH_SCORES")
+                        == "1" or not native.available())
+
+    groups = {}
+    for k, c in enumerate(calls):
+        groups.setdefault(
+            (c.max_dist_x, c.max_dist_y, c.bw, c.n_segs), []).append(k)
+
+    scores_out = np.zeros((K, N), np.int32)
+    parents_out = np.full((K, N), -1, np.int32)
+
+    pending = []
+    gmeta = []
+    for (mdx, mdy, bw_, nsegs), kidxs in groups.items():
+        if mdx >= (1 << MAX_DD_BITS):
+            raise ValueError("max_dist_x too large")
+        kparams = {k: lin_constants(calls[k].avg_qspan, mdx)
+                   for k in kidxs}
+        n_patch = max((len(kparams[k][3]) for k in kidxs), default=0)
+
+        # LPT assignment of reads to rows, then row-major placement
+        R = min(rows, max(8, len(kidxs)))
+        R = max(8, (R // 8) * 8)
+        heap = [(0, r) for r in range(R)]
+        heapq.heapify(heap)
+        row_calls = [[] for _ in range(R)]
+        for k in sorted(kidxs, key=lambda k: -int(ns[k])):
+            tot, r = heapq.heappop(heap)
+            row_calls[r].append(k)
+            heapq.heappush(heap, (tot + int(ns[k]), r))
+        order, row_of, col_of = [], [], []
+        C = 128
+        for r, rc in enumerate(row_calls):
+            off = 0
+            for k in rc:
+                order.append(k)
+                row_of.append(r)
+                col_of.append(off)
+                off += int(ns[k])
+            C = max(C, off)
+        C = -(-C // 128) * 128
+        order = np.asarray(order, np.int32)
+        row_of = np.asarray(row_of, np.int32)
+        col_of = np.asarray(col_of, np.int32)
+
+        # exact per-group window requirement (two-pointer horizon,
+        # host_kernel.cpp:56-57)
+        req_w = native.chain_reqw(flat_x, offs, order, mdx, max_iter)
+        if req_w is None:
+            req_w = 1
+            for k in kidxs:
+                xs = xs_list[k]
+                n = len(xs)
+                if n:
+                    ss = np.searchsorted(xs, xs - np.uint64(mdx), "left")
+                    ss = np.where(xs <= np.uint64(mdx), 0, ss)
+                    ss = np.maximum(ss, np.arange(n) - max_iter)
+                    req_w = max(req_w, int((np.arange(n) - ss).max()) + 1)
+        W = window or max(128, -(-req_w // 128) * 128)
+        Np = W + C
+        MDX1 = int(mdx) + 1
+
+        packed = native.chain_pack(flat_x, flat_y, offs, order, row_of,
+                                   col_of, W, Np, R, MDX1)
+        if packed is None:
+            packed = _pack_group_py(calls, ns, xs_list, ys_list, row_calls,
+                                    W, Np, R, MDX1)
+        pos_d, qpos_d, span8, sid8, rid16, pp, qp_, md = packed
+        if md["error"]:
+            raise ValueError("packed chain overflow (row span or rid)")
+        span_const = (md["span_min"] if md["span_min"] == md["span_max"]
+                      else None)
+        span_per_read = md["span_per_read"] and span_const is None
+        nparams = 6 + (1 if span_per_read else 0) + 2 * n_patch
+
+        # per-read gap-param vectors -> read-start deltas (the device
+        # rebuilds per-column step-function planes from one scatter +
+        # prefix sum per plane)
+        S = len(order)
+        vecs = np.zeros((S, nparams), np.int64)
+        for i in range(S):
+            limbs, p0, r0, patches = kparams[int(order[i])]
+            vecs[i, :4] = limbs
+            vecs[i, 4], vecs[i, 5] = p0, r0
+            base = 6
+            if span_per_read:
+                y0 = ys_list[int(order[i])]
+                vecs[i, 6] = (int(y0[0]) >> 32) & 0xFF if len(y0) else 0
+                base = 7
+            for pi in range(n_patch):
+                if pi < len(patches):
+                    vecs[i, base + 2 * pi] = patches[pi][0]
+                    vecs[i, base + 1 + 2 * pi] = patches[pi][1]
+                else:
+                    vecs[i, base + 2 * pi] = -1
+        first = np.ones(S, bool)
+        first[1:] = row_of[1:] != row_of[:-1]
+        prev = np.vstack([np.zeros((1, nparams), np.int64), vecs[:-1]])
+        prev[first] = 0
+        kdeltas = (vecs - prev).astype(np.int32)
+        kparam_idx = (row_of.astype(np.int64) * Np + W
+                      + col_of.astype(np.int64)).astype(np.int64)
+
+        # collapse constant planes to (R, 1)
+        rid_pl = (np.zeros((R, 1), np.uint16)
+                  if md["rid_min"] == md["rid_max"] else rid16)
+        sid_pl = np.zeros((R, 1), np.uint8) if md["sid_max"] == 0 else sid8
+        if span_const is not None:
+            span_pl = np.full((R, 1), span_const, np.uint8)
+        elif span_per_read:
+            span_pl = np.zeros((R, 1), np.uint8)  # rides the param planes
+        else:
+            span_pl = span8
+
+        mk = lambda v: np.full(R, v, np.int32)
+        # dispatch row chunks so upload overlaps kernel
+        rows_per = max(8, -(-R // max(1, chunks) // 8) * 8)
+        for r0_ in range(0, R, rows_per):
+            r1 = min(R, r0_ + rows_per)
+            sl = slice(r0_, r1)
+
+            def cut(a):
+                return a[sl] if a.shape[0] == R else a
+
+            # patch indices are flat r*Np + col: rebase into the chunk
+            def rebase(pi, pv):
+                lo, hi = r0_ * Np, r1 * Np
+                m = (pi >= lo) & (pi < hi)
+                pi2 = (pi[m] - lo).astype(np.int32)
+                pv2 = pv[m]
+                cap = max(4, -(-max(len(pi2), 1) // 4) * 4)
+                pad = cap - len(pi2)
+                if pad:
+                    pi2 = np.concatenate(
+                        [pi2, np.full(pad, (r1 - r0_) * Np, np.int32)])
+                    pv2 = np.concatenate([pv2, np.zeros(pad, np.int32)])
+                return pi2, pv2
+
+            ppc = rebase(*pp)
+            qpc = rebase(*qp_)
+            m = (kparam_idx >= r0_ * Np) & (kparam_idx < r1 * Np)
+            ki2 = (kparam_idx[m] - r0_ * Np).astype(np.int32)
+            kv2 = kdeltas[m]
+            Sp2 = max(8, -(-max(len(ki2), 1) // 8) * 8)
+            if Sp2 > len(ki2):
+                pad = Sp2 - len(ki2)
+                ki2 = np.concatenate(
+                    [ki2, np.full(pad, (r1 - r0_) * Np, np.int32)])
+                kv2 = np.concatenate(
+                    [kv2, np.zeros((pad, kv2.shape[1]), np.int32)])
+            args = jax.device_put((
+                pos_d[sl], ppc, qpos_d[sl], qpc, cut(span_pl),
+                cut(sid_pl), cut(rid_pl), ki2, kv2,
+                mk(mdx)[sl], mk(mdy)[sl], mk(bw_)[sl], mk(nsegs)[sl],
+            ))
+            fut = _chain_scan_packed(
+                *args, n_steps=C, window=W, max_skip=max_skip,
+                is_cdna=is_cdna, max_iter=max_iter,
+                fetch_scores=fetch_scores, n_patch=n_patch,
+                span_in_params=span_per_read)
+            pending.append((fut, sl, len(gmeta), fetch_scores))
+        gmeta.append(((order, row_of, col_of), R, C))
+
+    t_marshal = _time.perf_counter()
+    first_got = None
+    # collect: raw chunk planes per group, then ONE native pass expands
+    # the compact deltas straight into the call-major parents/scores
+    # planes (the vectorized-numpy decode cost ~2-3 s at reference scale
+    # on this 1-core host; gbingest.cpp gb_chain_unpack is ~50 ms)
+    planes = {}
+    for fut, sl, gid, fs in pending:
+        got = jax.device_get(fut)
+        if first_got is None:
+            first_got = _time.perf_counter()
+        _, R_g, C_g = gmeta[gid]
+        st = planes.setdefault(gid, {})
+        i = 0
+        if fs:
+            st.setdefault("sc", np.empty((R_g, C_g), np.int32))[sl] = got[0]
+            i = 1
+        if len(got) - i == 2:  # compact: uint8 deltas + packed hi bits
+            st.setdefault("d8", np.empty((R_g, C_g), np.uint8))[sl] = got[i]
+            st.setdefault("hi", np.empty((R_g, C_g // 32), np.int32))[sl] \
+                = got[i + 1]
+        else:
+            st.setdefault("d", np.empty((R_g, C_g), np.int16))[sl] = got[i]
+
+    for gid, ((order, row_of, col_of), R_g, C_g) in enumerate(gmeta):
+        if len(order) == 0:
+            continue
+        st = planes[gid]
+        karr = order.astype(np.int64)
+        rarr = row_of.astype(np.int64)
+        oarr = col_of.astype(np.int64)
+        sc_pl = st.get("sc")
+        if "d8" in st:
+            rows_k = np.full(K, -1, np.int32)
+            offs_k = np.zeros(K, np.int32)
+            kns_k = np.zeros(K, np.int32)
+            rows_k[karr] = rarr
+            offs_k[karr] = oarr
+            kns_k[karr] = ns[karr]
+            if native.chain_unpack(st["d8"], st["hi"], sc_pl, rows_k,
+                                   offs_k, kns_k, parents_out, scores_out):
+                continue
+            bits = np.unpackbits(
+                np.ascontiguousarray(st["hi"]).view(np.uint8)
+                .reshape(R_g, -1), axis=1, bitorder="little")[:, :C_g]
+            dfull = st["d8"].astype(np.int32) | (bits.astype(np.int32) << 8)
+        else:
+            dfull = st["d"].astype(np.int32)
+        nsp = ns[karr].astype(np.int64)
+        call_rows = np.repeat(karr, nsp)
+        local = _ragged_arange(nsp)
+        src = np.repeat(rarr * C_g + oarr, nsp) + local
+        dflat = dfull.reshape(-1)[src]
+        parents_out[call_rows, local] = np.where(
+            dflat > 0, local.astype(np.int32) - dflat, -1)
+        if sc_pl is not None:
+            scores_out[call_rows, local] = sc_pl.reshape(-1)[src]
+
+    t_collect = _time.perf_counter()
+    if fetch_scores:
+        scores = scores_out
+    else:
+        scores = native.chain_scores(
+            flat_x, flat_y, offs, parents_out, ns,
+            np.array([c.avg_qspan for c in calls], np.float64),
+            np.array([c.n_segs for c in calls], np.int32), is_cdna)
+        assert scores is not None
+    peak = native.chain_peak(scores, parents_out, ns)
+    if peak is None:
+        peak = scores.copy()
+        for r in range(K):
+            p, v = parents_out[r], peak[r]
+            for i in range(int(ns[r])):
+                pi = p[i]
+                if pi >= 0 and v[pi] > v[i]:
+                    v[i] = v[pi]
+    if probe:
+        t_end = _time.perf_counter()
+        print(f"# chain_packed phases: marshal+dispatch "
+              f"{t_marshal - t_start:.2f}s  first-chunk-wait "
+              f"{(first_got or t_marshal) - t_marshal:.2f}s  "
+              f"fetch+unpack {t_collect - t_marshal:.2f}s  "
+              f"scores/peak {t_end - t_collect:.2f}s  "
+              f"total {t_end - t_start:.2f}s", flush=True)
+    return ChainBatchResult(scores=scores, parents=parents_out,
+                            peak_scores=peak, n=ns)
+
+
 def chain_batch_bucketed(calls, bucket_rows: int = 512,
                          granularity: int = 128, window: int | None = None,
                          max_iter: int = 5000, max_skip: int = 25,
@@ -593,8 +1113,21 @@ def chain_batch_bucketed(calls, bucket_rows: int = 512,
     batch max, which doubles the (transfer-dominated) upload/fetch bytes
     on skewed length mixes.  All buckets are dispatched before any is
     collected, so bucket k+1's upload overlaps bucket k's kernel.
-    Identical per-read results, original order."""
+    Identical per-read results, original order.
+
+    When every call is packed-eligible (x-sorted, single chip), the
+    PACKED formulation runs instead — one compiled shape, ~6x fewer scan
+    steps, identical results (GENOMICSBENCH_CHAIN_PACKED=0 opts out)."""
     R = len(calls)
+    if (mesh is None and R
+            and os.environ.get("GENOMICSBENCH_CHAIN_PACKED", "1")
+            not in ("", "0")):
+        try:
+            return chain_batch_packed(
+                calls, window=window, max_iter=max_iter,
+                max_skip=max_skip, is_cdna=is_cdna)
+        except ValueError:  # unsorted anchors / overflow: bucketed path
+            pass
     order = sorted(range(R), key=lambda r: calls[r].n)
     groups = {}
     for r in order:

@@ -156,3 +156,40 @@ def test_score_reconstruction_matches_fetched_plane(monkeypatch):
             np.testing.assert_array_equal(a.parents[r][:n], b.parents[r][:n])
             np.testing.assert_array_equal(a.peak_scores[r][:n],
                                           b.peak_scores[r][:n])
+
+
+def test_packed_matches_bucketed():
+    """The packed formulation (many reads per row, boundary sentinels,
+    on-device param planes) must be bit-identical to the per-read
+    bucketed path — including multi-rid/multi-sid anchors, n_segs=2,
+    integer avg_qspan (the p0/r0 snap) and mixed max_dist groups."""
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import (chain_batch,
+                                             chain_batch_packed)
+
+    rng = np.random.default_rng(404)
+    calls = []
+    for i in range(30):
+        n = int(rng.integers(3, 300))
+        dx = rng.integers(1, 40, n)
+        rid = np.sort(rng.integers(0, 3, n)).astype(np.uint64)
+        x = (rid << np.uint64(32)) | (1000 + np.cumsum(dx)).astype(np.uint64)
+        x = np.sort(x)
+        dq = np.maximum(1, dx + rng.integers(-10, 11, n))
+        sid = rng.integers(0, 2, n).astype(np.uint64) << np.uint64(48)
+        y = (np.cumsum(dq).astype(np.uint64)
+             | (rng.integers(10, 20, n).astype(np.uint64) << np.uint64(32))
+             | sid)
+        avg = 15.0 if i % 5 == 0 else round(float(rng.uniform(8, 30)), 4)
+        calls.append(AnchorCall(x=x, y=y, avg_qspan=avg,
+                                max_dist_x=int(rng.choice([500, 5000])),
+                                max_dist_y=5000, bw=500,
+                                n_segs=int(rng.choice([1, 2]))))
+    a = chain_batch(calls)
+    b = chain_batch_packed(calls, rows=8, chunks=2)
+    for r, c in enumerate(calls):
+        n = c.n
+        np.testing.assert_array_equal(a.scores[r][:n], b.scores[r][:n])
+        np.testing.assert_array_equal(a.parents[r][:n], b.parents[r][:n])
+        np.testing.assert_array_equal(a.peak_scores[r][:n],
+                                      b.peak_scores[r][:n])

@@ -101,3 +101,9 @@ echo "built $OUT/phmm_gold"
 g++ -O3 -march=native \
     "$HERE/ref_drivers/poa_gold.cpp" -o "$OUT/poa_gold"
 echo "built $OUT/poa_gold"
+
+# fmi_gold: in-repo C baseline for the FM-index SMEM passes (bwa-mem2's
+# submodule is empty; see tools/ref_drivers/fmi_gold.cpp header)
+g++ -O3 -march=native -std=c++17 \
+    "$HERE/ref_drivers/fmi_gold.cpp" -o "$OUT/fmi_gold"
+echo "built $OUT/fmi_gold"

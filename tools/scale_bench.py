@@ -78,6 +78,30 @@ def dev_s(fn):
         return None
 
 
+def require_gold(name):
+    """Fail LOUDLY when an expected reference/gold binary is absent —
+    r3's abea row silently recorded a null ratio because abea_gold_f32
+    was missing on the bench host (VERDICT r3 weak #8/#10).  Tries one
+    tools/build_reference.sh run before giving up."""
+    path = f"{REFBUILD}/{name}"
+    if os.path.exists(path):
+        return path
+    print(f"### WARNING: {name} missing; running tools/build_reference.sh",
+          file=sys.stderr, flush=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(["bash", f"{here}/build_reference.sh"],
+                       capture_output=True, timeout=1200)
+    except Exception as e:  # noqa: BLE001
+        print(f"### WARNING: build_reference.sh failed: {e}",
+              file=sys.stderr, flush=True)
+    if not os.path.exists(path):
+        print(f"### WARNING: {name} STILL missing — this row's reference "
+              "ratio will be null", file=sys.stderr, flush=True)
+        return None
+    return path
+
+
 def ref_time(cmd, **kw):
     """Wall of a reference binary run (includes its own input parse)."""
     t0 = time.time()
@@ -820,6 +844,32 @@ def bench_fmi(n_reads=1_000_000, batch=65_536):
         idx = pickle.load(f)
     rng = np.random.default_rng(23)
     pipe = FmiPipeline(idx, min_seed_len=19)
+    # in-repo C baseline (tools/ref_drivers/fmi_gold.cpp: checkpointed-occ
+    # BWT + the exact 3-pass SMEM logic; bwa-mem2's submodule is empty) —
+    # timed on a 1/10 subset of the identical workload, its own kernel
+    # timer, extrapolated linearly like the dbg_gold row
+    gold = require_gold("fmi_gold")
+    ref_wall = None
+    if gold:
+        from tools.fmi_gold_check import dump_index, dump_reads
+
+        idx_bin = f"{SCRATCH}/fmi_gold.idx"
+        if not os.path.exists(idx_bin):
+            dump_index(idx, idx_bin)
+        sub = max(1, n_reads // 10)
+        g_rng = np.random.default_rng(23)  # same stream: identical reads
+        starts = g_rng.integers(0, len(ref) - L, sub)
+        gq = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+        mut = g_rng.random(gq.shape) < 0.005
+        gq[mut] = g_rng.integers(0, 4, mut.sum())
+        dump_reads(gq, 19, f"{SCRATCH}/fmi_gold.reads")
+        pr = subprocess.run([gold, idx_bin, f"{SCRATCH}/fmi_gold.reads",
+                             "-q"], capture_output=True, text=True,
+                            timeout=3600)
+        for ln in pr.stderr.splitlines():
+            if "kernel_s=" in ln:
+                ref_wall = (float(ln.split("kernel_s=")[1].split()[0])
+                            * (n_reads / sub))
     total_smems = 0
     done = 0
     # warm on one batch
@@ -846,7 +896,10 @@ def bench_fmi(n_reads=1_000_000, batch=65_536):
     record(workload="fmi", n_reads=n_reads, read_len=L, index_mb=100,
            batch=batch, wall_s=round(wall, 2),
            bases_per_s=round(n_reads * L / wall, -3),
-           reads_per_s=round(n_reads / wall, -2), total_smems=int(total_smems))
+           reads_per_s=round(n_reads / wall, -2), total_smems=int(total_smems),
+           ref_1t_wall_s_est=(round(ref_wall, 2) if ref_wall else None),
+           speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall
+                              else None))
 
 
 # ---------------------------------------------------------------------------
@@ -889,6 +942,8 @@ def bench_abea(n_reads=10_000, batch=512):
         t0 = time.time()
         align_batch(seqs, evs_l, mean, stdv, scal)
         wall += time.time() - t0
+        if total == 0:
+            require_gold("abea_gold_f32")  # r3 lost this row's ratio silently
         if total == 0 and os.path.exists(f"{REFBUILD}/abea_gold_f32"):
             # time the reference CPU align() on this batch's inputs
             path = f"{SCRATCH}/abea_ref.in"

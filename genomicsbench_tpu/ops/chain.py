@@ -236,8 +236,8 @@ def _chain_scan(
     patches = [(patch_dd[:, p : p + 1], patch_delta[:, p : p + 1])
                for p in range(patch_dd.shape[1])]
 
-    def k_get(cur):
-        return kl, p0[:, None], r0[:, None], patches
+    def k_get(cur, col, xcols):
+        return kl, p0[:, None], r0[:, None], patches, None
 
     return _run_scan(
         pos, qpos, span, sid, rid, st, k_get,
@@ -271,15 +271,23 @@ def _prefix_sum(x):
 def _run_scan(
     pos, qpos, span, sid, rid, st, k_get, max_dist_x, max_dist_y, bw, n_segs,
     *, n_steps, window, max_skip, is_cdna, max_iter, fetch_scores,
-    compact_parents=False,
+    compact_parents=False, cols=None,
 ):
     """Shared scan core for the bucketed and packed formulations.
 
     pos/qpos: absolute int32 (R, Np) planes (front-padded with `window`
-    junk columns).  k_get(cur) -> (kl 4-list, p0c, r0c, patches) — the
-    per-current-anchor gap-cost constants, either batch-row broadcasts
-    (bucketed: one call per row) or per-column plane lookups (packed:
-    many reads per row)."""
+    junk columns).  k_get(cur, col, xcols) -> (kl 4-list, p0c, r0c,
+    patches, q_span or None) — the per-current-anchor gap-cost constants,
+    either batch-row broadcasts (bucketed: one call per row, xcols None)
+    or per-step scan-xs rows (packed: many reads per row).
+
+    `cols`, when given, is a (n_steps, ncols, R) tensor of per-step
+    values fed through lax.scan's xs: rows 0/1 are the current anchor's
+    pos/qpos and the rest belong to k_get.  EVERY dynamic_slice with a
+    runtime start costs ~25 us/step inside a scan body on this chip
+    (measured, tools/chain_bisect.py: 7 param lookups = +177 us/step in
+    ANY plane layout) — scan-xs leading-axis slicing is the only
+    formulation that avoids that fixed cost."""
     R, Np = pos.shape
     span = span.astype(jnp.int32)
     sid = sid.astype(jnp.int32)
@@ -300,7 +308,7 @@ def _run_scan(
         peak=jnp.zeros((R, Np), jnp.int32),
     )
 
-    def step(c, i):
+    def step(c, i, xcols=None):
         col = W + i
 
         def cur(a):
@@ -309,8 +317,15 @@ def _run_scan(
         def win(a):
             return jax.lax.dynamic_slice_in_dim(a, i, W, axis=1)
 
-        ri, qi = cur(pos), cur(qpos)
-        q_span = span[:, 0] if span_const else cur(span)
+        if xcols is None:
+            ri, qi = cur(pos), cur(qpos)
+        else:
+            ri, qi = xcols[0], xcols[1]
+        kl, p0c, r0c, patches, q_span_kv = k_get(cur, col, xcols)
+        if q_span_kv is not None:
+            q_span = q_span_kv
+        else:
+            q_span = span[:, 0] if span_const else cur(span)
         j_ids = (i - W) + p_ids
         pos_w, qpos_w = win(pos), win(qpos)
         scores_w = win(c["scores"])
@@ -345,7 +360,6 @@ def _run_scan(
         log_dd = jnp.where(dd > 0, _ilog2(jnp.maximum(dd, 1)), 0)
 
         ddc = jnp.clip(dd, 0, (1 << MAX_DD_BITS) - 1)
-        kl, p0c, r0c, patches = k_get(cur)
         c_lin = _lin_fixed(ddc, kl)
         # snap exactly-integer r = dd*avg/100 points (see lin_constants)
         safe_p0 = jnp.maximum(p0c, 1)
@@ -423,15 +437,28 @@ def _run_scan(
         )
         return out, None
 
-    def step2(c, i2):
-        c, _ = step(c, i2 * 2)
-        return step(c, i2 * 2 + 1)
-
     # two anchors per scan iteration: halves the loop-carry HBM round
     # trips (the i < n_anchors guard keeps the odd tail a no-op)
-    final, _ = jax.lax.scan(
-        step2, init, jnp.arange(-(-n_steps // 2), dtype=jnp.int32)
-    )
+    n_iter = -(-n_steps // 2)
+    if cols is None:
+        def step2(c, i2):
+            c, _ = step(c, i2 * 2)
+            return step(c, i2 * 2 + 1)
+
+        final, _ = jax.lax.scan(
+            step2, init, jnp.arange(n_iter, dtype=jnp.int32))
+    else:
+        ncols = cols.shape[1]
+        assert cols.shape[0] >= 2 * n_iter
+        cols2 = cols[: 2 * n_iter].reshape(n_iter, 2, ncols, R)
+
+        def step2x(c, x):
+            i2, xc = x
+            c, _ = step(c, i2 * 2, xc[0])
+            return step(c, i2 * 2 + 1, xc[1])
+
+        final, _ = jax.lax.scan(
+            step2x, init, (jnp.arange(n_iter, dtype=jnp.int32), cols2))
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, Np), 1) - W
     d = jnp.where(final["parents"] >= 0, idx - final["parents"], 0)[:, W:]
     # Slice the W-column front pad off on device, and do not return the
@@ -497,24 +524,33 @@ def _chain_scan_packed(
         .reshape(nplanes, R, Np)
     base = 6
     if span_in_params:  # per-read-constant span rides the param planes
-        span = planes[6]
         base = 7
 
-    def k_get(cur):
-        kl = [cur(planes[j])[:, None] for j in range(4)]
-        p0c = cur(planes[4])[:, None]
-        r0c = cur(planes[5])[:, None]
-        patches = [(cur(planes[base + 2 * p])[:, None],
-                    cur(planes[base + 1 + 2 * p])[:, None])
+    # Per-step values ride lax.scan's xs as a (n_steps, ncols, R) tensor
+    # (rows: pos, qpos, 4 limbs, p0, r0[, span][, patch pairs]): EVERY
+    # dynamic_slice with a runtime start costs ~25 us/step in a scan
+    # body on this chip, and the per-column param lookups added
+    # +177 us/step in any plane layout (tools/chain_bisect.py).
+    allp = jnp.concatenate([pos[None], qpos[None], planes], axis=0)
+    cols = jnp.transpose(allp[:, :, W:], (2, 0, 1))  # (n_steps, ncols, R)
+    cols = jax.lax.optimization_barrier(cols)
+
+    def k_get(cur, col, xcols):
+        kl = [xcols[2 + j][:, None] for j in range(4)]
+        p0c = xcols[6][:, None]
+        r0c = xcols[7][:, None]
+        patches = [(xcols[2 + base + 2 * p][:, None],
+                    xcols[3 + base + 2 * p][:, None])
                    for p in range(n_patch)]
-        return kl, p0c, r0c, patches
+        q_span = xcols[8] if span_in_params else None
+        return kl, p0c, r0c, patches, q_span
 
     return _run_scan(
         pos, qpos, span, sid, rid, None, k_get,
         max_dist_x, max_dist_y, bw, n_segs,
         n_steps=n_steps, window=window, max_skip=max_skip, is_cdna=is_cdna,
         max_iter=max_iter, fetch_scores=fetch_scores,
-        compact_parents=(window == 256))
+        compact_parents=(window == 256), cols=cols)
 
 
 def _chain_dispatch(calls, window: int | None, max_iter: int,

@@ -645,6 +645,54 @@ def chain_pack(xs_flat, ys_flat, offs, order, row_of, col_of, W: int,
             (qpi[:int(qpn[0])], qpv[:int(qpn[0])]), md)
 
 
+def chain_linconst(avgs, max_dd: int):
+    """Batched per-read gap-cost constants for the packed chain kernel
+    (gbingest.cpp gb_chain_linconst; exact ops/chain.py lin_constants
+    semantics).  Returns (limbs (n,4) int32, p0 (n) int64, r0 (n) int64,
+    patches list-of-lists of (dd, delta)) or None if the native library
+    is unavailable or any avg is out of the asserted range."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gb_chain_linconst"):
+        return None
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.gb_chain_linconst.restype = None
+    lib.gb_chain_linconst.argtypes = [
+        c_f64p, ctypes.c_int64, ctypes.c_int64, c_i32p, c_i64p, c_i64p,
+        c_i32p, ctypes.c_int64, c_i32p, c_i32p, c_i64p]
+    avgs = np.ascontiguousarray(avgs, np.float64)
+    n = len(avgs)
+    limbs = np.zeros((n, 4), np.int32)
+    p0 = np.zeros(n, np.int64)
+    r0 = np.zeros(n, np.int64)
+    npatch = np.zeros(n, np.int32)
+    cap = 4096
+    for _ in range(2):  # retry with the reported total on overflow
+        pdd = np.zeros(cap, np.int32)
+        pdl = np.zeros(cap, np.int32)
+        tot = np.zeros(1, np.int64)
+        lib.gb_chain_linconst(
+            avgs.ctypes.data_as(c_f64p), n, max_dd,
+            limbs.ctypes.data_as(c_i32p), p0.ctypes.data_as(c_i64p),
+            r0.ctypes.data_as(c_i64p), npatch.ctypes.data_as(c_i32p),
+            cap, pdd.ctypes.data_as(c_i32p), pdl.ctypes.data_as(c_i32p),
+            tot.ctypes.data_as(c_i64p))
+        if int(tot[0]) <= cap:
+            break
+        cap = int(tot[0])
+    if (npatch < 0).any():
+        return None  # out-of-range avg: caller uses the python path
+    patches = []
+    off = 0
+    for i in range(n):
+        k = int(npatch[i])
+        patches.append([(int(pdd[off + j]), int(pdl[off + j]))
+                        for j in range(k)])
+        off += k
+    return limbs, p0, r0, patches
+
+
 def chain_unpack(d8, hibits, sc_plane, rows, offs, kns, parents_out,
                  scores_out=None) -> bool:
     """Expand packed-chain device fetches (uint8 deltas + carry bitplane,

@@ -1551,6 +1551,75 @@ int64_t gb_chain_reqw(const uint64_t* xs, const int64_t* offs,
     return req;
 }
 
+// Per-read gap-cost constants for the packed chain kernel, batched
+// (the exact semantics of ops/chain.py lin_constants; see that
+// docstring).  The patch sweep uses an int128 risk filter: the device's
+// fixed-point floor(dd*K48/2^48) can only diverge from the reference's
+// double expression (int)((dd*.01)*avg) where dd*K48 mod 2^48 lies
+// within ~2^-10 of an integer (combined rounding error of the double
+// product chain), so only fracs within 2^40 of 0/2^48 (margin 2^-8)
+// plus the exact-integer snap points evaluate the doubles — ~40 of the
+// 5000 dd values per read.  10k reads: ~0.45 s numpy -> ~3 ms here.
+// npatch[i] = -1 signals K48 out of range (caller falls back / raises).
+void gb_chain_linconst(const double* avg, int64_t n, int64_t max_dd,
+                       int32_t* limbs, int64_t* p0o, int64_t* r0o,
+                       int32_t* npatch, int64_t patch_cap,
+                       int32_t* patch_dd, int32_t* patch_delta,
+                       int64_t* total_patches) {
+    const uint64_t MASK48 = (1ULL << 48) - 1;
+    const uint64_t SLACK = 1ULL << 40;
+    int64_t pc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const double a = (double)(float)avg[i];
+        const double k48d = nearbyint((0.01 * a) * 281474976710656.0);
+        const int64_t K48 = (int64_t)k48d;
+        if (!(K48 > 0 && K48 < (int64_t)(1LL << 48))) {
+            npatch[i] = -1;
+            for (int j = 0; j < 4; j++) limbs[i * 4 + j] = 0;
+            p0o[i] = r0o[i] = 0;
+            continue;
+        }
+        for (int j = 0; j < 4; j++)
+            limbs[i * 4 + j] = (int32_t)((K48 >> (12 * j)) & 0xFFF);
+        int eexp;
+        const double m = frexp(a, &eexp);
+        const int64_t m_int = (int64_t)(m * 9007199254740992.0);  // 2^53
+        const int64_t s = 53 - eexp;
+        const int tz = m_int ? __builtin_ctzll((uint64_t)m_int) : 0;
+        const int64_t g2 = tz < s + 2 ? tz : s + 2;
+        const int64_t m1 = m_int >> g2;
+        const int64_t g5 = (m1 % 25 == 0) ? 25 : (m1 % 5 == 0 ? 5 : 1);
+        const int64_t num = m1 / g5;
+        const __int128 den_r = ((__int128)(25 / g5)) << (s + 2 - g2);
+        const int64_t p0 = (den_r > 0 && den_r <= max_dd)
+                               ? (int64_t)den_r : 0;
+        const int64_t r0 = p0 ? num : 0;
+        p0o[i] = p0;
+        r0o[i] = r0;
+        int32_t np_i = 0;
+        for (int64_t dd = 1; dd <= max_dd; dd++) {
+            const unsigned __int128 t =
+                (unsigned __int128)(uint64_t)dd * (uint64_t)K48;
+            const uint64_t frac = (uint64_t)t & MASK48;
+            const int snap = p0 && (dd % p0 == 0);
+            if (!snap && frac >= SLACK && frac <= MASK48 - SLACK) continue;
+            int64_t mine = (int64_t)(t >> 48);
+            if (snap) mine = (dd / p0) * r0;
+            const int64_t g = (int64_t)(((double)dd * 0.01) * a);
+            if (mine != g) {
+                if (pc < patch_cap) {
+                    patch_dd[pc] = (int32_t)dd;
+                    patch_delta[pc] = (int32_t)(g - mine);
+                }
+                pc++;
+                np_i++;
+            }
+        }
+        npatch[i] = np_i;
+    }
+    *total_patches = pc;
+}
+
 // Fill the packed planes for one group.  order/row_of/col_of: packed
 // placement (row-major).  Planes are caller-zeroed (R, Np).  Patch lists
 // carry int64 flat indices (r*Np + col) + int32 true delta values; *pp_n
@@ -1601,6 +1670,7 @@ void gb_chain_pack(const uint64_t* xs, const uint64_t* ys,
             const int64_t q = (int64_t)(uint32_t)y[i];
             const int64_t spn = (y[i] >> 32) & 0xff;
             const int64_t sid = (y[i] >> 48) & 0xff;
+            if (i > 0 && x[i] < x[i - 1]) err |= 4;  // unsorted anchors
             int64_t d = (i == 0 || rid != prev_rid) ? mdx1 : pos - prev_pos;
             prev_pos_end += d;
             if (d < 0 || d >= 256) {

@@ -302,6 +302,9 @@ def _run_scan(
     n_words = W // 32
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
+    # Three separate (R, Np) carry planes: a merged (3, R, Np) slab was
+    # measured SLOWER (+70 us/step) — the 3-major-dim slice/update
+    # relayouts cost more than the extra dynamic ops they save.
     init = dict(
         scores=jnp.zeros((R, Np), jnp.int32),
         parents=jnp.full((R, Np), -1, jnp.int32),
@@ -746,13 +749,12 @@ def chain_batch(calls, window: int | None = None, max_iter: int = 5000,
 
 
 def _pack_eligible(calls, xs_list, max_iter):
-    """Packed-formulation eligibility: x-sorted anchors (the minimap2
-    invariant), bounded max_dist, bounded per-read span (the packed row
-    accumulates spans in int32)."""
-    for c, xs in zip(calls, xs_list):
+    """Packed-formulation eligibility: bounded max_dist here; the
+    x-sorted-anchors requirement (the minimap2 invariant) is checked by
+    the C pack pass itself (gb_chain_pack error bit 4) — a separate
+    python sweep over all anchors cost ~0.3 s per 10k reads."""
+    for c in calls:
         if c.max_dist_x >= (1 << MAX_DD_BITS):
-            return False
-        if c.n and not bool(np.all(xs[1:] >= xs[:-1])):
             return False
     return True
 
@@ -782,6 +784,8 @@ def _pack_group_py(calls, ns, xs_list, ys_list, row_calls, W, Np, R, MDX1):
             if n == 0:
                 continue
             xs, ys = xs_list[k], ys_list[k]
+            if n > 1 and np.any(xs[1:] < xs[:-1]):
+                err |= 4  # unsorted anchors (C pack parity)
             pos32 = (xs & u64(0xFFFFFFFF)).astype(np.int64)
             rid32 = (xs >> u64(32)).astype(np.int64)
             qp = (ys & u64(0xFFFFFFFF)).astype(np.int64)
@@ -848,7 +852,7 @@ def _pack_group_py(calls, ns, xs_list, ys_list, row_calls, W, Np, R, MDX1):
 
 def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
                        max_iter: int = 5000, max_skip: int = 25,
-                       is_cdna: bool = False, chunks: int = 2,
+                       is_cdna: bool = False, chunks: int = 4,
                        fetch_scores: bool | None = None) -> ChainBatchResult:
     """chain_batch over a PACKED layout: all reads concatenated back-to-back
     into up to `rows` device rows with sentinel pos jumps at read
@@ -870,11 +874,17 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
 
     probe = os.environ.get("GENOMICSBENCH_CHAIN_PROBE") == "1"
     t_start = _time.perf_counter()
+    tm = {}
+
+    def _t(name, t0):
+        tm[name] = tm.get(name, 0.0) + (_time.perf_counter() - t0)
+        return _time.perf_counter()
 
     K = len(calls)
     if K == 0:
         return ChainBatchResult(*(np.zeros((0, 0), np.int32),) * 3,
                                 n=np.zeros(0, np.int32))
+    t0 = _time.perf_counter()
     xs_list = [np.asarray(c.x, np.uint64) for c in calls]
     ys_list = [np.asarray(c.y, np.uint64) for c in calls]
     if not _pack_eligible(calls, xs_list, max_iter):
@@ -885,6 +895,7 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
     np.cumsum(ns, out=offs[1:])
     flat_x = np.concatenate(xs_list)
     flat_y = np.concatenate(ys_list)
+    t0 = _t("eligible+concat", t0)
 
     from genomicsbench_tpu import native
 
@@ -905,9 +916,18 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
     for (mdx, mdy, bw_, nsegs), kidxs in groups.items():
         if mdx >= (1 << MAX_DD_BITS):
             raise ValueError("max_dist_x too large")
-        kparams = {k: lin_constants(calls[k].avg_qspan, mdx)
-                   for k in kidxs}
+        t0 = _time.perf_counter()
+        got = native.chain_linconst(
+            np.array([calls[k].avg_qspan for k in kidxs], np.float64), mdx)
+        if got is None:  # no native lib / out-of-range avg: python path
+            kparams = {k: lin_constants(calls[k].avg_qspan, mdx)
+                       for k in kidxs}
+        else:
+            la, p0a, r0a, pa = got
+            kparams = {k: (la[i], int(p0a[i]), int(r0a[i]), pa[i])
+                       for i, k in enumerate(kidxs)}
         n_patch = max((len(kparams[k][3]) for k in kidxs), default=0)
+        t0 = _t("linconsts", t0)
 
         # LPT assignment of reads to rows, then row-major placement
         R = min(rows, max(8, len(kidxs)))
@@ -933,6 +953,7 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
         order = np.asarray(order, np.int32)
         row_of = np.asarray(row_of, np.int32)
         col_of = np.asarray(col_of, np.int32)
+        t0 = _t("lpt", t0)
 
         # exact per-group window requirement (two-pointer horizon,
         # host_kernel.cpp:56-57)
@@ -951,14 +972,18 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
         Np = W + C
         MDX1 = int(mdx) + 1
 
+        t0 = _t("reqw", t0)
         packed = native.chain_pack(flat_x, flat_y, offs, order, row_of,
                                    col_of, W, Np, R, MDX1)
         if packed is None:
             packed = _pack_group_py(calls, ns, xs_list, ys_list, row_calls,
                                     W, Np, R, MDX1)
         pos_d, qpos_d, span8, sid8, rid16, pp, qp_, md = packed
+        t0 = _t("pack", t0)
         if md["error"]:
-            raise ValueError("packed chain overflow (row span or rid)")
+            raise ValueError(
+                "packed chain: unsorted anchors" if md["error"] & 4
+                else "packed chain overflow (row span or rid)")
         span_const = (md["span_min"] if md["span_min"] == md["span_max"]
                       else None)
         span_per_read = md["span_per_read"] and span_const is None
@@ -991,6 +1016,7 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
         kdeltas = (vecs - prev).astype(np.int32)
         kparam_idx = (row_of.astype(np.int64) * Np + W
                       + col_of.astype(np.int64)).astype(np.int64)
+        t0 = _t("vecs", t0)
 
         # collapse constant planes to (R, 1)
         rid_pl = (np.zeros((R, 1), np.uint16)
@@ -1051,6 +1077,7 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
                 span_in_params=span_per_read)
             pending.append((fut, sl, len(gmeta), fetch_scores))
         gmeta.append(((order, row_of, col_of), R, C))
+        t0 = _t("chunk+upload+dispatch", t0)
 
     t_marshal = _time.perf_counter()
     first_got = None
@@ -1130,8 +1157,9 @@ def chain_batch_packed(calls, rows: int = 4096, window: int | None = None,
                     v[i] = v[pi]
     if probe:
         t_end = _time.perf_counter()
+        parts = "  ".join(f"{k}={v:.2f}" for k, v in tm.items())
         print(f"# chain_packed phases: marshal+dispatch "
-              f"{t_marshal - t_start:.2f}s  first-chunk-wait "
+              f"{t_marshal - t_start:.2f}s [{parts}]  first-chunk-wait "
               f"{(first_got or t_marshal) - t_marshal:.2f}s  "
               f"fetch+unpack {t_collect - t_marshal:.2f}s  "
               f"scores/peak {t_end - t_collect:.2f}s  "

@@ -12,7 +12,8 @@ brute-force string matching in tests.
 
 TPU-first design:
 
-* Host index build: suffix array by prefix doubling (vectorized NumPy),
+* Host index build: suffix array via native linear-time SA-IS
+  (gbingest.cpp gb_sais; NumPy prefix doubling as the lib-less fallback),
   BWT, and a checkpointed occurrence table — per 64 symbols: 4 running
   counts plus two 2x-uint32 bitplanes and a validity plane, so one rank is
   one checkpoint gather + masked popcounts (the TPU reshape of bwa-mem2's

@@ -203,24 +203,33 @@ def bench_chain(n_reads=10_000):
 
     n_anchors = sum(c.n for c in calls)
     res = chain_batch_bucketed(calls)  # warm
-    t0 = time.time()
-    res = chain_batch_bucketed(calls)
-    wall = time.time() - t0
     checksum = int(sum(int(np.asarray(r, np.int64).sum())
                        for r in res.scores))
 
-    ref_wall = ref_kernel = None
-    bin_path = f"{REFBUILD}/chain_gold"
-    if os.path.exists(bin_path):
+    # This VM's host speed swings >4x between runs, so single paired
+    # timings are meaningless: interleave ours/ref three times and take
+    # each side's best (the steady-state serving rate on a healthy host).
+    bin_path = require_gold("chain_gold") or f"{REFBUILD}/chain_gold"
+    ref_avail = os.path.exists(bin_path)
+    if ref_avail:
         path = f"{SCRATCH}/chain_{n_reads}.in"
         open(path, "w").write("\n".join(lines) + "\n")
+    walls, ref_walls, ref_kernels = [], [], []
+    for _ in range(3):
         t0 = time.time()
-        pr = subprocess.run([bin_path, path, "-q"], capture_output=True,
-                            text=True, check=True)
-        ref_wall = time.time() - t0
-        for ln in pr.stderr.splitlines():
-            if ln.startswith("KERNEL_S"):
-                ref_kernel = float(ln.split()[1])
+        res = chain_batch_bucketed(calls)
+        walls.append(time.time() - t0)
+        if ref_avail:
+            t0 = time.time()
+            pr = subprocess.run([bin_path, path, "-q"], capture_output=True,
+                                text=True, check=True)
+            ref_walls.append(time.time() - t0)
+            for ln in pr.stderr.splitlines():
+                if ln.startswith("KERNEL_S"):
+                    ref_kernels.append(float(ln.split()[1]))
+    wall = min(walls)
+    ref_wall = min(ref_walls) if ref_walls else None
+    ref_kernel = min(ref_kernels) if ref_kernels else None
     from genomicsbench_tpu.ops.chain import compute_window_starts
 
     req_w = max(int((np.arange(c.n)
@@ -228,11 +237,14 @@ def bench_chain(n_reads=10_000):
                 + 1 for c in calls)
     W_used = max(128, -(-req_w // 128) * 128)
     record(workload="chain", n_reads=n_reads, n_anchors=n_anchors,
-           wall_s=round(wall, 2), window=W_used,
+           wall_s=round(wall, 2), wall_s_med=round(sorted(walls)[1], 2),
+           window=W_used,
            mean_window_candidates=round(in_window / n_reads, 1),
            device_s=dev_s(lambda: chain_batch_bucketed(calls)),
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
+           ref_1t_wall_s_med=(round(sorted(ref_walls)[1], 2)
+                              if ref_walls else None),
            ref_1t_kernel_s=(round(ref_kernel, 2) if ref_kernel else None),
            ref_1t_anchors_per_s=(round(n_anchors / ref_wall, -3)
                                  if ref_wall else None),
@@ -259,7 +271,7 @@ def bench_kmer(total_mb=250):
     total_bases = float(n_reads * L)
 
     ref_wall = None
-    bin_path = f"{REFBUILD}/kmer_gold"
+    bin_path = require_gold("kmer_gold") or f"{REFBUILD}/kmer_gold"
     if os.path.exists(bin_path):
         sub = max(1, n_reads // 10)
         path = f"{SCRATCH}/kmer_{sub}.fa"
@@ -408,7 +420,7 @@ def bench_dbg(region_mb=2):
     # Interleaving ours and the reference in adjacent time slices on the
     # SAME windows keeps the drift common-mode (the pileup bench lesson).
     ref_wall = speedup = ours_sub = ref_sub = None
-    bin_path = f"{REFBUILD}/dbg_gold"
+    bin_path = require_gold("dbg_gold") or f"{REFBUILD}/dbg_gold"
     if os.path.exists(bin_path):
         b2c = np.array(list("ACGTN"))
         nsub = max(1, nw // 20)
@@ -530,7 +542,7 @@ def bench_pileup(region_mb=10):
     # build; its whole-file record cache is generous to the reference —
     # real htslib+BAI would pay per-chunk IO the cache skips)
     ref_wall = ref_kernel = None
-    bin_path = f"{REFBUILD}/pileup_gold_quiet"
+    bin_path = require_gold("pileup_gold_quiet") or f"{REFBUILD}/pileup_gold_quiet"
     if os.path.exists(bin_path):
         t0 = time.time()
         pr = subprocess.run([bin_path, path, f"chr1:1-{REG}", "1"],
@@ -716,8 +728,8 @@ def _phmm_gold_rate(reads, haps, pairs, sub=20_000):
     """Time phmm_gold (tools/ref_drivers/phmm_gold.cpp — the GKL
     computelikelihoodsboth semantics, anti-diagonal SIMD f32+f64 fallback)
     on the identical first `sub` pairs; returns (cells_per_s, fallbacks)."""
-    bin_path = f"{REFBUILD}/phmm_gold"
-    if not os.path.exists(bin_path):
+    bin_path = require_gold("phmm_gold")
+    if bin_path is None:
         return None, None
     B = "ACTG"
     qstr = lambda a: "".join(chr(int(v) + 33) for v in a)
@@ -794,7 +806,7 @@ def bench_poa(n_windows=5_000):
     # real spoa SIMD engine (empty submodule) would run faster than this
     # scalar gold; the ratio is a floor on honesty, not a ceiling.
     ref_rate = None
-    bin_path = f"{REFBUILD}/poa_gold"
+    bin_path = require_gold("poa_gold") or f"{REFBUILD}/poa_gold"
     if os.path.exists(bin_path):
         sub = min(50, n_windows)
         path = f"{SCRATCH}/poa_gold.fa"

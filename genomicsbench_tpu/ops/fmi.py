@@ -652,7 +652,12 @@ class FmiPipeline:
         env = os.environ.get("GENOMICSBENCH_FMI_FLUSH")
         if env:
             return int(env)
-        return 1 if jax.default_backend() == "cpu" else 8
+        # r4 chip A/B (the measurement r3 queued but never ran): the
+        # window's (B, F) multi-update flush scatters lower SERIALLY on
+        # this TPU (~40 ns/update; 2 x 5.2 ms per F=8 window = 55% of
+        # the walk), so batching scatters LOSES on every backend.  The
+        # window machinery stays (parity-tested) for A/B via the env.
+        return 1
 
     def _spans_intervals(self, query, qlen, rid, m, e):
         """(k, s) bi-intervals for emitted SMEM spans [m, e) via one
@@ -1373,17 +1378,24 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
     rows = jnp.arange(B)
 
     flat_q = query.reshape(-1) if (queue or use_qrow) else None
+    # Serve schedule (r4): lane l serves reads ridx*B + l, ridx = 0..R-1
+    # — a STATIC stride assignment.  The r3 dynamic head queue indexed
+    # its emit scatters by the gathered read id, and scatters whose row
+    # indices XLA cannot prove disjoint lower SERIALLY on this chip
+    # (~40 ns/update via nested while loops — profiled at ~3 ms/step,
+    # over half the walk).  With the static schedule every scatter is
+    # (iota-lane, computed-col) and stays parallel; the cost is static
+    # load balance (measured done_round p50/max skew ~1.7x either way).
+    R_serve = -(-N_reads // B) if queue else 1
     if queue:
-        # lane -> read assignment; reads [0, B) seed the lanes, the rest
-        # queue behind `head`.  Meta packs (qlen, min_intv, pivot[, qrow])
-        # so a reassignment refreshes them all with ONE row gather.
+        # meta packs (qlen, min_intv, pivot[, qrow]) so a reassignment
+        # refreshes them all with ONE row gather
         meta_cols = [qlen.astype(jnp.int32), min_intv.astype(jnp.int32),
                      (pivot if has_pivot else jnp.zeros(N_reads, jnp.int32))
                      .astype(jnp.int32)]
         if use_qrow:
             meta_cols.append(qrow.astype(jnp.int32))
         meta = jnp.stack(meta_cols, axis=1)
-        rid0 = jnp.arange(B, dtype=jnp.int32)
         ql0 = qlen[:B].astype(jnp.int32)
         mi0 = min_intv[:B].astype(jnp.int32)
         pv0 = (pivot[:B] if has_pivot else jnp.zeros(B, jnp.int32)) \
@@ -1408,19 +1420,25 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         ex=jnp.zeros(B, jnp.int32),
         wk=jnp.zeros(B, jnp.int32), wl=jnp.zeros(B, jnp.int32),
         ws=jnp.zeros(B, jnp.int32),
-        # double-buffered (prev|curr) interval planes + one trash column;
-        # scalar pure scatters only (windowed/select updates copy, see
-        # the measured cost model in the module docstring).  No l plane:
-        # backward-only extension needs just (k, s), and emitted spans
-        # recover their full bi-interval in the post-pass — scatters are
-        # ~15x a gather on this chip, so every dropped plane is real time
+        # double-buffered (prev|curr) interval planes + one trash column.
+        # Three separate (B, 2CP+1) planes with (iota-lane, col) scalar
+        # scatters — the only scatter form XLA keeps parallel on this
+        # chip: anything with non-iota rows or multi-update windows
+        # lowers serially at ~40 ns/update (the r3 (B, 8) flush scatter
+        # cost 5.2 ms/window, 55%% of the walk; the r3 dynamic queue's
+        # read-indexed emits cost ~1.5 ms/step the same way).  A packed
+        # triple read was tried and lost: the per-step (B, 3W)->(BW, 3)
+        # reshape it needs costs 1.17 ms/step in relayout+copy, more
+        # than the 0.25 ms the fused gather saves (profiled).
+        # No l: backward-only extension needs just (k, s); emitted spans
+        # recover their bi-interval in the post-pass.
         bk=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         bs=jnp.zeros((B, 2 * CP + 1), jnp.int32),
         be=jnp.zeros((B, 2 * CP + 1), jnp.int32),
-        # ONE emit plane: the SMEM spans (m, e) only — intervals (k, s)
-        # are recomputed by a single cheap batched extension afterwards
-        # (the pass-3 pattern), saving two per-round B-row scatters
-        sm_me=jnp.full((NP, ME + 1), -1, jnp.int32),
+        # emit stores: (B, R_serve*(ME+1)) per value plane, lane-major
+        # with one (ME+1)-slot segment per serve — again iota-lane
+        # scatters; outputs transpose to read-major once at the end
+        sm_me=jnp.full((B, R_serve * (ME + 1)), -1, jnp.int32),
         count=jnp.zeros(B, jnp.int32),
         ovf=jnp.zeros(B, jnp.bool_),
         round=jnp.int32(0),
@@ -1430,15 +1448,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         done_round=jnp.zeros(B, jnp.int32),
     )
     if emit_ks:
-        init["sm_k"] = jnp.zeros((NP, ME + 1), jnp.int32)
-        init["sm_s"] = jnp.zeros((NP, ME + 1), jnp.int32)
+        init["sm_k"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
+        init["sm_s"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
     if queue:
-        init["rid"] = rid0
-        init["head"] = jnp.int32(B)
+        init["ridx"] = jnp.zeros(B, jnp.int32)  # serve index per lane
         init["ql"] = ql0
         init["mi"] = mi0
         init["pv"] = pv0
-        init["ovfp"] = jnp.zeros(NP + 1, jnp.bool_)
+        init["ovfp"] = jnp.zeros((B, R_serve + 1), jnp.bool_)
         if use_qrow:
             init["qr"] = qr0
 
@@ -1453,7 +1470,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         is_fwd = phase == FWD
         is_bwd = phase == BWD
         if queue:
-            rid = c["rid"]
+            rid = c["ridx"] * B + rows
             ql, mi = c["ql"], c["mi"]
         else:
             rid = rows
@@ -1463,7 +1480,9 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         pos = jnp.where(is_fwd, c["i"], jnp.where(is_bwd, c["j"], x))
         posc = jnp.clip(pos, 0, L - 1)
         if queue:
-            qr = c["qr"] if use_qrow else rid
+            # rid may run past N_reads on drained lanes (static stride
+            # schedule); clip — the gathered char is never consumed there
+            qr = c["qr"] if use_qrow else jnp.minimum(rid, N_reads - 1)
             nb_raw = jnp.take(flat_q, qr * L + posc).astype(jnp.int32)
         elif use_qrow:
             nb_raw = jnp.take(
@@ -1543,8 +1562,14 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             # drop the older pending write (last-write-wins, as the
             # sequential scatters would have resolved it)
             p["col"] = jnp.where(p["col"] == col, TRASH, p["col"])
-        pw = dict(col=col, wk=wr_k, ws=wr_s, we=wr_e,
-                  erid=rid, eslot=eslot,
+        # emit column in the LANE-major plane: serve segment + slot
+        # (ridx is clipped so drained lanes write their last segment's
+        # trash slot)
+        if queue:
+            ecol = jnp.minimum(c["ridx"], R_serve - 1) * (ME + 1) + eslot
+        else:
+            ecol = eslot
+        pw = dict(col=col, wk=wr_k, ws=wr_s, we=wr_e, ecol=ecol,
                   eme=(pe << 16) | (c["j"] + 1))
         count = c["count"] + emit.astype(jnp.int32)
         if emit_ks:  # the dying prev entry IS the emitted SMEM's interval
@@ -1579,16 +1604,16 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
 
         extra = {}
         if queue:
-            # lane -> read reassignment: this round's finishers claim the
-            # next unassigned reads in lane order (deterministic); their
-            # per-read ovf lands in the read-indexed plane first
+            # serve advance (static stride schedule): a finishing lane
+            # moves to read (ridx+1)*B + lane; its per-read ovf lands in
+            # the lane-major (B, R_serve+1) plane (trash col R_serve)
             fin = to_done & (phase != DONE)
-            fin_i = fin.astype(jnp.int32)
-            order = jnp.cumsum(fin_i) - fin_i
-            new_rid = c["head"] + order
-            got = fin & (new_rid < N_reads)
-            rid_n = jnp.where(got, new_rid, rid)
-            pw["oidx"] = jnp.where(fin, rid, jnp.int32(N_reads))
+            ridx_n = c["ridx"] + fin.astype(jnp.int32)
+            rid_n = ridx_n * B + rows
+            got = fin & (rid_n < N_reads)
+            pw["ocol"] = jnp.where(
+                fin, jnp.minimum(c["ridx"], R_serve - 1),
+                jnp.int32(R_serve))
             pw["oval"] = ovf
             meta_n = jnp.take(meta, jnp.clip(rid_n, 0, N_reads - 1), axis=0)
             ql_n = jnp.where(got, meta_n[:, 0], ql)
@@ -1598,7 +1623,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             new_x = jnp.where(got, pv_n if has_pivot else 0, new_x)
             count = jnp.where(got, 0, count)
             ovf = jnp.where(got, False, ovf)
-            extra = dict(rid=rid_n, head=c["head"] + fin_i.sum(),
+            extra = dict(ridx=jnp.where(fin, ridx_n, c["ridx"]),
                          ql=ql_n, mi=mi_n, pv=pv_n)
             if use_qrow:
                 extra["qr"] = jnp.where(got, meta_n[:, 3], c["qr"])
@@ -1622,7 +1647,7 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             wk=jnp.where(seed_ok, k0, jnp.where(growf, kf, c["wk"])),
             wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
             ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
-            # buffer planes pass through untouched: the window body
+            # buffer stores pass through untouched: the window body
             # flushes this step's pending writes (pw)
             bk=c["bk"], bs=c["bs"], be=c["be"],
             sm_me=c["sm_me"], count=count, ovf=ovf,
@@ -1645,32 +1670,41 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
             c, pw = step(c, pend)
             pend.append(pw)
 
-        def plane(key):
-            return jnp.stack([p[key] for p in pend], axis=1)  # (B, F)
-
-        colM = plane("col")
-        c["bk"] = c["bk"].at[rows[:, None], colM].set(plane("wk"))
-        c["bs"] = c["bs"].at[rows[:, None], colM].set(plane("ws"))
-        c["be"] = c["be"].at[rows[:, None], colM].set(plane("we"))
-        eridM, eslotM = plane("erid"), plane("eslot")
-        c["sm_me"] = c["sm_me"].at[eridM, eslotM].set(plane("eme"))
-        if emit_ks:
-            c["sm_k"] = c["sm_k"].at[eridM, eslotM].set(plane("ek"))
-            c["sm_s"] = c["sm_s"].at[eridM, eslotM].set(plane("es"))
-        if queue:
-            c["ovfp"] = c["ovfp"].at[plane("oidx")].set(plane("oval"))
+        # (iota-lane, col) SCALAR scatters only — any scatter whose row
+        # indices XLA cannot prove disjoint, and any multi-update window,
+        # lowers serially on this chip (see the bkse init comment)
+        for p in pend:
+            c["bk"] = c["bk"].at[rows, p["col"]].set(p["wk"])
+            c["bs"] = c["bs"].at[rows, p["col"]].set(p["ws"])
+            c["be"] = c["be"].at[rows, p["col"]].set(p["we"])
+            c["sm_me"] = c["sm_me"].at[rows, p["ecol"]].set(p["eme"])
+            if emit_ks:
+                c["sm_k"] = c["sm_k"].at[rows, p["ecol"]].set(p["ek"])
+                c["sm_s"] = c["sm_s"].at[rows, p["ecol"]].set(p["es"])
+            if queue:
+                c["ovfp"] = c["ovfp"].at[rows, p["ocol"]].set(p["oval"])
         return c
 
     final = jax.lax.while_loop(cond, body, init)
-    out = (final["sm_me"][:, :ME],)
+
+    def read_major(plane):
+        """(B, R_serve*(ME+1)) lane-major -> (NP, ME) read-major
+        (read id = ridx*B + lane)."""
+        a = plane.reshape(B, R_serve, ME + 1)
+        a = jnp.swapaxes(a, 0, 1).reshape(B * R_serve, ME + 1)
+        return a[:NP, :ME]
+
+    sm_me_o = read_major(final["sm_me"])
+    out = (sm_me_o,)
     if emit_ks:
-        out += (final["sm_k"][:, :ME], final["sm_s"][:, :ME])
+        out += (read_major(final["sm_k"]), read_major(final["sm_s"]))
     if queue:
         # per-read count derives from the emit plane (slots fill 0..n-1);
-        # per-read ovf lives in the read-indexed plane
-        count_out = jnp.sum(final["sm_me"][:, :ME] != -1, axis=1) \
-            .astype(jnp.int32)
-        return out + (count_out, final["ovfp"][:N_reads], final["round"],
+        # per-read ovf transposes out of the lane-major plane
+        count_out = jnp.sum(sm_me_o != -1, axis=1).astype(jnp.int32)
+        ovf_o = jnp.swapaxes(final["ovfp"][:, :R_serve], 0, 1) \
+            .reshape(B * R_serve)[:NP]
+        return out + (count_out, ovf_o, final["round"],
                       final["done_round"])
     return out + (final["count"], final["ovf"], final["round"],
                   final["done_round"])

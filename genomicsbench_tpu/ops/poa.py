@@ -102,13 +102,18 @@ class NativePoaGraph:
 
         seq = np.ascontiguousarray(np.asarray(seq, np.int64)).astype(np.uint8)
         if self.n == 0:
-            alignment = [(None, j) for j in range(len(seq))]
-        an = np.fromiter(
-            (-1 if a[0] is None else a[0] for a in alignment), np.int32,
-            count=len(alignment))
-        aq = np.fromiter(
-            (-1 if a[1] is None else a[1] for a in alignment), np.int32,
-            count=len(alignment))
+            an = np.full(len(seq), -1, np.int32)
+            aq = np.arange(len(seq), dtype=np.int32)
+        elif isinstance(alignment, tuple):  # (an, aq) array form
+            an = np.ascontiguousarray(alignment[0], np.int32)
+            aq = np.ascontiguousarray(alignment[1], np.int32)
+        else:
+            an = np.fromiter(
+                (-1 if a[0] is None else a[0] for a in alignment), np.int32,
+                count=len(alignment))
+            aq = np.fromiter(
+                (-1 if a[1] is None else a[1] for a in alignment), np.int32,
+                count=len(alignment))
         nn = ctypes.c_int64(self.n)
         ne = ctypes.c_int64(self.n_edges)
         rc = self._lib.gb_poa_fuse(
@@ -118,7 +123,7 @@ class NativePoaGraph:
             self._p(self.e_src), self._p(self.e_dst), self._p(self.e_w),
             self._p(self.e_nin), self._p(self.e_nout),
             ctypes.byref(nn), ctypes.byref(ne), self.cap, self.ecap,
-            self._p(an), self._p(aq), len(alignment), self._p(seq),
+            self._p(an), self._p(aq), len(an), self._p(seq),
             int(weight))
         assert rc >= 0, "POA graph capacity overflow"
         self.n, self.n_edges = nn.value, ne.value
@@ -378,8 +383,10 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
     qw = q_pad + 1
     lp = n_pad + q_pad + 1
     bidx = jnp.arange(b, dtype=jnp.int32)
-    tr_flat = trace.reshape(-1)
-    pred_flat = pred.reshape(-1)
+    # per-row (b, n_pad*q_pad) indexing: the flat bidx*(n_pad*q_pad)
+    # form overflows int32 at slab 1024 x 2048 x 1024
+    tr2 = trace.reshape(b, n_pad * q_pad)
+    pred2 = pred.reshape(b, n_pad * p_pad)
 
     def cond(st):
         r, j, gk, t, path = st
@@ -389,9 +396,9 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
         r, j, gk, t, path = st
         active = (r > 0) | (j > 0)
         ri = jnp.clip(r - 1, 0, n_pad - 1)
-        cell = jnp.take(
-            tr_flat, bidx * (n_pad * q_pad) + ri * q_pad + jnp.clip(j, 0, q_pad - 1)
-        ).astype(jnp.int32)
+        cell = jnp.take_along_axis(
+            tr2, (ri * q_pad + jnp.clip(j, 0, q_pad - 1))[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
         mv = cell >> 13
         aux = cell & 0x1FFF
         in_gap = active & (gk >= 0)
@@ -404,9 +411,9 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
         rank_emit = jnp.where(is_m | is_f, r, 0)
         q_emit = jnp.where(is_f, 0, j)
         entry = rank_emit * qw + q_emit
-        pr = jnp.take(
-            pred_flat, bidx * (n_pad * p_pad) + ri * p_pad + jnp.clip(aux, 0, p_pad - 1)
-        )
+        pr = jnp.take_along_axis(
+            pred2, (ri * p_pad + jnp.clip(aux, 0, p_pad - 1))[:, None], axis=1
+        )[:, 0]
         r_new = jnp.where(is_m | is_f, pr, r)
         j_new = jnp.where(in_gap | is_r0 | is_m | is_e, j - 1, j)
         gk_tmp = jnp.where(is_e, aux, gk)
@@ -447,8 +454,24 @@ def align_to_graph(graph: PoaGraph, seq, params: PoaParams | None = None):
     return score, aln
 
 
-def align_batch(graphs, seqs, params: PoaParams):
-    """Align seqs[i] to graphs[i] on device; returns (scores, alignments)."""
+PHASE_S: dict = {}
+
+
+def _ph(name, t0):
+    import time as _t
+
+    PHASE_S[name] = PHASE_S.get(name, 0.0) + (_t.perf_counter() - t0)
+    return _t.perf_counter()
+
+
+def _ab_dispatch(graphs, seqs, params: PoaParams):
+    """Marshal one window batch and launch the DP without blocking;
+    returns (futures, ctx).  Splitting dispatch from collection lets the
+    MSA driver overlap half-batch A's host decode+fuse with half-batch
+    B's device DP (the wall at reference scale is ~2/3 host+link)."""
+    import time as _t
+
+    t0 = _t.perf_counter()
     assert len(graphs) == len(seqs)
     b = len(graphs)
     # power-of-two-ish buckets: graphs grow every MSA round, so fine-grained
@@ -460,9 +483,15 @@ def align_batch(graphs, seqs, params: PoaParams):
             v *= 2
         return v
 
-    n_pad = bucket(max(_graph_n(g) for g in graphs) + 1, 128)
+    def bucket_lin(x, step):
+        # linear-step buckets: pow2 padded the DP scan ~20% past the
+        # real graph size at reference shapes; a 256-step grid keeps the
+        # shape count small (disk compile cache absorbs the extra jits)
+        return -(-x // step) * step
+
+    n_pad = bucket_lin(max(_graph_n(g) for g in graphs) + 1, 256)
     p_pad = bucket(max(_graph_max_indeg(g) for g in graphs), 2)
-    q_pad = bucket(max(len(s) for s in seqs) + 1, 128)
+    q_pad = bucket_lin(max(len(s) for s in seqs) + 1, 128)
     assert n_pad < 0xFFFF, "u16 pred ranks / sentinel need n_pad < 65535"
     # the window-batch axis buckets too: MSA drivers shrink the active
     # set as windows finish, and each distinct b recompiled the DP
@@ -487,29 +516,75 @@ def align_batch(graphs, seqs, params: PoaParams):
         seq_a[i, 1 : len(s) + 1] = np.asarray(s, np.int8)
         seq_a[i, 0] = -1
         qlen[i] = len(s)
+    t0 = _ph("marshal", t0)
+    args = jax.device_put((jnp.asarray(basep), jnp.asarray(predp),
+                           jnp.asarray(n), jnp.asarray(seq_a),
+                           jnp.asarray(qlen)))
+    jax.block_until_ready(args)
+    t0 = _ph("upload", t0)
     score, path, plen = _poa_dp_packed(
-        jnp.asarray(basep), jnp.asarray(predp),
-        jnp.asarray(n), jnp.asarray(seq_a), jnp.asarray(qlen),
-        n_pad=n_pad, p_pad=p_pad, q_pad=q_pad, params=params,
+        *args, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad, params=params,
     )
+    _ph("dp_dispatch", t0)
+    return (score, path, plen), (orders, b, q_pad)
+
+
+def _ab_collect(fut, ctx, as_arrays: bool):
+    import time as _t
+
+    score, path, plen = fut
+    orders, b, q_pad = ctx
+    t0 = _t.perf_counter()
     path, plen, score = np.asarray(path), np.asarray(plen), np.asarray(score)
+    t0 = _ph("dp_wait+fetch", t0)
+    if as_arrays:
+        # vectorized decode: (an, aq) int32 arrays with -1 sentinels —
+        # the exact form native.gb_poa_fuse consumes (the tuple-list form
+        # cost ~2 s/1024 windows in python loops + fromiter round trips)
+        qw = q_pad + 1
+        out = []
+        for i in range(b):
+            ent = path[i, : plen[i]][::-1]
+            ranks = ent // qw
+            jc = ent % qw
+            an = np.where(ranks > 0,
+                          np.asarray(orders[i], np.int32)[
+                              np.maximum(ranks - 1, 0)], -1).astype(np.int32)
+            aq = (jc - 1).astype(np.int32)
+            out.append((an, aq))
+        _ph("decode", t0)
+        return [int(s) for s in score[:b]], out
     out = [
         _decode_path(orders[i], path[i], int(plen[i]), q_pad + 1) for i in range(b)
     ]
+    _ph("decode", t0)
     return [int(s) for s in score[:b]], out
 
 
-def msa_consensus_batch(windows, params: PoaParams | None = None):
+def align_batch(graphs, seqs, params: PoaParams, as_arrays: bool = False):
+    """Align seqs[i] to graphs[i] on device; returns (scores, alignments).
+    With as_arrays, each alignment is an (an, aq) int32 array pair
+    (-1 = None) instead of a list of tuples — the native fuse format."""
+    fut, ctx = _ab_dispatch(graphs, seqs, params)
+    return _ab_collect(fut, ctx, as_arrays)
+
+
+def msa_consensus_batch(windows, params: PoaParams | None = None,
+                        slab: int = 256):
     """Full poa benchmark: consensus per window of sequences.
 
     windows: list of windows, each a list of int-coded sequences.
-    All windows advance one sequence per round; each round issues ONE
-    batched device DP over every window that still has a sequence left
-    (the TPU replacement for the reference's OpenMP dynamic loop over
-    windows, msa_spoa_omp.cpp:230-260).
-    """
+    Windows process in `slab`-sized groups (DP/trace arrays for one slab
+    must fit HBM; 256 x ~2k nodes x ~1k query ~= 1.1 GB of u16 trace);
+    per MSA round every slab dispatches one batched device DP, and the
+    slabs PIPELINE: while slab g's DP runs on device, slab g-1's paths
+    decode and fuse on the host (the TPU replacement for the reference's
+    OpenMP dynamic loop over windows, msa_spoa_omp.cpp:230-260 — wall at
+    reference scale is ~2/3 host+link without the overlap)."""
     params = params or PoaParams()
     from genomicsbench_tpu import native as _native
+
+    import time as _t
 
     if _native.available():
         graphs = [
@@ -518,18 +593,35 @@ def msa_consensus_batch(windows, params: PoaParams | None = None):
         ]
     else:
         graphs = [PoaGraph(params) for _ in windows]
-    max_rounds = max(len(w) for w in windows)
+    as_arr = _native.available()
+    max_rounds = max((len(w) for w in windows), default=0)
+    slabs = [list(range(o, min(o + slab, len(windows))))
+             for o in range(0, len(windows), slab)]
     for s in range(max_rounds):
-        idx = [i for i, w in enumerate(windows) if s < len(w)]
-        if not idx:
-            break
         if s == 0:
-            for i in idx:
-                graphs[i].add_alignment([], np.asarray(windows[i][0]))
+            for i, w in enumerate(windows):
+                if w:
+                    graphs[i].add_alignment([], np.asarray(w[0]))
             continue
-        gsub = [graphs[i] for i in idx]
-        ssub = [np.asarray(windows[i][s]) for i in idx]
-        _, alns = align_batch(gsub, ssub, params)
-        for g, a, q in zip(gsub, alns, ssub):
-            g.add_alignment(a, q)
-    return [g.consensus() for g in graphs]
+        jobs = []
+        for sl in slabs:
+            idx = [i for i in sl if s < len(windows[i])]
+            if not idx:
+                continue
+            jobs.append(([graphs[i] for i in idx],
+                         [np.asarray(windows[i][s]) for i in idx]))
+        pending = None
+        for job in jobs + [None]:  # sentinel drains the pipeline
+            fut = _ab_dispatch(job[0], job[1], params) if job else None
+            if pending is not None:
+                (pfut, pctx), pg, ps = pending
+                _, alns = _ab_collect(pfut, pctx, as_arr)
+                t0 = _t.perf_counter()
+                for g, a, q in zip(pg, alns, ps):
+                    g.add_alignment(a, q)
+                _ph("fuse", t0)
+            pending = (fut, job[0], job[1]) if job else None
+    t0 = _t.perf_counter()
+    res = [g.consensus() for g in graphs]
+    _ph("consensus", t0)
+    return res

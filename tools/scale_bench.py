@@ -473,7 +473,10 @@ def bench_dbg(region_mb=2):
     native.dbg_build = lambda *a, **k: None
     native.dbg_build_soa = lambda *a, **k: None
     try:
-        build_window_graphs(sub_windows[:1], as_arrays=True)  # warm compile
+        # warm at the REAL shapes: the r3 row's 1.0 windows/s was ~60 s
+        # of one-time lax.sort compile for the two padded sort lengths
+        # (disk-cached thereafter), not steady-state device time
+        build_window_graphs(sub_windows, as_arrays=True)
         t0 = time.time()
         dres = build_window_graphs(sub_windows, as_arrays=True)
         dev_path_s = time.time() - t0
@@ -933,8 +936,12 @@ def bench_abea(n_reads=10_000, batch=512):
     rng = np.random.default_rng(29)
     band_cells = 0
     total = 0
-    wall = 0.0
     ref_wall = None
+    # pregenerate every batch, then time TWO full passes and keep the
+    # best: the r2->r3 "regression" (18.1 -> 21.5 -> 30 s on identical
+    # code; per-batch 0.76-0.86 s healthy vs 1.5+ s degraded) was this
+    # VM's host/tunnel weather, and single-pass sums bake it in
+    all_batches = []
     while total < n_reads:
         b = min(batch, n_reads - total)
         seqs, evs_l, scalings = [], [], []
@@ -956,15 +963,23 @@ def bench_abea(n_reads=10_000, batch=512):
             evs_l.append(np.array(evs, np.float32))
             scalings.append([scale, shift])
             band_cells += (slen - 5 + len(evs) + 2) * 100
-        scal = np.array(scalings, np.float32)
-        if total == 0:
-            align_batch(seqs, evs_l, mean, stdv, scal)  # warm
+        all_batches.append((seqs, evs_l, np.array(scalings, np.float32)))
+        total += b
+    align_batch(*[all_batches[0][i] for i in (0, 1)], mean, stdv,
+                all_batches[0][2])  # warm
+    walls = []
+    for _ in range(2):
         t0 = time.time()
-        align_batch(seqs, evs_l, mean, stdv, scal)
-        wall += time.time() - t0
-        if total == 0:
-            require_gold("abea_gold_f32")  # r3 lost this row's ratio silently
-        if total == 0 and os.path.exists(f"{REFBUILD}/abea_gold_f32"):
+        for seqs, evs_l, scal in all_batches:
+            align_batch(seqs, evs_l, mean, stdv, scal)
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    if True:
+        seqs, evs_l, scalings = (all_batches[0][0], all_batches[0][1],
+                                 all_batches[0][2].tolist())
+        b = len(seqs)
+        require_gold("abea_gold_f32")  # r3 lost this row's ratio silently
+        if os.path.exists(f"{REFBUILD}/abea_gold_f32"):
             # time the reference CPU align() on this batch's inputs
             path = f"{SCRATCH}/abea_ref.in"
             with open(path, "w") as f:
@@ -987,9 +1002,9 @@ def bench_abea(n_reads=10_000, batch=512):
                     ref_batch_wall = float(ln.split()[1])
             if ref_batch_wall:
                 ref_wall = ref_batch_wall * (n_reads / b)
-        total += b
+    scal = all_batches[0][2]
     record(workload="abea", n_reads=n_reads, band_cells=band_cells,
-           wall_s=round(wall, 2),
+           wall_s=round(wall, 2), wall_s_2nd=round(max(walls), 2),
            band_cells_per_s=round(band_cells / wall, -6),
            device_s_batch=dev_s(
                lambda: align_batch(seqs, evs_l, mean, stdv, scal)),
@@ -1065,12 +1080,21 @@ def bench_nn_variant(n_tensors=1_000_000):
 
     slab64 = vc._narrow_transport(count_tensors(65_536))
     dev_in = jax.device_put(jnp.asarray(slab64))
-    out = vc._predict_packed(params, dev_in, cfg)  # warm
-    jax.block_until_ready(out)
+
+    @jax.jit
+    def _packed_cks(params, x):
+        # block_until_ready does NOT wait for execution on this
+        # machine's tunneled chip (BASELINE.md caveat), so the timing
+        # must route through device_get of a value that depends on every
+        # head — a scalar, so the fetch adds link latency, not bandwidth
+        return jnp.sum(vc._predict_packed(params, x, cfg)
+                       .astype(jnp.float32))
+
+    cks = jax.device_get(_packed_cks(params, dev_in))  # warm
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        jax.block_until_ready(vc._predict_packed(params, dev_in, cfg))
+        jax.device_get(_packed_cks(params, dev_in))
     resident_rate = 65_536 * reps / (time.time() - t0)
 
     record(workload="nn-variant", n_tensors=n_tensors, wall_s=round(wall, 2),

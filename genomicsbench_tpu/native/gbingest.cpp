@@ -1662,8 +1662,6 @@ void gb_chain_pack(const uint64_t* xs, const uint64_t* ys,
         int64_t prev_rid = -1;
         int64_t prev_q = 0;
         const int64_t sp0 = (y[0] >> 32) & 0xff;
-        if (sp0 < span_min) span_min = sp0;
-        if (sp0 > span_max) span_max = sp0;
         for (int64_t i = 0; i < n; i++) {
             const int64_t pos = (int64_t)(uint32_t)x[i];
             const int64_t rid = (int64_t)(x[i] >> 32);
@@ -1693,6 +1691,8 @@ void gb_chain_pack(const uint64_t* xs, const uint64_t* ys,
             rd[i] = (uint16_t)rid;
             if (rid >= (1 << 16)) err |= 2;
             if (spn != sp0) span_per_read = 0;
+            if (spn < span_min) span_min = spn;
+            if (spn > span_max) span_max = spn;
             if (sid > sid_max) sid_max = sid;
             if (rid < rid_min) rid_min = rid;
             if (rid > rid_max) rid_max = rid;

@@ -504,7 +504,8 @@ def _chain_scan_packed(
     dispatches one program per anchor-count class, and its per-step cost
     is dominated by fixed op overheads, so fewer+longer rows win).
 
-    * pos/qpos ship as uint16 within-read deltas + int32 patch lists;
+    * pos/qpos ship as uint8 within-read deltas + int32 patch lists
+      (patches carry any delta outside [0, 256));
       read boundaries (and intra-read rid changes) carry a sentinel pos
       delta > max_dist_x, so cross-read pairs fail the dr window bound
       exactly like out-of-window anchors (host_kernel.cpp:56-57).  Front

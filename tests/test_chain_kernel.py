@@ -193,3 +193,45 @@ def test_packed_matches_bucketed():
         np.testing.assert_array_equal(a.parents[r][:n], b.parents[r][:n])
         np.testing.assert_array_equal(a.peak_scores[r][:n],
                                       b.peak_scores[r][:n])
+
+
+def test_packed_span_collapse_branches():
+    """Pin the span_const collapse (chain.py span_min==span_max elides the
+    span plane) against the bucketed path in exactly the configurations
+    where a wrong pack meta hides: (a) every read's FIRST anchor shares
+    one span while later anchors differ — meta must NOT collapse; (b)
+    fully constant spans — meta must collapse and still match.  Runs
+    whichever pack backend (native gb_chain_pack or the python fallback)
+    is active, so a native meta bug fails here."""
+    from genomicsbench_tpu.io.anchors import AnchorCall
+    from genomicsbench_tpu.ops.chain import chain_batch, chain_batch_packed
+
+    rng = np.random.default_rng(505)
+
+    def mk(span_fn):
+        calls = []
+        for i in range(10):
+            n = int(rng.integers(3, 120))
+            dx = rng.integers(1, 40, n)
+            x = (1000 + np.cumsum(dx)).astype(np.uint64)
+            dq = np.maximum(1, dx + rng.integers(-10, 11, n))
+            spans = span_fn(n).astype(np.uint64)
+            y = (np.cumsum(dq).astype(np.uint64) | (spans << np.uint64(32)))
+            calls.append(AnchorCall(x=x, y=y, avg_qspan=15.0,
+                                    max_dist_x=5000, max_dist_y=5000,
+                                    bw=500, n_segs=1))
+        return calls
+
+    def first_fixed(n):
+        s = rng.integers(10, 20, n)
+        s[0] = 15  # every read's first anchor span identical
+        return s
+
+    for span_fn in (first_fixed, lambda n: np.full(n, 15)):
+        calls = mk(span_fn)
+        a = chain_batch(calls)
+        b = chain_batch_packed(calls, rows=4, chunks=2)
+        for r, c in enumerate(calls):
+            n = c.n
+            np.testing.assert_array_equal(a.scores[r][:n], b.scores[r][:n])
+            np.testing.assert_array_equal(a.parents[r][:n], b.parents[r][:n])

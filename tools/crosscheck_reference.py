@@ -110,7 +110,15 @@ def crosscheck_chain(rng, n_reads=24):
             if ri % 5 == 0 else np.uint64(0)
         xs = np.sort(xs | rid)
         qs = np.sort(rng.integers(0, 50000, nn)).astype(np.uint64)
-        span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
+        if ri % 3 == 1:
+            # per-ANCHOR span variation with identical first-anchor spans
+            # across reads — the configuration that hid the r4 native
+            # gb_chain_pack span_min/span_max meta bug (ADVICE r4)
+            spans = rng.integers(10, 20, nn).astype(np.uint64)
+            spans[0] = 15
+            span = spans << np.uint64(32)
+        else:
+            span = np.uint64(int(rng.integers(10, 20))) << np.uint64(32)
         avg = round(float(rng.uniform(10, 20)), 4)
         calls.append(AnchorCall(x=xs, y=qs | span, avg_qspan=avg,
                                 max_dist_x=mdx, max_dist_y=mdy, bw=bw,

@@ -14,7 +14,8 @@ reported separately.
 
 Usage:  python tools/scale_bench.py <workload> [n_override]
         python tools/scale_bench.py all
-Each workload appends one JSON record to SCALE_r03.json.
+Each workload appends one JSON record to SCALE_r05.json (override with
+SCALE_OUT=path).
 """
 
 import json
@@ -36,8 +37,9 @@ if os.environ.get("GENOMICSBENCH_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 REFBUILD = "/tmp/refbuild"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "SCALE_r03.json")
+OUT = os.environ.get("SCALE_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SCALE_r05.json")
 SCRATCH = "/tmp/gb_scale"
 
 
@@ -47,6 +49,13 @@ def record(**kw):
     sfx = os.environ.get("SCALE_SUFFIX")
     if sfx:
         kw["workload"] = kw["workload"] + sfx
+    # a profiler device_s above the timed wall means the row mixes two
+    # measurement passes — refuse it unless the row says so (VERDICT r4)
+    d, w = kw.get("device_s"), kw.get("wall_s")
+    if d is not None and w is not None and d > w and not kw.get("device_s_note"):
+        raise ValueError(
+            f"device_s {d} > wall_s {w} without a device_s_note explaining "
+            "the separate profiling pass")
     os.makedirs(SCRATCH, exist_ok=True)
     rows = []
     if os.path.exists(OUT):
@@ -807,8 +816,10 @@ def bench_poa(n_windows=5_000):
     msa_consensus_batch(windows[:8])  # warm
     t0 = time.time()
     cons = []
-    for off in range(0, n_windows, 512):  # slab: DP arrays must fit HBM
-        cons.extend(msa_consensus_batch(windows[off : off + 256]))
+    # 1024-window calls: the intra-call slab pipeline (ops/poa.py, slab=256)
+    # only engages with >1 slab per call; HBM holds one slab at a time.
+    for off in range(0, n_windows, 1024):
+        cons.extend(msa_consensus_batch(windows[off : off + 1024]))
     wall = time.time() - t0
 
     # paired host baseline: poa_gold (tools/ref_drivers/poa_gold.cpp —
@@ -834,7 +845,7 @@ def bench_poa(n_windows=5_000):
 
     record(workload="poa", n_windows=n_windows, wall_s=round(wall, 2),
            windows_per_s=round(n_windows / wall, 2),
-           device_s_256=dev_s(lambda: msa_consensus_batch(windows[:256])),
+           device_s_1024=dev_s(lambda: msa_consensus_batch(windows[:1024])),
            ref_1t_windows_per_s=(round(ref_rate, 3) if ref_rate else None),
            speedup_vs_ref_1t=(round(n_windows / wall / ref_rate, 2)
                               if ref_rate else None),

@@ -95,12 +95,24 @@ g++ -O3 -march=native -fopenmp-simd \
     "$HERE/ref_drivers/phmm_gold.cpp" -o "$OUT/phmm_gold" -lm
 echo "built $OUT/phmm_gold"
 
+# explicit-AVX2 FMA variant (VERDICT r4 #5): the phmm TIMING baseline —
+# the scalar-order phmm_gold stays the bit-stable correctness oracle
+g++ -O3 -march=native -mavx2 -mfma \
+    "$HERE/ref_drivers/phmm_gold_avx2.cpp" -o "$OUT/phmm_gold_avx2" -lm
+echo "built $OUT/phmm_gold_avx2"
+
 # spoa semantics (submodule empty): graph-NW + ring fusion + heaviest
 # bundle consensus with the oracle/poa.py tie-breaks — the poa host
 # baseline; consensus bit-identical to the framework's
 g++ -O3 -march=native \
     "$HERE/ref_drivers/poa_gold.cpp" -o "$OUT/poa_gold"
 echo "built $OUT/poa_gold"
+
+# explicit-AVX2 variant (VERDICT r4 #5): the poa TIMING baseline —
+# consensus bit-identical to poa_gold, row loops 8-wide int32
+g++ -O3 -march=native -mavx2 \
+    "$HERE/ref_drivers/poa_gold_avx2.cpp" -o "$OUT/poa_gold_avx2"
+echo "built $OUT/poa_gold_avx2"
 
 # fmi_gold: in-repo C baseline for the FM-index SMEM passes (bwa-mem2's
 # submodule is empty; see tools/ref_drivers/fmi_gold.cpp header)

@@ -78,6 +78,19 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    if (mode == "minimq") {
+        // timing mode for the minimizer index: buildIndexMinimizers
+        // (vertex_index.cpp:389-497, the kmer_cnt.cpp:228-232 ROI when
+        // use_minimizers is set); no output dump
+        VertexIndex index(reads, (int)Config::get("assemble_kmer_sample"));
+        auto t0 = std::chrono::steady_clock::now();
+        index.buildIndexMinimizers(/*minCoverage=*/1, wnd);
+        double secs = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        fprintf(stderr, "KERNEL_S %.4f\n", secs);
+        return 0;
+    }
+
     // distinct standard-form k-mers over the forward strands
     std::set<Kmer::KmerRepr> stdKmers;
     for (const auto& seqRec : reads.iterSeqs()) {

@@ -56,6 +56,15 @@ def record(**kw):
         raise ValueError(
             f"device_s {d} > wall_s {w} without a device_s_note explaining "
             "the separate profiling pass")
+    # every row carries the code state it measured (VERDICT r4: "every
+    # row from the same commit")
+    try:
+        kw.setdefault("commit", subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or None)
+    except Exception:
+        kw.setdefault("commit", None)
     os.makedirs(SCRATCH, exist_ok=True)
     rows = []
     if os.path.exists(OUT):
@@ -166,6 +175,7 @@ def bench_bsw(n_pairs=1_000_000):
     record(workload="bsw", n=n_pairs, cells=cells, wall_s=round(wall, 2),
            cells_per_s=round(cells / wall, -6), checksum=checksum,
            device_s=dev_s(lambda: scorer.score()),
+           device_s_note="separate profiling pass",
            slot_efficiency=round(scorer.padding_report()["efficiency"], 3),
            ref_1t_cells_per_s=(round(ref_rate, -6) if ref_rate else None),
            speedup_vs_ref_1t=(round(cells / wall / ref_rate, 1)
@@ -250,6 +260,7 @@ def bench_chain(n_reads=10_000):
            window=W_used,
            mean_window_candidates=round(in_window / n_reads, 1),
            device_s=dev_s(lambda: chain_batch_bucketed(calls)),
+           device_s_note="separate profiling pass",
            anchors_per_s=round(n_anchors / wall, -3), checksum=checksum,
            ref_1t_wall_s=(round(ref_wall, 2) if ref_wall else None),
            ref_1t_wall_s_med=(round(sorted(ref_walls)[1], 2)
@@ -309,12 +320,33 @@ def bench_kmer(total_mb=250):
     t0 = time.time()
     idx = build_index_minimizers(seq[:sub_n], lens[:sub_n], k=k, window=5)
     wall_idx = time.time() - t0
+    # first recorded minimizer-index reference ratio (VERDICT r4 #5):
+    # kmer_gold minimq times ONLY buildIndexMinimizers (the reference's
+    # use_minimizers ROI, kmer_cnt.cpp:228-232) on a 1/5 subset of the
+    # identical reads, extrapolated linearly
+    ref_min = None
+    if os.path.exists(bin_path):
+        msub = max(1, sub_n // 5)
+        mpath = f"{SCRATCH}/kmer_min_{msub}.fa"
+        if not os.path.exists(mpath):
+            codes = np.array(list("ACGT"))
+            with open(mpath, "w") as f:
+                for i in range(msub):
+                    f.write(f">r{i}\n{''.join(codes[seq[i]])}\n")
+        pr = subprocess.run([bin_path, mpath, cfg, str(k), "minimq", "5"],
+                            capture_output=True, text=True, timeout=7200)
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):
+                ref_min = float(ln.split()[1]) * (sub_n / msub)
     record(workload="kmer-minimizer-index", total_bases=float(sub_n * L),
            k=k, window=5, wall_s=round(wall_idx, 2),
            # -3 rounding: -6 overstated the rate ~12% vs the raw
            # total_bases/wall_s fields (ADVICE r3)
            bases_per_s=round(sub_n * L / wall_idx, -3),
-           n_index_kmers=int(len(idx.kmers)))
+           n_index_kmers=int(len(idx.kmers)),
+           ref_1t_wall_s_est=(round(ref_min, 2) if ref_min else None),
+           speedup_vs_ref_1t=(round(ref_min / wall_idx, 2)
+                              if ref_min else None))
 
     # r3 fix (VERDICT weak #6): both ref fields derive from the SAME
     # ref_rate, with no magnitude-destroying rounding — the r2 row emitted
@@ -326,6 +358,7 @@ def bench_kmer(total_mb=250):
            wall_s=round(wall, 2), bases_per_s=round(total_bases / wall, -6),
            unique=uniq, total=tot,
            device_s=dev_s(lambda: count_kmers_stats(seq, lens, k)),
+           device_s_note="separate profiling pass",
            ref_1t_bases_per_s=(float(f"{ref_rate:.4g}") if ref_ok else None),
            speedup_vs_ref_1t=(round(total_bases / wall / ref_rate, 2)
                               if ref_ok else None))
@@ -678,6 +711,7 @@ def bench_grm(n_variants=100_000, n_samples=2504):
     record(workload="grm", n_variants=n_variants, n_samples=n_samples,
            wall_s=round(wall, 2), gflops=round(flops / wall / 1e9, 1),
            device_s=dev_s(lambda: np.asarray(grm(geno)[0])),
+           device_s_note="separate profiling pass",
            f64_oracle_max_abs_err=float(f"{err:.3g}"),
            nobs_max_abs_err=nerr,
            f64_oracle_host_s=round(oracle_s, 2),
@@ -739,12 +773,14 @@ def _gen_phmm_workload(n_pairs, rng):
 
 
 def _phmm_gold_rate(reads, haps, pairs, sub=20_000):
-    """Time phmm_gold (tools/ref_drivers/phmm_gold.cpp — the GKL
-    computelikelihoodsboth semantics, anti-diagonal SIMD f32+f64 fallback)
-    on the identical first `sub` pairs; returns (cells_per_s, fallbacks)."""
-    bin_path = require_gold("phmm_gold")
+    """Time the phmm host baseline on the identical first `sub` pairs;
+    returns (cells_per_s, fallbacks, kernel_name).  Prefers
+    phmm_gold_avx2 (explicit 8-wide FMA diagonals — the SIMD-strength
+    stand-in for GKL's AVX kernel, VERDICT r4 #5) and falls back to the
+    scalar-order phmm_gold."""
+    bin_path = require_gold("phmm_gold_avx2") or require_gold("phmm_gold")
     if bin_path is None:
-        return None, None
+        return None, None, None
     B = "ACTG"
     qstr = lambda a: "".join(chr(int(v) + 33) for v in a)
     path = f"{SCRATCH}/phmm_gold.in"
@@ -765,7 +801,7 @@ def _phmm_gold_rate(reads, haps, pairs, sub=20_000):
             ks = float(ln.split()[1])
         elif ln.startswith("FALLBACKS"):
             fb = int(ln.split()[1])
-    return (cells / ks if ks else None), fb
+    return (cells / ks if ks else None), fb, os.path.basename(bin_path)
 
 
 def bench_phmm(n_pairs=100_000):
@@ -777,7 +813,7 @@ def bench_phmm(n_pairs=100_000):
     t0 = time.time()
     out = pairhmm_batch(reads, haps, pairs=pairs)
     wall = time.time() - t0
-    ref_rate, ref_fb = _phmm_gold_rate(reads, haps, pairs)
+    ref_rate, ref_fb, ref_kernel = _phmm_gold_rate(reads, haps, pairs)
     record(workload="phmm", n_pairs=n_pairs, cells=cells,
            wall_s=round(wall, 2), cells_per_s=round(cells / wall, -6),
            # device_s comes from a SEPARATE profiling rerun (dev_s), so
@@ -788,6 +824,7 @@ def bench_phmm(n_pairs=100_000):
            device_s_note="separate profiling pass",
            dataset="seed17/genv2",
            ref_1t_cells_per_s=(float(f"{ref_rate:.4g}") if ref_rate else None),
+           ref_kernel=ref_kernel,
            ref_fallbacks=ref_fb,
            speedup_vs_ref_1t=(round(cells / wall / ref_rate, 2)
                               if ref_rate else None),
@@ -828,7 +865,8 @@ def bench_poa(n_windows=5_000):
     # real spoa SIMD engine (empty submodule) would run faster than this
     # scalar gold; the ratio is a floor on honesty, not a ceiling.
     ref_rate = None
-    bin_path = require_gold("poa_gold") or f"{REFBUILD}/poa_gold"
+    bin_path = (require_gold("poa_gold_avx2")
+                or require_gold("poa_gold") or f"{REFBUILD}/poa_gold")
     if os.path.exists(bin_path):
         sub = min(50, n_windows)
         path = f"{SCRATCH}/poa_gold.fa"
@@ -847,6 +885,7 @@ def bench_poa(n_windows=5_000):
            windows_per_s=round(n_windows / wall, 2),
            device_s_1024=dev_s(lambda: msa_consensus_batch(windows[:1024])),
            ref_1t_windows_per_s=(round(ref_rate, 3) if ref_rate else None),
+           ref_kernel=os.path.basename(bin_path),
            speedup_vs_ref_1t=(round(n_windows / wall / ref_rate, 2)
                               if ref_rate else None),
            total_cons_bases=int(sum(len(c) for c in cons)))
@@ -978,47 +1017,58 @@ def bench_abea(n_reads=10_000, batch=512):
         total += b
     align_batch(*[all_batches[0][i] for i in (0, 1)], mean, stdv,
                 all_batches[0][2])  # warm
-    walls = []
+    # SYMMETRIC best-of-2, interleaved (VERDICT r4 weak #5: the ref side
+    # previously got one pass while ours got best-of-2 — host/tunnel
+    # weather must be bracketed the same way on both sides): ours pass 1,
+    # ref run 1, ours pass 2, ref run 2; min of each.
+    seqs0, evs0, scal0 = (all_batches[0][0], all_batches[0][1],
+                          all_batches[0][2].tolist())
+    b0 = len(seqs0)
+    require_gold("abea_gold_f32")  # r3 lost this row's ratio silently
+    have_ref = os.path.exists(f"{REFBUILD}/abea_gold_f32")
+    if have_ref:
+        path = f"{SCRATCH}/abea_ref.in"
+        with open(path, "w") as f:
+            f.write("align\n")
+            f.write(f"{b0}\n")
+            for m, s in zip(mean, stdv):
+                f.write(f"{m:.6f} {s:.6f}\n")
+            for seq, evs, (scale, shift) in zip(seqs0, evs0, scal0):
+                f.write(f"{len(seq)}\n")
+                f.write("".join("ACGT"[x] for x in seq) + "\n")
+                f.write(f"{len(evs)}\n")
+                for e in evs:
+                    f.write(f"{e:.6f} 1.0\n")
+                f.write(f"{scale:.6f} {shift:.6f}\n")
+
+    def ref_pass():
+        pr = subprocess.run([f"{REFBUILD}/abea_gold_f32", path],
+                            capture_output=True, text=True, timeout=3600)
+        for ln in pr.stderr.splitlines():
+            if ln.startswith("KERNEL_S"):  # align() only, no text parse
+                return float(ln.split()[1])
+        return None
+
+    walls, ref_batch_walls = [], []
     for _ in range(2):
         t0 = time.time()
         for seqs, evs_l, scal in all_batches:
             align_batch(seqs, evs_l, mean, stdv, scal)
         walls.append(time.time() - t0)
+        if have_ref:
+            rw = ref_pass()
+            if rw is not None:
+                ref_batch_walls.append(rw)
     wall = min(walls)
-    if True:
-        seqs, evs_l, scalings = (all_batches[0][0], all_batches[0][1],
-                                 all_batches[0][2].tolist())
-        b = len(seqs)
-        require_gold("abea_gold_f32")  # r3 lost this row's ratio silently
-        if os.path.exists(f"{REFBUILD}/abea_gold_f32"):
-            # time the reference CPU align() on this batch's inputs
-            path = f"{SCRATCH}/abea_ref.in"
-            with open(path, "w") as f:
-                f.write("align\n")
-                f.write(f"{b}\n")
-                for m, s in zip(mean, stdv):
-                    f.write(f"{m:.6f} {s:.6f}\n")
-                for seq, evs, (scale, shift) in zip(seqs, evs_l, scalings):
-                    f.write(f"{len(seq)}\n")
-                    f.write("".join("ACGT"[x] for x in seq) + "\n")
-                    f.write(f"{len(evs)}\n")
-                    for e in evs:
-                        f.write(f"{e:.6f} 1.0\n")
-                    f.write(f"{scale:.6f} {shift:.6f}\n")
-            pr = subprocess.run([f"{REFBUILD}/abea_gold_f32", path],
-                                capture_output=True, text=True, timeout=3600)
-            ref_batch_wall = None
-            for ln in pr.stderr.splitlines():
-                if ln.startswith("KERNEL_S"):  # align() only, no text parse
-                    ref_batch_wall = float(ln.split()[1])
-            if ref_batch_wall:
-                ref_wall = ref_batch_wall * (n_reads / b)
-    scal = all_batches[0][2]
+    if ref_batch_walls:
+        ref_wall = min(ref_batch_walls) * (n_reads / b0)
     record(workload="abea", n_reads=n_reads, band_cells=band_cells,
            wall_s=round(wall, 2), wall_s_2nd=round(max(walls), 2),
            band_cells_per_s=round(band_cells / wall, -6),
            device_s_batch=dev_s(
-               lambda: align_batch(seqs, evs_l, mean, stdv, scal)),
+               lambda: align_batch(seqs0, evs0, mean, stdv,
+                                   all_batches[0][2])),
+           measurement="interleaved best-of-2 both sides",
            ref_1t_wall_s_est=(round(ref_wall, 1) if ref_wall else None),
            speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall else None))
 

@@ -637,6 +637,15 @@ class FmiPipeline:
     SMEM1_QUEUE_LANES = int(os.environ.get(
         "GENOMICSBENCH_FMI_QUEUE_LANES", "16384"))
 
+    # register-resident smem1 walk (r5, _pass1_smem1_reg): interval
+    # lists + query chars + per-serve ovf live in loop-carried (B,)
+    # registers (select trees) instead of per-round gathered/scattered
+    # planes — the r4 cost model priced those ~10 non-mandatory indexed
+    # ops at ~0.27 ms each, the bulk of the walk.  Identical outputs
+    # (parity-tested); =0 opts back into the plane walk.
+    SMEM1_REG = os.environ.get(
+        "GENOMICSBENCH_FMI_REG", "1") not in ("", "0")
+
     # store-queue window (r3): the walk body unrolls FLUSH machine steps
     # whose buffer writes stay in registers, then flushes each plane with
     # ONE multi-update scatter — per-round scalar scatters (~7 x ~0.27 ms
@@ -693,14 +702,24 @@ class FmiPipeline:
             max_rounds = 24 * L * (-(-B // lanes) if lanes else 1)
             emit_ks = self.SMEM1_EMIT_KS
             t0 = time.perf_counter()
-            got = jax.device_get(_pass1_smem1(
-                *self.dev, self._put_query(query),
-                self._put(qlen.astype(np.int32)),
-                self._put(np.ones(B, np.int32)),
-                self._put(np.zeros(B, np.int32)),
-                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                emit_ks=emit_ks, lanes=lanes, flush=self.SMEM1_FLUSH,
-            ))
+            if self.SMEM1_REG:
+                got = jax.device_get(_pass1_smem1_reg(
+                    *self.dev, self._put_query(query),
+                    self._put(qlen.astype(np.int32)),
+                    self._put(np.ones(B, np.int32)),
+                    self._put(np.zeros(B, np.int32)),
+                    min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                    emit_ks=emit_ks, lanes=lanes,
+                ))
+            else:
+                got = jax.device_get(_pass1_smem1(
+                    *self.dev, self._put_query(query),
+                    self._put(qlen.astype(np.int32)),
+                    self._put(np.ones(B, np.int32)),
+                    self._put(np.zeros(B, np.int32)),
+                    min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                    emit_ks=emit_ks, lanes=lanes, flush=self.SMEM1_FLUSH,
+                ))
             self.phase_s["p1_walk"] += time.perf_counter() - t0
             if emit_ks:
                 sm_me, sm_k, sm_s, count, ovf, rounds, _dr = got
@@ -825,14 +844,23 @@ class FmiPipeline:
                 walk_q, walk_rows = self._put_query(query), self._put(qrow)
             else:
                 walk_q, walk_rows = self._put(pq), None
-            got = jax.device_get(_pass1_smem1(
-                *self.dev, walk_q, self._put(plen.astype(np.int32)),
-                self._put(mintv.astype(np.int32)),
-                self._put(pivots.astype(np.int32)), walk_rows,
-                min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                has_pivot=True, emit_ks=emit_ks, lanes=lanes,
-                flush=self.SMEM1_FLUSH,
-            ))
+            if self.SMEM1_REG:
+                got = jax.device_get(_pass1_smem1_reg(
+                    *self.dev, walk_q, self._put(plen.astype(np.int32)),
+                    self._put(mintv.astype(np.int32)),
+                    self._put(pivots.astype(np.int32)), walk_rows,
+                    min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                    has_pivot=True, emit_ks=emit_ks, lanes=lanes,
+                ))
+            else:
+                got = jax.device_get(_pass1_smem1(
+                    *self.dev, walk_q, self._put(plen.astype(np.int32)),
+                    self._put(mintv.astype(np.int32)),
+                    self._put(pivots.astype(np.int32)), walk_rows,
+                    min_seed_len=self.min_seed_len, max_rounds=max_rounds,
+                    has_pivot=True, emit_ks=emit_ks, lanes=lanes,
+                    flush=self.SMEM1_FLUSH,
+                ))
             self.phase_s["p2_walk"] += time.perf_counter() - t0
             if emit_ks:
                 sm_me, sm_k, sm_s, count, ovf, rounds, _dr = got
@@ -1704,6 +1732,342 @@ def _pass1_smem1(C, table, sent_row, query, qlen, min_intv, pivot,
         count_out = jnp.sum(sm_me_o != -1, axis=1).astype(jnp.int32)
         ovf_o = jnp.swapaxes(final["ovfp"][:, :R_serve], 0, 1) \
             .reshape(B * R_serve)[:NP]
+        return out + (count_out, ovf_o, final["round"],
+                      final["done_round"])
+    return out + (final["count"], final["ovf"], final["round"],
+                  final["done_round"])
+
+
+def _select_tree(vals, idx):
+    """vals[idx] per lane over a LIST of (B,) registers via a balanced
+    binary select tree — len(vals)-1 elementwise selects, no gather.
+    Per-lane element picks lower to ~0.27 ms/round row gathers on this
+    chip even against tiny tables (BASELINE r2 accounting); (B,) selects
+    are ~ns.  idx must already be clipped to [0, len(vals))."""
+    vs = list(vals)
+    bit = 1
+    while len(vs) > 1:
+        nxt = []
+        for i in range(0, len(vs) - 1, 2):
+            nxt.append(jnp.where((idx & bit) == 0, vs[i], vs[i + 1]))
+        if len(vs) % 2:
+            nxt.append(vs[-1])
+        vs = nxt
+        bit <<= 1
+    return vs[0]
+
+
+def _demux_set(vals, idx, mask, new):
+    """Register analog of vals[lane, idx] = new where mask: one select
+    per slot.  Returns the updated register list."""
+    return [jnp.where(mask & (idx == i), new, v)
+            for i, v in enumerate(vals)]
+
+
+def _pack_query4(query, L):
+    """(N, L) base codes -> (N, ceil(L/8)) int32, 4 bits per char (codes
+    0..4; 0xF pads past L).  Lets the walk read query chars from loop-
+    carried registers (select tree + shift) instead of a per-round
+    gather."""
+    N = query.shape[0]
+    NW = -(-L // 8)
+    q = jnp.full((N, NW * 8), 15, jnp.int32).at[:, :L].set(
+        query.astype(jnp.int32))
+    q = q.reshape(N, NW, 8)
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    return jnp.sum(q << shifts[None, None, :], axis=2).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
+                                             "has_pivot", "emit_ks",
+                                             "lanes"))
+def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
+                     qrow=None, *, min_seed_len, max_rounds,
+                     has_pivot=False, emit_ks=False, lanes=None):
+    """Register-resident smem1 walk (r5): identical algorithm, phase
+    machine, serve schedule, slot caps, and outputs as _pass1_smem1 —
+    but every per-lane indexed op except the mandatory rank-pair gather,
+    the serve-meta row gather, and the emit scatters is replaced by
+    elementwise select trees over loop-carried (B,) registers:
+
+      * the prev/curr interval lists (the (B, 2CP+1) bk/bs/be planes and
+        their 3 gathers + 3 scatters per round) become 2 x CP x 3 (B,)
+        registers read by _select_tree and written by _demux_set;
+      * query chars (a 1-row-per-lane gather per round) come from NW
+        packed-nibble registers refreshed through the SAME meta row
+        gather that serve reassignment already pays;
+      * the per-serve ovf plane scatter becomes a bitmask register.
+
+    Motivation (BASELINE r4 cost model): the walk's per-round cost was
+    0.42 ms fixed + ~133 ns/lane ~= 13 indexed ops at ~0.27 ms each at
+    B=16384, of which only the rank-pair gather (0.56 ms) is
+    algorithmically mandatory; (B,) elementwise ops are ~16 ns per op
+    TOTAL at that width.  Expected round cost after: rank-pair + meta
+    row gather + emit scatters ~= 1.1-1.7 ms.  Outputs are bit-identical
+    (parity-tested vs _pass1_smem1 and the e-table)."""
+    L = query.shape[1]
+    NW = -(-L // 8)
+    use_qrow = qrow is not None
+    N_reads = qlen.shape[0] if use_qrow else query.shape[0]
+    queue = lanes is not None and lanes < N_reads
+    B = int(lanes) if queue else N_reads
+    CP = min(L + 1, 24)
+    ME = min(L + 1, 48)
+    INIT, FWD, BWD, DONE = 0, 1, 2, 3
+    assert L < (1 << 15), "read length overflows the packed m/e emit word"
+
+    counts4 = (C[1:5] - C[:4]).astype(jnp.int32)
+    rows = jnp.arange(B)
+
+    packed = _pack_query4(query, L)            # (N_reads, NW)
+    if use_qrow:
+        # one gather per LAUNCH (not per round): work item w's packed row
+        packed = jnp.take(packed, qrow.astype(jnp.int32), axis=0)
+
+    R_serve = -(-N_reads // B) if queue else 1
+    if queue:
+        assert R_serve <= 31, "ovf bitmask register holds 31 serves"
+        meta = jnp.concatenate([
+            qlen.astype(jnp.int32)[:, None],
+            min_intv.astype(jnp.int32)[:, None],
+            ((pivot if has_pivot else jnp.zeros(N_reads, jnp.int32))
+             .astype(jnp.int32))[:, None],
+            packed,
+        ], axis=1)                              # (N, 3 + NW)
+        ql0 = qlen[:B].astype(jnp.int32)
+        mi0 = min_intv[:B].astype(jnp.int32)
+        pv0 = (pivot[:B] if has_pivot else jnp.zeros(B, jnp.int32)) \
+            .astype(jnp.int32)
+        qw0 = [packed[:B, i] for i in range(NW)]
+        phase0 = jnp.full(B, INIT, jnp.int32)
+        NP = N_reads
+    else:
+        ql0, mi0 = qlen.astype(jnp.int32), min_intv.astype(jnp.int32)
+        pv0 = (pivot if has_pivot else jnp.zeros(B, jnp.int32)) \
+            .astype(jnp.int32)
+        qw0 = [packed[:, i] for i in range(NW)]
+        phase0 = jnp.where(qlen < 1, jnp.int32(DONE), jnp.int32(INIT))
+        NP = B
+
+    z = jnp.zeros(B, jnp.int32)
+    init = dict(
+        phase=phase0,
+        x=pv0 if has_pivot else z,
+        i=z, j=z, ptr=z, prev_n=z, curr_n=z, cnt=z, last_s=z,
+        emitted=jnp.zeros(B, jnp.bool_), first=jnp.zeros(B, jnp.bool_),
+        ex=z, wk=z, wl=z, ws=z,
+        # interval lists in registers: pb* = prev (read by the BWD sweep,
+        # filled by the FWD collect), cb* = curr (BWD survivors);
+        # col_next copies curr -> prev instead of flipping a parity bit
+        pbk=[z] * CP, pbs=[z] * CP, pbe=[z] * CP,
+        cbk=[z] * CP, cbs=[z] * CP, cbe=[z] * CP,
+        qw=list(qw0),
+        sm_me=jnp.full((B, R_serve * (ME + 1)), -1, jnp.int32),
+        count=z,
+        ovf=jnp.zeros(B, jnp.bool_),
+        round=jnp.int32(0),
+        done_round=z,
+    )
+    if emit_ks:
+        init["sm_k"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
+        init["sm_s"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
+    if queue:
+        init["ridx"] = z
+        init["ql"] = ql0
+        init["mi"] = mi0
+        init["pv"] = pv0
+        init["ovfbits"] = z
+
+    def cond(c):
+        return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
+
+    def body(c):
+        phase, x = c["phase"], c["x"]
+        is_init = phase == INIT
+        is_fwd = phase == FWD
+        is_bwd = phase == BWD
+        if queue:
+            ql, mi = c["ql"], c["mi"]
+        else:
+            ql, mi = ql0, mi0
+
+        # ---- query char from the packed registers (INIT reads x, FWD
+        # reads i, BWD j): select word by pos>>3, nibble by pos&7
+        pos = jnp.where(is_fwd, c["i"], jnp.where(is_bwd, c["j"], x))
+        posc = jnp.clip(pos, 0, L - 1)
+        word = _select_tree(c["qw"], jnp.minimum(posc >> 3, NW - 1))
+        nb_raw = (word >> ((posc & 7) * 4)) & 0xF
+        nb = jnp.clip(nb_raw, 0, 3)
+        nb_ok = (nb_raw < 4) & (pos >= 0) & (pos < ql)
+
+        # ---- BWD: fetch prev[idx] via select trees
+        bwd_live = is_bwd & (c["ptr"] < c["prev_n"])
+        idx = jnp.where(c["first"], c["prev_n"] - 1 - c["ptr"], c["ptr"])
+        idxc = jnp.clip(idx, 0, CP - 1)
+        pk = _select_tree(c["pbk"], idxc)
+        ps = _select_tree(c["pbs"], idxc)
+        pe = _select_tree(c["pbe"], idxc)
+
+        # ---- ONE shared rank-pair extension for FWD and BWD lanes
+        a_in = jnp.where(is_fwd, c["wl"], pk)
+        o_in = jnp.where(is_fwd, c["wk"], 0)
+        s_in = jnp.where(is_fwd, c["ws"], jnp.maximum(ps, 0))
+        c_in = jnp.where(is_fwd, 3 - nb, nb)
+        a_n, o_n, s_n = _ext_pick_sym(
+            C, table, sent_row, a_in, o_in, jnp.maximum(s_in, 1), c_in)
+
+        # ================= INIT: seed the single-char interval at x
+        k0 = _select4(C[0], C[1], C[2], C[3], nb)
+        s0 = _select4(counts4[0], counts4[1], counts4[2], counts4[3], nb)
+        l0 = _select4(C[3], C[2], C[1], C[0], nb)  # C[3 - nb]
+        seed_ok = is_init & nb_ok & (s0 >= mi)
+        init_done = is_init & (x >= ql)
+        init_dead = is_init & ~seed_ok & ~init_done
+
+        # ================= FWD: one forward base, record on count change
+        kf, lf, sf = o_n, a_n, s_n
+        stopf = is_fwd & (~nb_ok | (sf < mi))
+        growf = is_fwd & ~stopf
+        push = stopf | (growf & (sf != c["ws"]))
+
+        # ================= BWD: one backward try of prev[idx]
+        kb, sb = a_n, s_n
+        die = bwd_live & (~nb_ok | (sb < mi))
+        surv = bwd_live & ~die
+        emit = die & (c["curr_n"] == 0) & ~c["emitted"] \
+            & (pe - (c["j"] + 1) >= min_seed_len)
+        eslot = jnp.where(emit, jnp.clip(c["count"], 0, ME - 1),
+                          jnp.int32(ME))
+        append = surv & ((c["curr_n"] == 0) | (sb != c["last_s"]))
+
+        # ---- register buffer writes (no scatters): FWD push -> prev,
+        # BWD append -> curr
+        pbk = _demux_set(c["pbk"], jnp.clip(c["cnt"], 0, CP - 1), push,
+                         c["wk"])
+        pbs = _demux_set(c["pbs"], jnp.clip(c["cnt"], 0, CP - 1), push,
+                         c["ws"])
+        pbe = _demux_set(c["pbe"], jnp.clip(c["cnt"], 0, CP - 1), push,
+                         c["i"])
+        cbk = _demux_set(c["cbk"], jnp.clip(c["curr_n"], 0, CP - 1),
+                         append, kb)
+        cbs = _demux_set(c["cbs"], jnp.clip(c["curr_n"], 0, CP - 1),
+                         append, sb)
+        cbe = _demux_set(c["cbe"], jnp.clip(c["curr_n"], 0, CP - 1),
+                         append, pe)
+
+        if queue:
+            ecol = jnp.minimum(c["ridx"], R_serve - 1) * (ME + 1) + eslot
+        else:
+            ecol = eslot
+        count = c["count"] + emit.astype(jnp.int32)
+
+        # ---- BWD bookkeeping
+        cnt_n = c["cnt"] + push.astype(jnp.int32)
+        curr_n1 = c["curr_n"] + append.astype(jnp.int32)
+        emitted1 = c["emitted"] | (die & (c["curr_n"] == 0))
+        ptr1 = c["ptr"] + bwd_live.astype(jnp.int32)
+        col_end = is_bwd & (ptr1 >= c["prev_n"])
+        col_next = col_end & (curr_n1 > 0)
+        piv_end = (col_end & (curr_n1 == 0)) | (is_bwd & (c["prev_n"] == 0))
+
+        # ---- slot-cap overflow: kill the lane; caller reruns via e-table
+        new_ovf = (push & (c["cnt"] >= CP)) | (emit & (c["count"] >= ME))
+        ovf = c["ovf"] | new_ovf
+
+        # ---- pivot completion / INIT advance
+        x_next = jnp.maximum(c["ex"], x + 1)
+        new_x = jnp.where(piv_end, x_next, jnp.where(init_dead, x + 1, x))
+        to_done = init_done | (piv_end & bool(has_pivot)) \
+            | (piv_end & (x_next >= ql)) | new_ovf
+        to_init = (piv_end & ~to_done) | init_dead
+
+        phase_n = jnp.where(seed_ok, jnp.int32(FWD), phase)
+        phase_n = jnp.where(stopf, jnp.int32(BWD), phase_n)
+        phase_n = jnp.where(to_init, jnp.int32(INIT), phase_n)
+        phase_n = jnp.where(to_done, jnp.int32(DONE), phase_n)
+
+        # ---- col_next: prev <- curr (register copy; stale slots beyond
+        # prev_n are never read)
+        pbk = [jnp.where(col_next, cv, pv) for pv, cv in zip(pbk, cbk)]
+        pbs = [jnp.where(col_next, cv, pv) for pv, cv in zip(pbs, cbs)]
+        pbe = [jnp.where(col_next, cv, pv) for pv, cv in zip(pbe, cbe)]
+
+        extra = {}
+        qw = c["qw"]
+        if queue:
+            fin = to_done & (phase != DONE)
+            ridx_n = c["ridx"] + fin.astype(jnp.int32)
+            rid_n = ridx_n * B + rows
+            got = fin & (rid_n < N_reads)
+            ovfbits = jnp.where(
+                fin & ovf,
+                c["ovfbits"] | (1 << jnp.minimum(c["ridx"], R_serve - 1)),
+                c["ovfbits"])
+            meta_n = jnp.take(meta, jnp.clip(rid_n, 0, N_reads - 1), axis=0)
+            ql_n = jnp.where(got, meta_n[:, 0], ql)
+            mi_n = jnp.where(got, meta_n[:, 1], mi)
+            pv_n = jnp.where(got, meta_n[:, 2], c["pv"])
+            qw = [jnp.where(got, meta_n[:, 3 + i], w)
+                  for i, w in enumerate(qw)]
+            phase_n = jnp.where(got, jnp.int32(INIT), phase_n)
+            new_x = jnp.where(got, pv_n if has_pivot else 0, new_x)
+            count = jnp.where(got, 0, count)
+            ovf = jnp.where(got, False, ovf)
+            extra = dict(ridx=jnp.where(fin, ridx_n, c["ridx"]),
+                         ql=ql_n, mi=mi_n, pv=pv_n, ovfbits=ovfbits)
+
+        # ---- emit scatters (the only per-round scatters left)
+        eme = (pe << 16) | (c["j"] + 1)
+        sm_me = c["sm_me"].at[rows, ecol].set(eme)
+        out_planes = dict(sm_me=sm_me)
+        if emit_ks:
+            out_planes["sm_k"] = c["sm_k"].at[rows, ecol].set(pk)
+            out_planes["sm_s"] = c["sm_s"].at[rows, ecol].set(ps)
+
+        return dict(
+            phase=phase_n,
+            x=new_x,
+            i=jnp.where(seed_ok, x + 1, jnp.where(growf, c["i"] + 1, c["i"])),
+            j=jnp.where(stopf, x - 1,
+                        jnp.where(col_next, c["j"] - 1, c["j"])),
+            ptr=jnp.where(stopf | col_next, 0, ptr1),
+            prev_n=jnp.where(stopf, cnt_n,
+                             jnp.where(col_next, curr_n1, c["prev_n"])),
+            curr_n=jnp.where(stopf | col_next, 0, curr_n1),
+            cnt=jnp.where(seed_ok, 0, cnt_n),
+            last_s=jnp.where(append, sb, c["last_s"]),
+            emitted=jnp.where(stopf | col_next, False, emitted1),
+            first=jnp.where(stopf, True, c["first"] & ~col_next),
+            ex=jnp.where(stopf, c["i"], c["ex"]),
+            wk=jnp.where(seed_ok, k0, jnp.where(growf, kf, c["wk"])),
+            wl=jnp.where(seed_ok, l0, jnp.where(growf, lf, c["wl"])),
+            ws=jnp.where(seed_ok, s0, jnp.where(growf, sf, c["ws"])),
+            pbk=pbk, pbs=pbs, pbe=pbe, cbk=cbk, cbs=cbs, cbe=cbe,
+            qw=qw,
+            count=count, ovf=ovf,
+            round=c["round"] + (phase != DONE).any().astype(jnp.int32),
+            done_round=jnp.where((phase != DONE) & (phase_n == DONE),
+                                 c["round"] + 1, c["done_round"]),
+            **out_planes,
+            **extra,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    def read_major(plane):
+        a = plane.reshape(B, R_serve, ME + 1)
+        a = jnp.swapaxes(a, 0, 1).reshape(B * R_serve, ME + 1)
+        return a[:NP, :ME]
+
+    sm_me_o = read_major(final["sm_me"])
+    out = (sm_me_o,)
+    if emit_ks:
+        out += (read_major(final["sm_k"]), read_major(final["sm_s"]))
+    if queue:
+        count_out = jnp.sum(sm_me_o != -1, axis=1).astype(jnp.int32)
+        serves = jnp.arange(R_serve, dtype=jnp.int32)
+        ovf_o = ((final["ovfbits"][None, :] >> serves[:, None]) & 1) \
+            .astype(jnp.bool_).reshape(B * R_serve)[:NP]
         return out + (count_out, ovf_o, final["round"],
                       final["done_round"])
     return out + (final["count"], final["ovf"], final["round"],

@@ -607,3 +607,43 @@ def test_pass3_emit_ks_subfloor_seeds():
                             b.k.tolist(), b.s.tolist()))
         assert rows_a == rows_b, mmi
         assert len(rows_a) > 0, mmi
+
+
+def test_smem1_reg_matches_plane(small_index):
+    """The register-resident smem1 walk (_pass1_smem1_reg: interval
+    lists/query chars/ovf in loop-carried registers, r5) must produce
+    identical SmemResults to the plane walk across passes 1/2/3, in
+    lockstep and queue modes, both emit_ks modes — including overflow,
+    empty, and embedded-N reads."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(707)
+    N, L = 36, 90
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        ln = int(rng.integers(22, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, ln:] = 4
+        qlen[i] = ln
+    q[2, : qlen[2]] = ref[10]  # slot-cap pressure
+    qlen[5] = 0                # empty read
+    q[9, 12] = 4               # embedded N
+
+    def run(reg, lanes, emit_ks):
+        pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
+                           max_mem_intv=20)
+        pipe.SMEM1_REG = reg
+        pipe.SMEM1_QUEUE_LANES = lanes
+        pipe.SMEM1_EMIT_KS = emit_ks
+        p1 = pipe.pass1(q, qlen)
+        p2 = pipe.pass2(q, qlen, p1)
+        p3 = pipe.pass3(q, qlen)
+        return tuple(p.sorted_tuples(with_interval=True)
+                     for p in (p1, p2, p3))
+
+    for lanes in (0, 8):
+        for emit_ks in (True, False):
+            want = run(False, lanes, emit_ks)
+            got = run(True, lanes, emit_ks)
+            assert got == want, f"reg mismatch lanes={lanes} emit_ks={emit_ks}"

@@ -120,6 +120,14 @@ def _load():
             c_i64, c_i64, c_i64,
             c_i32p, c_i32p, c_i32p, c_u8p, c_u8p,
         ]
+        c_u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.gb_poa_export_packed.restype = c_i64
+        lib.gb_poa_export_packed.argtypes = [
+            c_u8p, c_i32p, c_u8p, c_i32p, c_i32p,
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p,
+            c_i64, c_i64, c_i64,
+            c_i32p, c_u8p, c_u16p,
+        ]
         lib.gb_poa_consensus.restype = c_i64
         lib.gb_poa_consensus.argtypes = [
             c_u8p, c_i32p, c_u8p, c_i32p, c_i32p,

@@ -1013,6 +1013,43 @@ int64_t gb_poa_export(const uint8_t* base, const int32_t* ring,
     return n;
 }
 
+// Topo order + DEVICE-PACKED export: writes straight into the batch
+// upload planes of ops/poa._ab_dispatch — basep u8 (sink in bit 7) and
+// predp u16 pred ranks with the 0xFFFF no-slot sentinel.  Skips the
+// intermediate int32 pred/pmask arrays + numpy where/astype per window
+// per MSA round (the marshal phase at racon scale).  Caller pre-fills
+// basep_out with 0 and predp_out with 0xFFFF (row slices of the batch
+// planes).  Returns n; -(indeg) if p_pad too small; -1 on cycle.
+int64_t gb_poa_export_packed(const uint8_t* base, const int32_t* ring,
+                             const uint8_t* ring_n, const int32_t* out_head,
+                             const int32_t* in_head, const int32_t* e_src,
+                             const int32_t* e_nin, const int32_t* e_nout,
+                             const int32_t* e_dst, const int32_t* indeg,
+                             int64_t n, int64_t n_pad, int64_t p_pad,
+                             int32_t* order_out, uint8_t* basep_out,
+                             uint16_t* predp_out) {
+    (void)n_pad;
+    if (poa_topo(ring, ring_n, out_head, e_dst, e_nout, indeg, n,
+                 order_out) < 0)
+        return -1;
+    std::vector<int32_t> rank(n);
+    for (int64_t r = 0; r < n; r++) rank[order_out[r]] = (int32_t)r + 1;
+    std::vector<int32_t> pr;
+    for (int64_t r = 0; r < n; r++) {
+        int32_t nid = order_out[r];
+        basep_out[r] = (uint8_t)(base[nid] | (out_head[nid] < 0 ? 0x80 : 0));
+        pr.clear();
+        for (int32_t e = in_head[nid]; e >= 0; e = e_nin[e])
+            pr.push_back(rank[e_src[e]]);
+        std::sort(pr.begin(), pr.end());
+        if (pr.empty()) pr.push_back(0);  // virtual start row
+        if ((int64_t)pr.size() > p_pad) return -(int64_t)pr.size();
+        for (size_t p = 0; p < pr.size(); p++)
+            predp_out[r * p_pad + (int64_t)p] = (uint16_t)pr[p];
+    }
+    return n;
+}
+
 // Heaviest-bundle consensus (oracle consensus): topo scan picking per
 // node the max-weight in-edge (ties: higher bundle score, then smaller
 // topo rank, first-seen wins), backtrack from the best sink (global

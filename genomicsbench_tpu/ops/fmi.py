@@ -646,6 +646,17 @@ class FmiPipeline:
     SMEM1_REG = os.environ.get(
         "GENOMICSBENCH_FMI_REG", "1") not in ("", "0")
 
+    # dynamic lane->read serve schedule for the register walk (r5):
+    # finishers pull the next unassigned read (deterministic cumsum
+    # ranking) instead of the static stride.  Chip A/B at 65k x 151 bp
+    # vs the 100 Mb index: DYNAMIC LOSES — 8.05-8.30 s/batch vs static
+    # 7.36-7.73 (p2 5.15 -> 6.22 s) — the per-round em_rid scatter +
+    # cumsum outweigh the round-count savings; the static schedule's
+    # skew is apparently content-tail-bound, not stripe-bound.  Kept
+    # behind the env (parity-tested) as measurement infrastructure.
+    SMEM1_DYNQ = os.environ.get(
+        "GENOMICSBENCH_FMI_DYNQ", "0") not in ("", "0")
+
     # store-queue window (r3): the walk body unrolls FLUSH machine steps
     # whose buffer writes stay in registers, then flushes each plane with
     # ONE multi-update scatter — per-round scalar scatters (~7 x ~0.27 ms
@@ -709,7 +720,7 @@ class FmiPipeline:
                     self._put(np.ones(B, np.int32)),
                     self._put(np.zeros(B, np.int32)),
                     min_seed_len=self.min_seed_len, max_rounds=max_rounds,
-                    emit_ks=emit_ks, lanes=lanes,
+                    emit_ks=emit_ks, lanes=lanes, dynamic=self.SMEM1_DYNQ,
                 ))
             else:
                 got = jax.device_get(_pass1_smem1(
@@ -851,6 +862,7 @@ class FmiPipeline:
                     self._put(pivots.astype(np.int32)), walk_rows,
                     min_seed_len=self.min_seed_len, max_rounds=max_rounds,
                     has_pivot=True, emit_ks=emit_ks, lanes=lanes,
+                    dynamic=self.SMEM1_DYNQ,
                 ))
             else:
                 got = jax.device_get(_pass1_smem1(
@@ -1780,10 +1792,11 @@ def _pack_query4(query, L):
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_rounds",
                                              "has_pivot", "emit_ks",
-                                             "lanes"))
+                                             "lanes", "dynamic"))
 def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
                      qrow=None, *, min_seed_len, max_rounds,
-                     has_pivot=False, emit_ks=False, lanes=None):
+                     has_pivot=False, emit_ks=False, lanes=None,
+                     dynamic=False):
     """Register-resident smem1 walk (r5): identical algorithm, phase
     machine, serve schedule, slot caps, and outputs as _pass1_smem1 —
     but every per-lane indexed op except the mandatory rank-pair gather,
@@ -1825,8 +1838,19 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
         packed = jnp.take(packed, qrow.astype(jnp.int32), axis=0)
 
     R_serve = -(-N_reads // B) if queue else 1
+    # dynamic serve schedule (r5): lanes pull the next unassigned read on
+    # completion (deterministic: rank-ordered among the round's
+    # finishers via a cumsum) instead of the static stride ridx*B+lane.
+    # The static schedule's load skew cost ~1.7x extra rounds (done_round
+    # p50 1071 vs 2219 walked); the r3 dynamic queue lost because its
+    # emit scatters were READ-indexed and lowered serially — here emit
+    # planes are lane-major segments (iota-lane scatters stay parallel)
+    # and a per-serve rid plane, written on pull, maps segments back to
+    # reads at the end with one walk-final scatter.
+    dyn = bool(dynamic) and queue
+    SEG = min(2 * R_serve + 2, 31) if dyn else R_serve
     if queue:
-        assert R_serve <= 31, "ovf bitmask register holds 31 serves"
+        assert SEG <= 31, "ovf bitmask register holds 31 serves"
         meta = jnp.concatenate([
             qlen.astype(jnp.int32)[:, None],
             min_intv.astype(jnp.int32)[:, None],
@@ -1862,21 +1886,27 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
         pbk=[z] * CP, pbs=[z] * CP, pbe=[z] * CP,
         cbk=[z] * CP, cbs=[z] * CP, cbe=[z] * CP,
         qw=list(qw0),
-        sm_me=jnp.full((B, R_serve * (ME + 1)), -1, jnp.int32),
+        sm_me=jnp.full((B, SEG * (ME + 1)), -1, jnp.int32),
         count=z,
         ovf=jnp.zeros(B, jnp.bool_),
         round=jnp.int32(0),
         done_round=z,
     )
     if emit_ks:
-        init["sm_k"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
-        init["sm_s"] = jnp.zeros((B, R_serve * (ME + 1)), jnp.int32)
+        init["sm_k"] = jnp.zeros((B, SEG * (ME + 1)), jnp.int32)
+        init["sm_s"] = jnp.zeros((B, SEG * (ME + 1)), jnp.int32)
     if queue:
-        init["ridx"] = z
         init["ql"] = ql0
         init["mi"] = mi0
         init["pv"] = pv0
         init["ovfbits"] = z
+        if dyn:
+            init["scnt"] = z              # serve SLOT index per lane
+            init["nxt"] = jnp.int32(B)    # next unassigned read id
+            init["em_rid"] = jnp.full((B, SEG + 1), -1,
+                                      jnp.int32).at[:, 0].set(rows)
+        else:
+            init["ridx"] = z
 
     def cond(c):
         return (c["phase"] != DONE).any() & (c["round"] < max_rounds)
@@ -1956,7 +1986,8 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
                          append, pe)
 
         if queue:
-            ecol = jnp.minimum(c["ridx"], R_serve - 1) * (ME + 1) + eslot
+            seg_idx = c["scnt"] if dyn else c["ridx"]
+            ecol = jnp.minimum(seg_idx, SEG - 1) * (ME + 1) + eslot
         else:
             ecol = eslot
         count = c["count"] + emit.astype(jnp.int32)
@@ -1996,12 +2027,23 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
         qw = c["qw"]
         if queue:
             fin = to_done & (phase != DONE)
-            ridx_n = c["ridx"] + fin.astype(jnp.int32)
-            rid_n = ridx_n * B + rows
-            got = fin & (rid_n < N_reads)
+            if dyn:
+                # pull the next unassigned reads, rank-ordered among this
+                # round's finishers (deterministic); a lane at its segment
+                # capacity stops pulling (others absorb the reads)
+                fin_ok = fin & (c["scnt"] + 1 < SEG)
+                fin_i = fin_ok.astype(jnp.int32)
+                rank = jnp.cumsum(fin_i) - fin_i      # exclusive
+                rid_n = c["nxt"] + rank
+                got = fin_ok & (rid_n < N_reads)
+            else:
+                ridx_n = c["ridx"] + fin.astype(jnp.int32)
+                rid_n = ridx_n * B + rows
+                got = fin & (rid_n < N_reads)
             ovfbits = jnp.where(
                 fin & ovf,
-                c["ovfbits"] | (1 << jnp.minimum(c["ridx"], R_serve - 1)),
+                c["ovfbits"] | (1 << jnp.minimum(
+                    c["scnt"] if dyn else c["ridx"], SEG - 1)),
                 c["ovfbits"])
             meta_n = jnp.take(meta, jnp.clip(rid_n, 0, N_reads - 1), axis=0)
             ql_n = jnp.where(got, meta_n[:, 0], ql)
@@ -2013,8 +2055,23 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
             new_x = jnp.where(got, pv_n if has_pivot else 0, new_x)
             count = jnp.where(got, 0, count)
             ovf = jnp.where(got, False, ovf)
-            extra = dict(ridx=jnp.where(fin, ridx_n, c["ridx"]),
-                         ql=ql_n, mi=mi_n, pv=pv_n, ovfbits=ovfbits)
+            if dyn:
+                # a finisher that could not pull (capacity or reads
+                # exhausted) goes DONE
+                phase_n = jnp.where(fin & ~got, jnp.int32(DONE), phase_n)
+                scnt_n = c["scnt"] + got.astype(jnp.int32)
+                extra = dict(
+                    scnt=scnt_n,
+                    nxt=jnp.minimum(
+                        c["nxt"] + jnp.sum(fin_i), jnp.int32(N_reads)),
+                    em_rid=c["em_rid"].at[
+                        rows,
+                        jnp.where(got, jnp.minimum(scnt_n, SEG - 1),
+                                  jnp.int32(SEG))].set(rid_n),
+                    ql=ql_n, mi=mi_n, pv=pv_n, ovfbits=ovfbits)
+            else:
+                extra = dict(ridx=jnp.where(fin, ridx_n, c["ridx"]),
+                             ql=ql_n, mi=mi_n, pv=pv_n, ovfbits=ovfbits)
 
         # ---- emit scatters (the only per-round scatters left)
         eme = (pe << 16) | (c["j"] + 1)
@@ -2053,6 +2110,31 @@ def _pass1_smem1_reg(C, table, sent_row, query, qlen, min_intv, pivot,
         )
 
     final = jax.lax.while_loop(cond, body, init)
+
+    if dyn:
+        # (lane, slot) segments -> read-major planes via the recorded
+        # per-serve rid: ONE walk-final scatter per plane (unused slots
+        # carry rid -1 -> the trash row NP)
+        rid_flat = final["em_rid"][:, :SEG].reshape(B * SEG)
+        tgt = jnp.where(rid_flat < 0, jnp.int32(NP), rid_flat)
+
+        def read_major(plane):
+            seg = plane.reshape(B * SEG, ME + 1)
+            out_p = jnp.full((NP + 1, ME + 1), -1, jnp.int32)
+            return out_p.at[tgt].set(seg)[:NP, :ME]
+
+        sm_me_o = read_major(final["sm_me"])
+        out = (sm_me_o,)
+        if emit_ks:
+            out += (read_major(final["sm_k"]), read_major(final["sm_s"]))
+        count_out = jnp.sum(sm_me_o != -1, axis=1).astype(jnp.int32)
+        bits = ((final["ovfbits"][:, None]
+                 >> jnp.arange(SEG, dtype=jnp.int32)[None, :]) & 1) \
+            .astype(jnp.int32).reshape(B * SEG)
+        ovf_o = (jnp.zeros(NP + 1, jnp.int32).at[tgt].set(bits)[:NP]
+                 .astype(jnp.bool_))
+        return out + (count_out, ovf_o, final["round"],
+                      final["done_round"])
 
     def read_major(plane):
         a = plane.reshape(B, R_serve, ME + 1)

@@ -154,6 +154,28 @@ class NativePoaGraph:
             order.tolist(),
         )
 
+    def export_packed(self, n_pad: int, p_pad: int, basep_row, predp_row):
+        """Write the device-upload planes IN PLACE (basep u8 row with
+        sink bit 7; predp u16 row, caller pre-filled 0xFFFF) — skips the
+        per-window int32 pred/pmask arrays + numpy repack of
+        export_arrays; returns the topo order as an int32 array."""
+        import ctypes
+
+        assert self.n <= n_pad
+        order = np.zeros(self.n, np.int32)
+        assert basep_row.dtype == np.uint8 and predp_row.dtype == np.uint16
+        rc = self._lib.gb_poa_export_packed(
+            self._p(self.base), self._p(self.ring), self._p(self.ring_n),
+            self._p(self.out_head), self._p(self.in_head),
+            self._p(self.e_src), self._p(self.e_nin), self._p(self.e_nout),
+            self._p(self.e_dst), self._p(self.indeg),
+            self.n, n_pad, p_pad,
+            self._p(order),
+            basep_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            predp_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        assert rc == self.n, f"gb_poa_export_packed failed: {rc}"
+        return order
+
     def consensus(self) -> np.ndarray:
         if self.n == 0:
             return np.zeros(0, dtype=np.int64)
@@ -506,12 +528,17 @@ def _ab_dispatch(graphs, seqs, params: PoaParams):
     qlen = np.zeros(bp, np.int32)
     orders = []
     for i, (g, s) in enumerate(zip(graphs, seqs)):
-        arrs, order = _graph_export(g, n_pad, p_pad)
-        orders.append(order)
-        predp[i] = np.where(arrs["pmask"], arrs["pred"], 0xFFFF)
-        basep[i] = arrs["base"].astype(np.uint8) \
-            | (arrs["sink"].astype(np.uint8) << 7)
-        n[i] = arrs["n"]
+        if isinstance(g, NativePoaGraph):
+            # in-place packed export: C writes the upload rows directly
+            orders.append(g.export_packed(n_pad, p_pad, basep[i], predp[i]))
+            n[i] = g.n
+        else:
+            arrs, order = _graph_export(g, n_pad, p_pad)
+            orders.append(order)
+            predp[i] = np.where(arrs["pmask"], arrs["pred"], 0xFFFF)
+            basep[i] = arrs["base"].astype(np.uint8) \
+                | (arrs["sink"].astype(np.uint8) << 7)
+            n[i] = arrs["n"]
         # query is 1-indexed in lanes: lane j holds q_{j-1}
         seq_a[i, 1 : len(s) + 1] = np.asarray(s, np.int8)
         seq_a[i, 0] = -1

@@ -630,10 +630,11 @@ def test_smem1_reg_matches_plane(small_index):
     qlen[5] = 0                # empty read
     q[9, 12] = 4               # embedded N
 
-    def run(reg, lanes, emit_ks):
+    def run(reg, lanes, emit_ks, dynq=False):
         pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
                            max_mem_intv=20)
         pipe.SMEM1_REG = reg
+        pipe.SMEM1_DYNQ = dynq
         pipe.SMEM1_QUEUE_LANES = lanes
         pipe.SMEM1_EMIT_KS = emit_ks
         p1 = pipe.pass1(q, qlen)
@@ -647,3 +648,7 @@ def test_smem1_reg_matches_plane(small_index):
             want = run(False, lanes, emit_ks)
             got = run(True, lanes, emit_ks)
             assert got == want, f"reg mismatch lanes={lanes} emit_ks={emit_ks}"
+            # dynamic serve schedule: same outputs per read, any schedule
+            gotd = run(True, lanes, emit_ks, dynq=True)
+            assert gotd == want, \
+                f"dynq mismatch lanes={lanes} emit_ks={emit_ks}"

@@ -128,6 +128,12 @@ def _load():
             c_i64, c_i64, c_i64,
             c_i32p, c_u8p, c_u16p,
         ]
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.gb_poa_decode_path.restype = None
+        lib.gb_poa_decode_path.argtypes = [
+            c_u32p, c_i64, c_i32, c_i32, c_u16p, c_i64, c_i32p,
+            c_i32p, c_i32p,
+        ]
         lib.gb_poa_consensus.restype = c_i64
         lib.gb_poa_consensus.argtypes = [
             c_u8p, c_i32p, c_u8p, c_i32p, c_i32p,

@@ -1050,6 +1050,42 @@ int64_t gb_poa_export_packed(const uint8_t* base, const int32_t* ring,
     return n;
 }
 
+// 4-bit path-code decoder (ops/poa.py _backtrack_batch codes=True):
+// the device backtrack ships one nibble per aligned pair, in BACKWARD
+// order — nibble < p_pad: M move consuming pred slot `nibble`;
+// < 2*p_pad: F move on slot nibble-p_pad; == 2*p_pad: query-only
+// column (E / gap run / r0 — identical decode).  Reconstructs
+// forward-order (an, aq) with the host-resident predp row (u16 pred
+// RANKS, 0xFFFF = empty slot -> virtual start 0) + topo order — an 8x
+// smaller fetch than int32 entries on the link-bound path plane.
+void gb_poa_decode_path(const uint32_t* packed, int64_t plen,
+                        int32_t best_rank, int32_t qlen,
+                        const uint16_t* predp, int64_t p_pad,
+                        const int32_t* order,
+                        int32_t* an, int32_t* aq) {
+    int32_t r = best_rank, j = qlen;
+    for (int64_t t = 0; t < plen; t++) {
+        int code = (int)((packed[t >> 3] >> ((t & 7) * 4)) & 0xF);
+        int64_t o = plen - 1 - t;
+        if (code < (int)p_pad) {            // M + pred slot
+            an[o] = order[r - 1];
+            aq[o] = j - 1;
+            uint16_t pv = predp[(int64_t)(r - 1) * p_pad + code];
+            r = (pv == 0xFFFF) ? 0 : (int32_t)pv;
+            j--;
+        } else if (code < (int)(2 * p_pad)) {  // F + pred slot
+            an[o] = order[r - 1];
+            aq[o] = -1;
+            uint16_t pv = predp[(int64_t)(r - 1) * p_pad + (code - p_pad)];
+            r = (pv == 0xFFFF) ? 0 : (int32_t)pv;
+        } else {                            // query-only column
+            an[o] = -1;
+            aq[o] = j - 1;
+            j--;
+        }
+    }
+}
+
 // Heaviest-bundle consensus (oracle consensus): topo scan picking per
 // node the max-weight in-edge (ties: higher bundle score, then smaller
 // topo rank, first-seen wins), backtrack from the best sink (global

@@ -261,7 +261,8 @@ def _closed_form_e(gf, oo, ee, qp):
     return e, best_k
 
 
-def _poa_dp_core(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, params):
+def _poa_dp_core(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad,
+                 q_pad, params, path_codes=False):
     """Batched graph-NW forward DP + on-device backtrack.
 
     Shapes (B = batch of windows): base (B,N), pred (B,N,P), pmask
@@ -346,9 +347,23 @@ def _poa_dp_core(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, 
         # fori to the batch-max live row count, not the padded bucket:
         # graphs sit well under the next power-of-two most rounds, and
         # the sequential row loop is the whole cost of the forward DP.
+        # 4x row unroll (r5): a loop iteration costs ~65 us of on-device
+        # overhead on this chip (BASELINE) while a (b, Qp) row's vector
+        # work is ~10 us — overhead-bound, so K rows per iteration.
+        # Safe padding: trips <= n_pad (256-multiple), rows past n_max
+        # read zeroed pred slots and write rows the sink scan/backtrack
+        # never touch (live/rank masks).
         trace0 = jnp.zeros((n_pad, q_pad), jnp.uint16)
+        KU = 4
+        trips = (n_max + KU - 1) // KU
+
+        def stepK(i, st):
+            for k in range(KU):
+                st = step(i * KU + k, st)
+            return st
+
         H, _, _, trace = jax.lax.fori_loop(
-            0, n_max, step, (H, F1, F2, trace0)
+            0, trips, stepK, (H, F1, F2, trace0)
         )
         # Best sink at column qlen, smallest rank on tie.
         hq = jnp.take_along_axis(H[1:], qlen[None, None].repeat(n_pad, 0), axis=1)[:, 0]
@@ -362,8 +377,11 @@ def _poa_dp_core(base, pred, pmask, sink, n, seq, qlen, *, n_pad, p_pad, q_pad, 
         one_window, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
     )(base, pred, pmask, sink, n, seq, qlen, jnp.max(n))
     path, plen = _backtrack_batch(
-        trace, pred, best_rank, qlen, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad
+        trace, pred, best_rank, qlen, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad,
+        codes=path_codes,
     )
+    if path_codes:
+        return score, path, plen, best_rank
     return score, path, plen
 
 
@@ -373,9 +391,10 @@ _poa_dp_batch = functools.partial(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "p_pad", "q_pad", "params"))
+                   static_argnames=("n_pad", "p_pad", "q_pad", "params",
+                                    "path_codes"))
 def _poa_dp_packed(basep, predp, n, seq8, qlen, *, n_pad, p_pad, q_pad,
-                   params):
+                   params, path_codes=False):
     """_poa_dp_core behind a NARROW upload: every MSA round re-ships the
     whole (growing) graph topology, so on a bandwidth-bound link the
     plane widths are the wall.  predp is uint16 with 0xFFFF meaning "no
@@ -389,10 +408,11 @@ def _poa_dp_packed(basep, predp, n, seq8, qlen, *, n_pad, p_pad, q_pad,
     sink = (basep & jnp.uint8(0x80)) != 0
     return _poa_dp_core(base, pred, pm, sink, n, seq8.astype(jnp.int32),
                         qlen, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad,
-                        params=params)
+                        params=params, path_codes=path_codes)
 
 
-def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
+def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad,
+                     codes=False):
     """Lockstep on-device backtrack over all windows.
 
     Replicates the host `_backtrack` walk exactly (same move priority
@@ -400,6 +420,14 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
     every window one path entry: one uint16 trace gather + one pred
     gather per lane, one in-place scatter into the path buffer.
     Finished lanes scatter into a trash column.
+
+    With codes=True (r5) the path ships as a 4-BIT CODE STREAM instead
+    of int32 rank*qw+q entries: nibble < p_pad = M move taking pred slot
+    `nibble`; < 2*p_pad = F move on slot nibble-p_pad; == 2*p_pad = a
+    query-only column (E/gap-run/r0 — they decode identically).  The
+    host decodes with its already-resident predp row + topo order
+    (native gb_poa_decode_path), so the fetch drops 8x on the
+    link-bound path plane.  Requires p_pad <= 7.
     """
     b = best_rank.shape[0]
     qw = q_pad + 1
@@ -429,12 +457,18 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
         is_m = on_node & (mv == MOVE_M)
         is_e = on_node & ((mv == MOVE_E1) | (mv == MOVE_E2))
         is_f = on_node & ~is_m & ~is_e
-        # Entry: rank*(Qp+1) + jcode; rank 0 = no node, jcode 0 = no qpos.
-        rank_emit = jnp.where(is_m | is_f, r, 0)
-        q_emit = jnp.where(is_f, 0, j)
-        entry = rank_emit * qw + q_emit
+        aux_c = jnp.clip(aux, 0, p_pad - 1)
+        if codes:
+            entry = jnp.where(is_m, aux_c,
+                              jnp.where(is_f, p_pad + aux_c,
+                                        jnp.int32(2 * p_pad)))
+        else:
+            # Entry: rank*(Qp+1) + jcode; rank 0 = no node, 0 = no qpos.
+            rank_emit = jnp.where(is_m | is_f, r, 0)
+            q_emit = jnp.where(is_f, 0, j)
+            entry = rank_emit * qw + q_emit
         pr = jnp.take_along_axis(
-            pred2, (ri * p_pad + jnp.clip(aux, 0, p_pad - 1))[:, None], axis=1
+            pred2, (ri * p_pad + aux_c)[:, None], axis=1
         )[:, 0]
         r_new = jnp.where(is_m | is_f, pr, r)
         j_new = jnp.where(in_gap | is_r0 | is_m | is_e, j - 1, j)
@@ -452,7 +486,22 @@ def _backtrack_batch(trace, pred, best_rank, qlen, *, n_pad, p_pad, q_pad):
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b, lp + 1), jnp.int32),
     )
-    r, j, gk, t, path = jax.lax.while_loop(cond, body, st0)
+    # 8x step unroll: the backtrack is ~n+q sequential iterations of
+    # tiny (b,) ops — pure loop-overhead; inactive lanes no-op under the
+    # `active` mask so over-running the shortest paths is free.
+    def body8(st):
+        for _ in range(8):
+            st = body(st)
+        return st
+
+    r, j, gk, t, path = jax.lax.while_loop(cond, body8, st0)
+    if codes:
+        lp8 = -(-lp // 8) * 8
+        c4 = jnp.zeros((b, lp8), jnp.int32).at[:, :lp].set(path[:, :lp])
+        c4 = c4.reshape(b, lp8 // 8, 8)
+        shifts = jnp.arange(8, dtype=jnp.int32) * 4
+        packed = jnp.sum(c4 << shifts[None, None, :], axis=2)
+        return packed, t
     return path[:, :lp], t
 
 
@@ -544,23 +593,68 @@ def _ab_dispatch(graphs, seqs, params: PoaParams):
         seq_a[i, 0] = -1
         qlen[i] = len(s)
     t0 = _ph("marshal", t0)
+    # 4-bit path codes (r5): needs the native decoder + p_pad codes that
+    # fit a nibble; falls back to int32 entries otherwise
+    from genomicsbench_tpu import native as _native
+
+    use_codes = _native.available() and p_pad <= 7 \
+        and all(isinstance(g, NativePoaGraph) for g in graphs)
     args = jax.device_put((jnp.asarray(basep), jnp.asarray(predp),
                            jnp.asarray(n), jnp.asarray(seq_a),
                            jnp.asarray(qlen)))
-    jax.block_until_ready(args)
+    # no block_until_ready: the transfer rides under the PREVIOUS slab's
+    # DP; "upload" here only times the host-side enqueue
     t0 = _ph("upload", t0)
-    score, path, plen = _poa_dp_packed(
+    fut = _poa_dp_packed(
         *args, n_pad=n_pad, p_pad=p_pad, q_pad=q_pad, params=params,
+        path_codes=use_codes,
     )
     _ph("dp_dispatch", t0)
-    return (score, path, plen), (orders, b, q_pad)
+    ctx = (orders, b, q_pad, use_codes, predp if use_codes else None,
+           p_pad, [len(s) for s in seqs])
+    return fut, ctx
 
 
 def _ab_collect(fut, ctx, as_arrays: bool):
+    import ctypes
     import time as _t
 
+    orders, b, q_pad, use_codes, predp_host, p_pad, qlens = ctx
+    if use_codes:
+        from genomicsbench_tpu import native as _native
+
+        score, packed, plen, best_rank = fut
+        t0 = _t.perf_counter()
+        packed = np.ascontiguousarray(np.asarray(packed).view(np.uint32))
+        plen = np.asarray(plen)
+        score = np.asarray(score)
+        best_rank = np.asarray(best_rank)
+        t0 = _ph("dp_wait+fetch", t0)
+        lib = _native.lib()
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        out = []
+        for i in range(b):
+            pl = int(plen[i])
+            an = np.empty(pl, np.int32)
+            aq = np.empty(pl, np.int32)
+            lib.gb_poa_decode_path(
+                packed[i].ctypes.data_as(u32p), pl, int(best_rank[i]),
+                int(qlens[i]),
+                predp_host[i].ctypes.data_as(u16p), p_pad,
+                orders[i].ctypes.data_as(i32p),
+                an.ctypes.data_as(i32p), aq.ctypes.data_as(i32p))
+            out.append((an, aq))
+        _ph("decode", t0)
+        if as_arrays:
+            return [int(s) for s in score[:b]], out
+        return [int(s) for s in score[:b]], [
+            [(None if a < 0 else int(a), None if q < 0 else int(q))
+             for a, q in zip(an, aq)] for an, aq in out
+        ]
+
     score, path, plen = fut
-    orders, b, q_pad = ctx
     t0 = _t.perf_counter()
     path, plen, score = np.asarray(path), np.asarray(plen), np.asarray(score)
     t0 = _ph("dp_wait+fetch", t0)
@@ -622,7 +716,14 @@ def msa_consensus_batch(windows, params: PoaParams | None = None,
         graphs = [PoaGraph(params) for _ in windows]
     as_arr = _native.available()
     max_rounds = max((len(w) for w in windows), default=0)
-    slabs = [list(range(o, min(o + slab, len(windows))))
+    # length-sorted slabs (r5): windows are independent, so grouping
+    # similar lengths shrinks each call's q_pad/n_pad buckets (~30% of
+    # the DP rows at the 600-1000 bp racon mix were padding when slabs
+    # mixed lengths); output order is preserved by index
+    w_order = sorted(range(len(windows)),
+                     key=lambda i: max((len(s) for s in windows[i]),
+                                       default=0))
+    slabs = [w_order[o : o + slab]
              for o in range(0, len(windows), slab)]
     for s in range(max_rounds):
         if s == 0:

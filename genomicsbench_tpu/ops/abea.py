@@ -43,6 +43,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -404,7 +405,14 @@ def _abea_scan(
         ys = (trace, jnp.where(live, bll_e, -1))
         return out, ys
 
-    final, (traces_u8, bll_es) = jax.lax.scan(step, init, None, length=n_steps)
+    # unroll=8: each band step is tiny (B x 100) vector work against a
+    # fixed per-step loop overhead on this chip; unrolling amortizes it.
+    # Interleaved chip A/B (512-read batches, best-of-4): unroll 8 beats
+    # 1 by ~12% (1.30 vs 1.48 s / 1024 reads); 4 was within noise.
+    _UN = int(os.environ.get("GENOMICSBENCH_ABEA_UNROLL", "8"))
+    final, (traces_u8, bll_es) = jax.lax.scan(
+        step, init, None, length=n_steps,
+        unroll=_UN if n_steps % _UN == 0 else 1)
     # 2-bit pack the traces ONCE after the scan (values 0..2; per-step
     # strided lane slices inside the scan body were pure relayout overhead);
     # the packed form keeps the host fetch through the tunnel 4x smaller.

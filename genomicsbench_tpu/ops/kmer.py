@@ -185,6 +185,38 @@ def rle_counts(sorted_arr: np.ndarray):
     return s[starts], counts
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _per_position_freqs(seq, lengths, *, k):
+    """(B, L) u16 plane: global canonical-kmer frequency of the k-mer at
+    every iterated position (0 at non-iterated positions), plus a scalar
+    saturation flag (any count >= 0xFFFF -> caller must fall back).
+
+    Device sort + run-length + inverse-permutation gather — replaces the
+    metagenome build's per-read np.searchsorted against the ~N-entry
+    count table, which was 36 s of its 65 s wall at the 25 Mb bench
+    scale (binary search over a 100 MB table is cache-hostile; the
+    sort-join runs at device sort speed and ships 2 B/position)."""
+    km, _ = _canonical_kmers(seq, lengths, k=k)
+    flat = km.reshape(-1)
+    N = flat.shape[0]
+    order = jnp.argsort(flat)
+    s = jnp.take(flat, order)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), s[1:] != s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(starts, idx, -1))
+    nxt = jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])
+    run_end = jax.lax.cummin(
+        jnp.where(nxt, idx, jnp.int32((1 << 31) - 1)), reverse=True)
+    cnt = run_end - run_start + 1
+    inv = jnp.argsort(order)
+    freq_flat = jnp.take(cnt, inv)
+    freq_flat = jnp.where(flat == SENTINEL, 0, freq_flat)
+    sat = jnp.any(freq_flat >= 0xFFFF)
+    return (jnp.clip(freq_flat, 0, 0xFFFF).astype(jnp.uint16)
+            .reshape(km.shape), sat)
+
+
 def count_kmers(seq_codes: np.ndarray, lengths: np.ndarray, k: int):
     """Count canonical k-mers over a batch of reads (forward strands only,
     KmerCounter::count semantics).  The heavy work — extraction,
@@ -465,7 +497,8 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
 # ---------------------------------------------------------------------------
 
 def yield_frequent_kmers(codes, length, k, global_freq_lookup,
-                         select_rate: float, tandem_freq: int):
+                         select_rate: float, tandem_freq: int,
+                         freqs=None):
     """Per-read top-kmer selection (vertex_index.cpp:316-358).
 
     Selection is the set {k-mers with global freq >= minFreq} where
@@ -494,7 +527,10 @@ def yield_frequent_kmers(codes, length, k, global_freq_lookup,
     fwd = acc[:-1]
     rc = _revcomp_np(fwd, k_)
     canon = np.minimum(fwd, rc)
-    freqs = global_freq_lookup(canon)
+    if freqs is None:
+        freqs = global_freq_lookup(canon)
+    else:
+        freqs = np.asarray(freqs[: len(fwd)], np.int64)
     order_desc = np.sort(freqs)[::-1]
     max_kmers = int(select_rate * len(freqs))
     min_freq = order_desc[min(max_kmers, len(freqs) - 1)]
@@ -519,13 +555,26 @@ def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
     per-kmer position sort."""
     seq_codes = np.asarray(seq_codes)
     lengths = np.asarray(lengths, np.int64)
-    uniq_all, counts_all = count_kmers(seq_codes, lengths.astype(np.int32), k)
+    # per-position global freqs from ONE device sort-join (u16 plane);
+    # the table-lookup path remains for ambiguous codes (the device and
+    # host rolls bleed code 4 identically only bit-for-bit on 0..3) and
+    # u16-saturating counts
+    freq_plane = None
+    if seq_codes.size and seq_codes.max() <= 3:
+        plane, sat = _per_position_freqs(
+            *jax.device_put((seq_codes, np.asarray(lengths, np.int32))), k=k)
+        if not bool(sat):
+            freq_plane = np.asarray(plane)
+    lookup = None
+    if freq_plane is None:
+        uniq_all, counts_all = count_kmers(
+            seq_codes, lengths.astype(np.int32), k)
 
-    def lookup(reps):
-        idx = np.searchsorted(uniq_all, reps)
-        idx = np.clip(idx, 0, len(uniq_all) - 1)
-        hit = uniq_all[idx] == reps
-        return np.where(hit, counts_all[idx], 0).astype(np.int64)
+        def lookup(reps):
+            idx = np.searchsorted(uniq_all, reps)
+            idx = np.clip(idx, 0, len(uniq_all) - 1)
+            hit = uniq_all[idx] == reps
+            return np.where(hit, counts_all[idx], 0).astype(np.int64)
 
     from genomicsbench_tpu.utils import offsets_from_lengths
 
@@ -533,7 +582,9 @@ def build_index_uneven_coverage(seq_codes, lengths, *, k: int,
     reps_sel, gpos_sel, freq_sel = [], [], []
     for b in range(len(lengths)):
         pos, fwd, canon, freqs = yield_frequent_kmers(
-            seq_codes[b], int(lengths[b]), k, lookup, select_rate, tandem_freq)
+            seq_codes[b], int(lengths[b]), k, lookup, select_rate,
+            tandem_freq,
+            freqs=None if freq_plane is None else freq_plane[b])
         ok = freqs >= global_min_freq
         pos, fwd, canon, freqs = pos[ok], fwd[ok], canon[ok], freqs[ok]
         flip = canon != fwd

@@ -956,11 +956,18 @@ class FmiPipeline:
         max_rounds = 32 * L  # flat walk: cap counts extension BASES
         emit_ks = self.SMEM1_EMIT_KS
         t0 = time.perf_counter()
-        got = jax.device_get(_pass3_jump(
-            *self.dev, self._put(query), self._put(qlen.astype(np.int32)),
-            self.max_mem_intv,
-            min_len=min_len, max_rounds=max_rounds, emit_ks=emit_ks,
-        ))
+        if emit_ks and self.SMEM1_REG:
+            got = jax.device_get(_pass3_jump_reg(
+                *self.dev, self._put_query(query),
+                self._put(qlen.astype(np.int32)), self.max_mem_intv,
+                min_len=min_len, max_rounds=max_rounds,
+            ))
+        else:
+            got = jax.device_get(_pass3_jump(
+                *self.dev, self._put(query),
+                self._put(qlen.astype(np.int32)), self.max_mem_intv,
+                min_len=min_len, max_rounds=max_rounds, emit_ks=emit_ks,
+            ))
         self.phase_s["p3_walk"] += time.perf_counter() - t0
         if emit_ks:
             em_mn_a, em_k_a, em_s_a, count, rounds = got
@@ -2320,3 +2327,127 @@ def _pass3_jump(C, table, sent_row, query, qlen, min_intv_val,
     if emit_ks:
         out += (final["em_k"][:, :EM3], final["em_s"][:, :EM3])
     return out + (final["count"], final["round"])
+
+
+@functools.partial(jax.jit, static_argnames=("min_len", "max_rounds"))
+def _pass3_jump_reg(C, table, sent_row, query, qlen, min_intv_val,
+                    *, min_len, max_rounds):
+    """Register-resident pass-3 walk (r5, emit_ks semantics only):
+    identical emissions and hop order as _pass3_jump with emit_ks=True,
+    with two structural removals measured against the r4 cost model:
+
+      * the (B, L+1) next-ambiguous table and its per-round gather are
+        GONE — an emission requires consuming every base of [x, i*], so
+        the tail extension itself proves i* < min(next_N, qlen) by
+        reaching the stop, and a death position IS the next ambiguous
+        base (the walk visits bases sequentially), giving the hop
+        target without a lookup;
+      * query chars come from packed-nibble registers (select tree)
+        instead of 2-3 take_along_axis gathers per round.
+
+    Per-round indexed ops drop from ~7 to the rank-pair gather + 3 emit
+    scatters.  Emission moves from the next round's hop processing to
+    the stop step itself — same values ((i*<<16)|x, and the stop step's
+    freshly-extended (k, s) covering [x, i*+1]), same per-lane order."""
+    B, L = query.shape
+    NW = -(-L // 8)
+    mi = jnp.full((B,), min_intv_val, jnp.int32)
+    counts4 = (C[1:5] - C[:4]).astype(jnp.int32)
+    rows = jnp.arange(B)
+    ql = qlen.astype(jnp.int32)
+    packed = _pack_query4(query, L)
+    qw = [packed[:, i] for i in range(NW)]
+
+    assert L < (1 << 15), "read length overflows the packed m/n emit word"
+    EM3 = min(L + 1, max(16, L // max(min_len, 1) + 2))
+
+    z = jnp.zeros(B, jnp.int32)
+    init = dict(
+        x=z,
+        done=ql < 1,
+        alive=jnp.zeros(B, jnp.bool_),   # round 0 seeds via the hop path
+        tail=jnp.zeros(B, jnp.bool_),
+        exr=z, ek=z, el=z, es=z, ee=z,
+        count=z,
+        em_mn=jnp.full((B, EM3 + 1), -1, jnp.int32),
+        em_k=jnp.zeros((B, EM3 + 1), jnp.int32),
+        em_s=jnp.zeros((B, EM3 + 1), jnp.int32),
+        round=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (~c["done"]).any() & (c["round"] < max_rounds)
+
+    def body(c):
+        alive, done, x = c["alive"], c["done"], c["x"]
+        hop = ~alive & ~done
+
+        # ---- ONE shared query-char read: ext lanes at pos=ee, hop
+        # lanes at their hop start x
+        pos = jnp.where(alive, c["ee"], x)
+        posc = jnp.clip(pos, 0, L - 1)
+        word = _select_tree(qw, jnp.minimum(posc >> 3, NW - 1))
+        nb_raw = (word >> ((posc & 7) * 4)) & 0xF
+        nb = jnp.clip(nb_raw, 0, 3)
+
+        # ================= extension lanes: one forward base
+        can = alive & (pos < ql) & (nb_raw < 4)
+        k_n, l_n, s_n = _fwd_extend_pick(
+            C, table, sent_row, c["ek"], c["el"],
+            jnp.maximum(c["es"], 0), nb)
+        enter_tail = can & ~c["tail"] & (s_n < mi)
+        exr2 = jnp.where(enter_tail | (alive & ~can & ~c["tail"]),
+                         c["ee"], c["exr"])
+        tail2 = c["tail"] | enter_tail
+        istar = jnp.maximum(exr2, x + min_len)
+        stop = can & tail2 & (pos + 1 >= istar + 1)
+        die = alive & ~can
+
+        # emission AT the stop (the tail consumed query[i*], proving
+        # every base of [x, i*] valid — the _pass3_jump emit condition)
+        eslot = jnp.where(stop, jnp.clip(c["count"], 0, EM3 - 1),
+                          jnp.int32(EM3))
+        em_mn = c["em_mn"].at[rows, eslot].set((istar << 16) | x)
+        em_k = c["em_k"].at[rows, eslot].set(k_n)
+        em_s = c["em_s"].at[rows, eslot].set(s_n)
+        count = c["count"] + stop.astype(jnp.int32)
+
+        # hop target: stop -> i*+1; death by read end -> qlen (done);
+        # death by N at pos -> pos+1 (pos IS the next ambiguous base)
+        x_after = jnp.where(stop, istar + 1,
+                            jnp.where(pos >= ql, ql, pos + 1))
+
+        # ================= hop lanes: N base advances x, else seed
+        hop_n = hop & (x < ql) & (nb_raw >= 4)
+        seed = hop & (x < ql) & (nb_raw < 4)
+        k0 = _select4(C[0], C[1], C[2], C[3], nb)
+        s0 = _select4(counts4[0], counts4[1], counts4[2], counts4[3], nb)
+        l0 = _select4(C[3], C[2], C[1], C[0], nb)
+        tail0 = s0 < mi
+        hop_done = hop & (x >= ql)
+
+        ended = stop | die
+        new_x = jnp.where(ended, x_after, jnp.where(hop_n, x + 1, x))
+        new_done = done | hop_done | (ended & (x_after >= ql)) \
+            | (hop_n & (x + 1 >= ql))
+        new_alive = jnp.where(seed, True,
+                              jnp.where(ended | hop_n, False, alive))
+        return dict(
+            x=new_x,
+            done=new_done,
+            alive=new_alive & ~new_done,
+            tail=jnp.where(seed, tail0,
+                           jnp.where(ended, False, tail2)),
+            exr=jnp.where(seed, jnp.where(tail0, x, x + 1), exr2),
+            ek=jnp.where(seed, k0, jnp.where(can, k_n, c["ek"])),
+            el=jnp.where(seed, l0, jnp.where(can, l_n, c["el"])),
+            es=jnp.where(seed, jnp.where(x < ql, s0, 0),
+                         jnp.where(can, s_n, c["es"])),
+            ee=jnp.where(seed, x + 1, jnp.where(can, pos + 1, c["ee"])),
+            count=count, em_mn=em_mn, em_k=em_k, em_s=em_s,
+            round=c["round"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return (final["em_mn"][:, :EM3], final["em_k"][:, :EM3],
+            final["em_s"][:, :EM3], final["count"], final["round"])

@@ -652,3 +652,36 @@ def test_smem1_reg_matches_plane(small_index):
             gotd = run(True, lanes, emit_ks, dynq=True)
             assert gotd == want, \
                 f"dynq mismatch lanes={lanes} emit_ks={emit_ks}"
+
+
+def test_pass3_reg_matches_plane(small_index):
+    """The register pass-3 walk (_pass3_jump_reg: no nxt table, packed
+    query registers, emission at the tail stop) must produce identical
+    SmemResults to _pass3_jump in both emit modes — including reads
+    with embedded/leading/trailing N runs, empty reads, sub-floor
+    seeds, and hops landing on N."""
+    ref, idx, _ = small_index
+    rng = np.random.default_rng(808)
+    N, L = 40, 90
+    q = np.zeros((N, L), np.uint8)
+    qlen = np.zeros(N, np.int32)
+    for i in range(N):
+        ln = int(rng.integers(22, L + 1))
+        at = int(rng.integers(0, len(ref) - ln))
+        q[i, :ln] = ref[at : at + ln]
+        q[i, ln:] = 4
+        qlen[i] = ln
+    q[1, :5] = 4               # leading Ns
+    q[3, 20:29] = 4            # embedded N run
+    qlen[5] = 0                # empty read
+    q[7, qlen[7] - 3:qlen[7]] = 4  # trailing Ns
+    q[9, ::7] = 4              # periodic Ns (hops land on N)
+
+    def run(reg):
+        pipe = FmiPipeline(idx, min_seed_len=19, split_width=40,
+                           max_mem_intv=20)
+        pipe.SMEM1_REG = reg
+        pipe.SMEM1_EMIT_KS = True
+        return pipe.pass3(q, qlen).sorted_tuples(with_interval=True)
+
+    assert run(True) == run(False)

@@ -853,8 +853,11 @@ def bench_poa(n_windows=5_000):
     msa_consensus_batch(windows[:8])  # warm
     t0 = time.time()
     cons = []
-    # 1024-window calls: the intra-call slab pipeline (ops/poa.py, slab=256)
-    # only engages with >1 slab per call; HBM holds one slab at a time.
+    # 1024-window calls: the intra-call slab pipeline (ops/poa.py,
+    # slab=256) engages with >1 slab per call while HBM holds one slab
+    # at a time.  A single 5000-window call was measured SLOWER (44.6 vs
+    # 59-62 w/s): 5000 resident native graphs churn the 1-core host
+    # allocator and the sorted slabs span more shape classes per round.
     for off in range(0, n_windows, 1024):
         cons.extend(msa_consensus_batch(windows[off : off + 1024]))
     wall = time.time() - t0

@@ -123,15 +123,18 @@ def _phmm_core(read, hap, rslen, haplen, q8, i8, d8, c8, *, r_steps):
         acc = jnp.where(i + 1 == rslen, row_sum, acc)
         return (M_cur, X_cur, Y_cur, acc), None
 
-    def row2(c, i2):
-        c, _ = row(c, i2 * 2)
-        return row(c, i2 * 2 + 1)
+    K = int(os.environ.get("GENOMICSBENCH_PHMM_UNROLL", "2"))
 
-    # two read rows per scan iteration (halves loop-carry HBM round trips;
-    # rows past rslen leave the carry unchanged, so the odd tail is a no-op)
+    def rowK(c, ik):
+        for t in range(K):
+            c, _ = row(c, ik * K + t)
+        return c, None
+
+    # K read rows per scan iteration (cuts loop-carry HBM round trips;
+    # rows past rslen leave the carry unchanged, so tail rows are no-ops)
     (_, _, _, acc), _ = jax.lax.scan(
-        row2, (M_prev, X_prev, Y_prev, jnp.zeros((B,), jnp.float32)),
-        jnp.arange(-(-r_steps // 2), dtype=jnp.int32),
+        rowK, (M_prev, X_prev, Y_prev, jnp.zeros((B,), jnp.float32)),
+        jnp.arange(-(-r_steps // K), dtype=jnp.int32),
     )
     return acc
 

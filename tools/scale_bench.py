@@ -933,7 +933,6 @@ def bench_fmi(n_reads=1_000_000, batch=65_536):
     # timed on a 1/10 subset of the identical workload, its own kernel
     # timer, extrapolated linearly like the dbg_gold row
     gold = require_gold("fmi_gold")
-    ref_wall = None
     if gold:
         from tools.fmi_gold_check import dump_index, dump_reads
 
@@ -947,40 +946,56 @@ def bench_fmi(n_reads=1_000_000, batch=65_536):
         mut = g_rng.random(gq.shape) < 0.005
         gq[mut] = g_rng.integers(0, 4, mut.sum())
         dump_reads(gq, 19, f"{SCRATCH}/fmi_gold.reads")
+
+    def gold_pass():
         pr = subprocess.run([gold, idx_bin, f"{SCRATCH}/fmi_gold.reads",
                              "-q"], capture_output=True, text=True,
                             timeout=3600)
         for ln in pr.stderr.splitlines():
             if "kernel_s=" in ln:
-                ref_wall = (float(ln.split("kernel_s=")[1].split()[0])
-                            * (n_reads / sub))
-    total_smems = 0
+                return float(ln.split("kernel_s=")[1].split()[0])                     * (n_reads / sub)
+        return None
+
+    # pre-synthesize every batch OUTSIDE the timer (symmetric scope:
+    # fmi_gold's kernel_s excludes its read parse too — the old loop
+    # synthesized reads inside the timed region, ~1 s/batch of numpy);
+    # then interleaved best-of-2 on both sides (chain/abea discipline —
+    # single-pass fmi walls swung 121-258 s and the gold 58-96 s)
+    batches = []
     done = 0
-    # warm on one batch
-    starts = rng.integers(0, len(ref) - L, batch)
-    q = ref[starts[:, None] + np.arange(L)[None, :]].copy()
-    mut = rng.random(q.shape) < 0.005
-    q[mut] = rng.integers(0, 4, mut.sum())
-    qlen = np.full(batch, L, np.int32)
-    pipe.run(q, qlen)
-    t0 = time.time()
     while done < n_reads:
         b = min(batch, n_reads - done)
         starts = rng.integers(0, len(ref) - L, b)
         q = ref[starts[:, None] + np.arange(L)[None, :]].copy()
         mut = rng.random(q.shape) < 0.005
         q[mut] = rng.integers(0, 4, mut.sum())
-        _p1, _p2, _p3, tot = pipe.run(q, np.full(b, L, np.int32))
-        total_smems += tot
+        batches.append((q, np.full(b, L, np.int32)))
         done += b
-        print(f"# fmi {done}/{n_reads} phases="
-              f"{ {k: round(v, 1) for k, v in pipe.phase_s.items()} }",
-              flush=True)
-    wall = time.time() - t0
+    pipe.run(*batches[0])  # warm
+    walls, ref_walls = [], []
+    total_smems = 0
+    for rep in range(2):
+        total_smems = 0
+        t0 = time.time()
+        for bi, (q, qlen_b) in enumerate(batches):
+            _p1, _p2, _p3, tot = pipe.run(q, qlen_b)
+            total_smems += tot
+            print(f"# fmi rep{rep} {(bi + 1) * batch}/{n_reads} phases="
+                  f"{ {k: round(v, 1) for k, v in pipe.phase_s.items()} }",
+                  flush=True)
+        walls.append(time.time() - t0)
+        if gold:
+            rw = gold_pass()
+            if rw is not None:
+                ref_walls.append(rw)
+    wall = min(walls)
+    ref_wall = min(ref_walls) if ref_walls else None
     record(workload="fmi", n_reads=n_reads, read_len=L, index_mb=100,
            batch=batch, wall_s=round(wall, 2),
            bases_per_s=round(n_reads * L / wall, -3),
            reads_per_s=round(n_reads / wall, -2), total_smems=int(total_smems),
+           measurement="interleaved best-of-2 both sides; batches "
+                       "pre-synthesized (gold kernel_s scope)",
            ref_1t_wall_s_est=(round(ref_wall, 2) if ref_wall else None),
            speedup_vs_ref_1t=(round(ref_wall / wall, 2) if ref_wall
                               else None))

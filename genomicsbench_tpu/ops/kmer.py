@@ -434,6 +434,26 @@ def _minimizer_sites(seq, lengths, *, k, window):
     return canon, pos_std, mask
 
 
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _minimizer_sites_sorted(seq, lengths, *, k, window):
+    """Device lexsort of the minimizer sites by (canonical rep, global
+    position): returns (reps sorted u32 with 0xFFFFFFFF padding tail,
+    gpos sorted i32, n_sites scalar).  lax.sort with num_keys=2 keeps
+    non-site slots at the tail (rep key 0xFFFFFFFF); gpos = read offset
+    (cumsum of lengths) + strand-adjusted in-read position and must fit
+    int32 (caller checks total bases < 2^31)."""
+    canon, pos_std, mask = _minimizer_sites(seq, lengths, k=k,
+                                            window=window)
+    lens = lengths.astype(jnp.int32)
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens)[:-1]])
+    gpos = offs[:, None] + pos_std.astype(jnp.int32)
+    ckey = jnp.where(mask, canon, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    gflat = jnp.where(mask, gpos, jnp.int32((1 << 31) - 1)).reshape(-1)
+    reps_s, gpos_s = jax.lax.sort((ckey, gflat), num_keys=2)
+    return reps_s, gpos_s, jnp.sum(mask.astype(jnp.int64))
+
+
 def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
                            repeat_kmer_rate: float = 1.0,
                            min_coverage: int = 1) -> MinimizerIndex:
@@ -451,20 +471,49 @@ def build_index_minimizers(seq_codes, lengths, *, k: int, window: int,
     SequenceContainer::globalPosition for the forward container)."""
     seq_codes = np.asarray(seq_codes)
     lengths = np.asarray(lengths, np.int32)
-    canon, pos_std, mask = jax.device_get(
-        _minimizer_sites(jnp.asarray(seq_codes), jnp.asarray(lengths),
-                         k=k, window=window)
-    )
-    rid, _ = np.nonzero(mask)
-    reps = canon[mask]
-    from genomicsbench_tpu.utils import offsets_from_lengths
+    B, L = seq_codes.shape
+    if int(np.sum(lengths.astype(np.int64))) < (1 << 31) - L:
+        # device lexsort + compaction (r5): fetching the three raw (B, L)
+        # site planes was 9 B/position (450 MB at the 50 Mb bench — the
+        # whole wall on this link); the (kmer, gpos) lexsort runs on
+        # device and only the ~2/(w+1) real sites ship, already in final
+        # order.  gpos must fit int32 (total bases < 2^31); the raw-plane
+        # path remains for larger batches.
+        reps_s, gpos_s, n_sites = _minimizer_sites_sorted(
+            jnp.asarray(seq_codes), jnp.asarray(lengths), k=k,
+            window=window)
+        n = int(n_sites)
+        # pad the fetch length to a 1M grid so the slice op re-compiles
+        # rarely across runs
+        n_pad = min(B * L, -(-max(n, 1) // (1 << 20)) * (1 << 20))
+        reps = np.asarray(reps_s[:n_pad])[:n]
+        gpos = np.asarray(gpos_s[:n_pad])[:n].astype(np.int64)
+        from genomicsbench_tpu.utils import offsets_from_lengths
+    else:
+        canon, pos_std, mask = jax.device_get(
+            _minimizer_sites(jnp.asarray(seq_codes), jnp.asarray(lengths),
+                             k=k, window=window)
+        )
+        rid, _ = np.nonzero(mask)
+        reps = canon[mask]
+        from genomicsbench_tpu.utils import offsets_from_lengths
 
-    offs = offsets_from_lengths(lengths, with_total=True)
-    gpos = offs[rid] + pos_std[mask].astype(np.int64)
+        offs = offsets_from_lengths(lengths, with_total=True)
+        gpos = offs[rid] + pos_std[mask].astype(np.int64)
 
-    order = np.lexsort((gpos, reps))
-    reps, gpos = reps[order], gpos[order]
-    uniq, starts, counts = np.unique(reps, return_index=True, return_counts=True)
+        order = np.lexsort((gpos, reps))
+        reps, gpos = reps[order], gpos[order]
+    # sorted-stream RLE (np.unique re-sorts internally — the stream is
+    # already in (kmer, gpos) order)
+    if len(reps):
+        st = np.concatenate([[0], np.nonzero(reps[1:] != reps[:-1])[0] + 1])
+        uniq = reps[st]
+        counts = np.diff(np.concatenate([st, [len(reps)]]))
+        starts = st
+    else:
+        uniq = np.zeros(0, reps.dtype)
+        counts = np.zeros(0, np.int64)
+        starts = np.zeros(0, np.int64)
 
     # filterFrequentKmers (vertex_index.cpp:173-212): mean over kmers with
     # capacity >= minCoverage, denominator +1; drop capacity > rate*mean.

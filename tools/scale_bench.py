@@ -317,9 +317,14 @@ def bench_kmer(total_mb=250):
     from genomicsbench_tpu.ops.kmer import build_index_minimizers
 
     build_index_minimizers(seq[:64], lens[:64], k=k, window=5)  # warm
-    t0 = time.time()
-    idx = build_index_minimizers(seq[:sub_n], lens[:sub_n], k=k, window=5)
-    wall_idx = time.time() - t0
+    # best-of-2 (the chain/abea/poa discipline): pass 1 additionally pays
+    # the big-shape sort compile / disk-cache load, ~19 s one-time
+    wall_idx = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        idx = build_index_minimizers(seq[:sub_n], lens[:sub_n], k=k,
+                                     window=5)
+        wall_idx = min(wall_idx, time.time() - t0)
     # first recorded minimizer-index reference ratio (VERDICT r4 #5):
     # kmer_gold minimq times ONLY buildIndexMinimizers (the reference's
     # use_minimizers ROI, kmer_cnt.cpp:228-232) on a 1/5 subset of the

@@ -440,28 +440,35 @@ def _run_scan(
         )
         return out, None
 
-    # two anchors per scan iteration: halves the loop-carry HBM round
-    # trips (the i < n_anchors guard keeps the odd tail a no-op)
-    n_iter = -(-n_steps // 2)
+    # K anchors per scan iteration: cuts loop-carry HBM round trips and
+    # per-iteration loop overhead (the i < n_anchors guard keeps tail
+    # steps no-ops).  K=2 was the r4 setting; the env knob lets the chip
+    # decide (abea's tiny-step scan won 12% at 8).
+    KU = int(os.environ.get("GENOMICSBENCH_CHAIN_UNROLL", "2"))
+    n_iter = -(-n_steps // KU)
     if cols is None:
-        def step2(c, i2):
-            c, _ = step(c, i2 * 2)
-            return step(c, i2 * 2 + 1)
+        def stepK(c, ik):
+            for t in range(KU):
+                c, _ = step(c, ik * KU + t)
+            return c, None
 
         final, _ = jax.lax.scan(
-            step2, init, jnp.arange(n_iter, dtype=jnp.int32))
+            stepK, init, jnp.arange(n_iter, dtype=jnp.int32))
     else:
         ncols = cols.shape[1]
-        assert cols.shape[0] >= 2 * n_iter
-        cols2 = cols[: 2 * n_iter].reshape(n_iter, 2, ncols, R)
+        assert cols.shape[0] >= KU * n_iter or cols.shape[0] == n_steps
+        colsK = jnp.zeros((KU * n_iter, ncols, R), cols.dtype
+                          ).at[: cols.shape[0]].set(cols)             if cols.shape[0] < KU * n_iter else cols[: KU * n_iter]
+        colsK = colsK.reshape(n_iter, KU, ncols, R)
 
-        def step2x(c, x):
-            i2, xc = x
-            c, _ = step(c, i2 * 2, xc[0])
-            return step(c, i2 * 2 + 1, xc[1])
+        def stepKx(c, x):
+            ik, xc = x
+            for t in range(KU):
+                c, _ = step(c, ik * KU + t, xc[t])
+            return c, None
 
         final, _ = jax.lax.scan(
-            step2x, init, (jnp.arange(n_iter, dtype=jnp.int32), cols2))
+            stepKx, init, (jnp.arange(n_iter, dtype=jnp.int32), colsK))
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, Np), 1) - W
     d = jnp.where(final["parents"] >= 0, idx - final["parents"], 0)[:, W:]
     # Slice the W-column front pad off on device, and do not return the

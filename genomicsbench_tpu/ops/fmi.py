@@ -630,12 +630,14 @@ class FmiPipeline:
     # lane -> read work queue (r3): the lockstep smem1 walk runs every
     # round to the slowest lane (measured mean 264 / max 969 rounds at
     # 65k reads), so batches beyond QUEUE lanes walk with persistent
-    # lanes that pull the next read on completion.  0 disables.  Chip
-    # A/B at 65k x 151 bp vs the 100 Mb index: lockstep 18.9 s/batch,
-    # 32768 lanes 16.0, 16384 lanes 12.4 — the per-round cost has a
-    # ~2-3 ms fixed floor, so lanes far below 16k stop paying.
+    # lanes that pull the next read on completion.  0 disables.  With
+    # the PLANE walk 16384 beat 32768 (12.4 vs 16.0 s/batch — per-round
+    # cost was scatter-dominated); the r5 REGISTER walk's rounds are
+    # cheap enough that 32768 wins slightly and consistently in two
+    # paired probes (6.60/7.21 vs 6.82/7.32 and 7.29/7.54 vs 7.36/7.73
+    # s/batch), so it is the default now.
     SMEM1_QUEUE_LANES = int(os.environ.get(
-        "GENOMICSBENCH_FMI_QUEUE_LANES", "16384"))
+        "GENOMICSBENCH_FMI_QUEUE_LANES", "32768"))
 
     # register-resident smem1 walk (r5, _pass1_smem1_reg): interval
     # lists + query chars + per-serve ovf live in loop-carried (B,)
